@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+value = total wall seconds across the headline set (lower is better).
+A warmup action spins the JVM/codegen first so we measure the engine,
+not cluster startup — the same discipline you'd use profiling a real
+cluster job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_a1_pricing_summary",
+    "q_a2_conditional_counts",
+    "q_a4_stddev_volatility",
+    "q_a8_temporal_grain",
+    "q_a9_global_aggregates",
+    "q_a10_profile_stats",
+    "q_j5_regional_revenue",
+    "q_j7_argmax_top_supplier",
+    "q_w3_lag_monthly_trend",
+    "q_mart_comprehensive",
+    "q_dedup_minhash_lsh",
+    "q_ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from data_warehouse_morrocan_banks_spark import registry
+    from data_warehouse_morrocan_banks_spark.session import get_spark
+
+    spark = get_spark("dwmb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warmup: touch every table once so fs cache + codegen paths are hot.
+    from data_warehouse_morrocan_banks_spark.sources.readers import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full result without driver collect
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""PySpark-native analytics engine with the query & data-processing
+capabilities of the reference warehouse (Adamos123421/
+data-warehouse_Morrocan_Banks — an ELT star-schema bank-review
+warehouse: see SURVEY.md).
+
+Everything is expressed Spark-first: DataFrame / Spark SQL column
+expressions compiled by Catalyst, broadcast joins for dims, Spark ML
+for the LDA topic path, Structured Streaming for the events ingest,
+and Arrow-batched pandas UDFs only where built-ins genuinely cannot
+express the semantics.
+
+Layout
+------
+- ``session``     SparkSession builder tuned for the engine
+- ``config``      engine thresholds (the reference's dbt vars)
+- ``schemas``     explicit StructType contracts for every layer
+- ``functions/``  scalar expression layer (string / datetime / conditional)
+- ``operators/``  relational operators (cleaning, dedup, joins, aggregates,
+                  windows, similarity, textstats, multimodal)
+- ``sources/``    readers / writers (parquet, csv, json, jdbc-shaped)
+- ``star/``       dimension / fact / mart builders (the warehouse proper)
+- ``nlp/``        language id, sentiment, LDA topics, feature block
+- ``streaming/``  Structured Streaming ingest of the events table
+- ``plans/``      pipeline runner + data-quality assertion layer
+- ``registry``    query registry binding each operator to a DuckDB oracle
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,112 @@
+"""Engine configuration constants.
+
+Centralizes the reference's scattered thresholds (dbt vars, CASE
+ladders, collector limits) so every operator reads one source of
+truth.  Citations point at the reference implementation the value was
+lifted from (SURVEY.md §2 inventory).
+"""
+
+from __future__ import annotations
+
+# --- review text quality gates (dbt vars, dbt_project.yml:56-57; P3) ---
+MIN_REVIEW_LENGTH = 10
+MAX_REVIEW_LENGTH = 5000
+
+# --- sentiment thresholds (dbt vars dbt_project.yml:58-59; M4 ladders) ---
+SENTIMENT_POSITIVE = 0.1
+SENTIMENT_NEGATIVE = -0.1
+SENTIMENT_STRONG = 0.5  # very_positive / very_negative cut (fact_reviews.sql:91-97)
+
+# --- rating semantics (sources.yml accepted_values; M4) ---
+RATING_MIN = 1
+RATING_MAX = 5
+RATING_POSITIVE_MIN = 4   # rating_category ladders (run_phase2_transformation.py:153-155)
+RATING_NEGATIVE_MAX = 2
+RATING_NEUTRAL_DEFAULT = 3  # imputation default (run_phase2_transformation.py:76-79; P6)
+
+# --- review detail ladders (M4: detail_level 50/20 words) ---
+DETAIL_WORDS_DETAILED = 50
+DETAIL_WORDS_MODERATE = 20
+
+# --- date spine bounds (dim_date.sql:16-23; U3) ---
+DATE_SPINE_START = "2020-01-01"
+DATE_SPINE_END = "2030-12-31"
+
+# --- Morocco fixed-date holidays (dim_date.sql:69-81; T8) ---
+MOROCCO_HOLIDAYS: list[tuple[int, int]] = [
+    (1, 1),    # New Year
+    (1, 11),   # Independence Manifesto
+    (5, 1),    # Labour Day
+    (7, 30),   # Throne Day
+    (8, 14),   # Oued Ed-Dahab
+    (8, 20),   # Revolution of the King and the People
+    (8, 21),   # Youth Day
+    (11, 6),   # Green March
+    (11, 18),  # Independence Day
+]
+
+# --- LDA topic model (nlp_processor_simple.py:159-197; N4) ---
+LDA_K = 8
+LDA_MAX_ITER = 10
+LDA_SEED = 42
+LDA_MIN_DOCS = 10
+LDA_VOCAB_SIZE = 100
+
+# topic_id -> business label (nlp_processor_simple.py:31-40; N5)
+TOPIC_LABELS: dict[int, str] = {
+    0: "Customer Service",
+    1: "Wait Times",
+    2: "Fees & Pricing",
+    3: "Staff & Personnel",
+    4: "Digital Services",
+    5: "Branch Experience",
+    6: "Account Services",
+    7: "General Experience",
+}
+
+# --- language detection keyword lists (nlp_processor_simple.py:42-75; N1) ---
+FRENCH_INDICATORS: list[str] = [
+    "le", "la", "les", "un", "une", "des", "et", "ou", "est", "sont",
+    "avec", "pour", "dans", "sur", "par", "tres", "bien", "bon", "service",
+]
+ARABIC_INDICATORS: list[str] = [
+    "في", "من", "على", "هذا", "هذه", "التي", "الذي", "جدا",
+]
+
+# --- deterministic lexicon sentiment (test_phase2_simple.py:83-109; N2 variant) ---
+SENTIMENT_WORD_WEIGHT = 0.2
+SENTIMENT_SCORE_CAP = 0.8
+POSITIVE_LEXICON: list[str] = [
+    "excellent", "bon", "bien", "super", "parfait", "rapide", "merci",
+    "professionnel", "accueillant", "satisfait", "recommande", "top",
+]
+NEGATIVE_LEXICON: list[str] = [
+    "mauvais", "lent", "attente", "probleme", "nul", "horrible",
+    "décevant", "decevant", "jamais", "éviter", "eviter", "arnaque",
+]
+
+# --- mention-flag keyword regexes (run_phase2_transformation.py:164-172; F6) ---
+MENTION_PATTERNS: dict[str, str] = {
+    "mentions_service": "(?i)service|accueil|personnel",
+    "mentions_waiting": "(?i)attente|queue|file|lent",
+    "mentions_fees": "(?i)frais|prix|cout|coût|tarif",
+    "mentions_staff": "(?i)personnel|staff|employe|employé|conseiller",
+    "mentions_digital": "(?i)app|application|site|internet|en ligne|mobile",
+}
+
+# --- LDA preprocessing stopwords (~60 French, nlp_processor_simple.py:123-157; N3) ---
+FRENCH_STOPWORDS: list[str] = [
+    "le", "la", "les", "un", "une", "des", "du", "de", "et", "ou", "mais",
+    "donc", "car", "ni", "or", "que", "qui", "quoi", "dont", "est", "sont",
+    "etait", "était", "avec", "pour", "dans", "sur", "par", "pas", "plus",
+    "moins", "tres", "très", "bien", "mal", "tout", "tous", "toute",
+    "toutes", "ce", "cette", "ces", "mon", "ma", "mes", "ton", "ta", "tes",
+    "son", "sa", "ses", "notre", "votre", "leur", "je", "tu", "il", "elle",
+    "nous", "vous", "ils", "elles", "on", "se", "ne", "au", "aux", "en",
+]
+
+# --- collection limits (docker-compose.yml:68-70; S3) ---
+MAX_REVIEWS_PER_LOCATION = 50
+API_CALL_DELAY_S = 2.0
+RETENTION_DATA_DAYS = 7
+RETENTION_LOG_DAYS = 30

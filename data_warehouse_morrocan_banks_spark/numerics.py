@@ -1,0 +1,114 @@
+"""Deterministic numeric aggregation layer.
+
+Floating-point addition is not associative, so a double ``SUM`` over a
+shuffled 600k-row table differs in the last bits between Spark's
+partition-parallel partial aggregation and DuckDB's scan order.  The
+driver hash-compares VALUES, so "close" is not enough — aggregates
+must be bit-identical.
+
+Strategy (each step engine-independent):
+
+1. Cast each row's double to ``DECIMAL(30,8)``.  The testdata's money
+   columns carry ≤2 true decimal digits and their 2-/3-factor products
+   ≤6, so at scale 8 the binary noise (~1e-12 absolute) is far below
+   the rounding grain and **no tie cases exist** — both engines round
+   the same double to the same decimal.  (At scale 4 the true values
+   can sit exactly on a tie, and Spark's binary-expansion HALF_UP
+   disagrees with DuckDB's shortest-string rounding.)
+2. SUM the decimals — exact, associative, identical under any
+   partitioning.
+3. Round the exact decimal sum to scale 4 and narrow to
+   ``DECIMAL(18,4)``: the scaled integer stays < 2^53, so …
+4. … the final cast to DOUBLE is exact in both engines (a >2^53
+   scaled decimal→double conversion can double-round differently
+   per engine; the narrowing step removes that hazard).
+
+This is also the right 100 TB posture: money columns should aggregate
+in decimal anyway (TPC-H specifies decimals; the testdata stores
+doubles), and the decimal cast is a per-row codegen'd expression that
+costs nothing next to the shuffle it feeds.
+
+All helpers come in (pyspark column, SQL string) pairs so the Spark
+query and the DuckDB oracle derive from one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC_WIDE = "decimal(30,8)"     # per-row cast + exact accumulation
+_DEC_OUT = "decimal(18,4)"      # post-round narrow type, exact in double
+_OUT_SCALE = 4
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- Spark side -------------------------------------------------------------
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact deterministic sum, returned as double."""
+    s = F.sum(_c(col).cast(_DEC_WIDE))
+    return F.round(s, _OUT_SCALE).cast(_DEC_OUT).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Deterministic mean: (scale-4-rounded exact sum) / count in double."""
+    s = F.round(F.sum(_c(col).cast(_DEC_WIDE)), _OUT_SCALE).cast(_DEC_OUT)
+    return (s.cast("double") / F.count(_c(col))).alias(alias)
+
+
+def dstddev(col: Column | str, alias: str) -> Column:
+    """Deterministic sample stddev via exact moment sums.
+
+    stddev = sqrt((n·Σx² − (Σx)²) / (n(n−1))) with Σx rounded to scale
+    4 and Σx² to scale 0 before the (order-free, hence identical)
+    double arithmetic.  Σx² is rounded to integer so its scaled value
+    stays < 2^53 even at bench scale; the lost 1e-16 relative precision
+    is far below stddev's meaningful digits and — the actual
+    requirement — identical in both engines.
+    """
+    x = _c(col)
+    n = F.count(x).cast("double")
+    sx = F.round(F.sum(x.cast(_DEC_WIDE)), _OUT_SCALE).cast(_DEC_OUT).cast("double")
+    sxx = (
+        F.round(F.sum((x.cast(_DEC_WIDE) * x.cast(_DEC_WIDE)).cast(_DEC_WIDE)), 0)
+        .cast("decimal(18,0)")
+        .cast("double")
+    )
+    return F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias(alias)
+
+
+def dratio(num: Column, den: Column, alias: str, nd: int = 4) -> Column:
+    """Rounded ratio of two already-deterministic aggregates."""
+    return F.round(num.cast("double") / den.cast("double"), nd).alias(alias)
+
+
+# --- DuckDB oracle side -----------------------------------------------------
+
+def _sql_sum_dec(expr: str) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS {_DEC_WIDE})), {_OUT_SCALE})"
+        f" AS {_DEC_OUT})"
+    )
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST({_sql_sum_dec(expr)} AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST({_sql_sum_dec(expr)} AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+def sql_dstddev(expr: str, alias: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    sx = f"CAST({_sql_sum_dec(expr)} AS DOUBLE)"
+    sxx = (
+        f"CAST(CAST(ROUND(SUM(CAST(CAST({expr} AS {_DEC_WIDE}) *"
+        f" CAST({expr} AS {_DEC_WIDE}) AS {_DEC_WIDE})), 0)"
+        f" AS DECIMAL(18,0)) AS DOUBLE)"
+    )
+    return f"SQRT(({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1.0))) AS {alias}"

@@ -1,0 +1,9 @@
+"""Operator-coverage queries.
+
+One module per SURVEY.md §2 family; every query registers itself with
+``registry.register`` together with its DuckDB oracle SQL.  These run
+against the driver's testdata tables (TPC-H-ish star + events +
+documents + embeddings); the reference-shaped fixtures (bank reviews)
+are exercised separately in tests/ because the driver's oracle
+substrate is the testdata.
+"""

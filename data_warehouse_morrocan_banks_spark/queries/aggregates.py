@@ -1,0 +1,373 @@
+"""Aggregation operators (SURVEY.md §2.5, A1-A10).
+
+Reference parity: the bank-review warehouse aggregates at bank /
+branch / topic / temporal grains with conditional counts, distinct
+counts, stddev volatility, ratio-of-aggregates and HAVING gates
+(phase2_transformation_pipeline.py:405-418,
+mart_comprehensive_bank_analysis.sql:10-51, pyc phase3 views).  Here
+the same operators run over the testdata star schema.
+
+Scale notes: every group-by below is a hash aggregate with map-side
+partial aggregation (verify: `.explain` shows two HashAggregate
+nodes around one Exchange).  Group keys are low-cardinality, so the
+shuffle moves only |groups| × partitions rows — this shape survives
+100 TB unchanged.  No global sorts in the aggregation path; ORDER BY
+is presentation-only on already-tiny results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import (
+    davg,
+    dratio,
+    dstddev,
+    dsum,
+    sql_davg,
+    sql_dstddev,
+    sql_dsum,
+)
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- A1: group-by multi-aggregate (the flagship) ---------------------------
+# Reference: per-bank COUNT/AVG/conditional summary
+# (phase2_transformation_pipeline.py:405-418) — the canonical
+# scan→filter→hash-agg shape, here as a TPC-H-Q1-style pricing summary.
+
+_A1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice', 'sum_base_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {sql_davg('l_quantity', 'avg_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  {sql_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_a1_pricing_summary", oracle=_A1_ORACLE)
+def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A2: conditional counts (rating-histogram pattern) ----------------------
+# Reference: rating_1..5 histograms / sentiment buckets via
+# COUNT(CASE WHEN ...) (mart_comprehensive_bank_analysis.sql:18-47).
+
+_A2_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS total_orders,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
+  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q_a2_conditional_counts", oracle=_A2_ORACLE)
+def q_a2_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("pending_orders"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("high_value_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- A3: COUNT(DISTINCT) ----------------------------------------------------
+# Reference: COUNT(DISTINCT place_id) branches per bank
+# (complete_data_pipeline_fixed.py:190; dim_bank.sql:79-86).
+
+_A3_ORACLE = """
+SELECT
+  c_nationkey,
+  COUNT(*) AS total_customers,
+  COUNT(DISTINCT c_mktsegment) AS distinct_segments
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q_a3_distinct_counts", oracle=_A3_ORACLE)
+def q_a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("total_customers"),
+            F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- A4: stddev volatility --------------------------------------------------
+# Reference: stddev(sentiment_score) AS sentiment_volatility
+# (mart_comprehensive_bank_analysis.sql:16). Deterministic moment-sum
+# form so Spark and DuckDB agree bitwise (see numerics).
+
+_A4_ORACLE = f"""
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_davg('value', 'avg_value')},
+  {sql_dstddev('value', 'value_volatility')}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_a4_stddev_volatility", oracle=_A4_ORACLE)
+def q_a4_stddev_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value", "avg_value"),
+            dstddev("value", "value_volatility"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- A5: ratio-of-aggregates (% rates) --------------------------------------
+# Reference: positive_reviews::DECIMAL / total_reviews * 100 rounded
+# (phase2_transformation_pipeline.py:450-451). Integer-count ratios
+# divide exactly the same in both engines; round(…,4) is cosmetic.
+
+_A5_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS total_orders,
+  ROUND(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0 AS DOUBLE)
+        / COUNT(*), 4) AS finished_rate_pct,
+  ROUND(CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) * 100.0 AS DOUBLE)
+        / COUNT(*), 4) AS high_value_rate_pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q_a5_ratio_rates", oracle=_A5_ORACLE)
+def q_a5_ratio_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    high = F.count(F.when(F.col("o_totalprice") > 200000, 1))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            total.alias("total_orders"),
+            dratio(finished * 100.0, total, "finished_rate_pct"),
+            dratio(high * 100.0, total, "high_value_rate_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- A6: STRING_AGG(DISTINCT) ----------------------------------------------
+# Reference: STRING_AGG(DISTINCT bank_name, ', ')
+# (phase2_transformation_pipeline.py:427). Postgres leaves order
+# unspecified; the engine pins sorted order for determinism
+# (SURVEY.md A6 note): concat_ws ∘ sort_array ∘ collect_set.
+
+_A6_ORACLE = """
+SELECT
+  n.n_regionkey,
+  STRING_AGG(DISTINCT n.n_name, ', ' ORDER BY n.n_name) AS nations_in_region
+FROM nation n
+GROUP BY n.n_regionkey
+ORDER BY n.n_regionkey
+"""
+
+
+@register("q_a6_string_agg_distinct", oracle=_A6_ORACLE)
+def q_a6_string_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(", ", F.sort_array(F.collect_set("n_name")))
+            .alias("nations_in_region")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --- A7: HAVING post-filter -------------------------------------------------
+# Reference: HAVING COUNT(fr.review_key) >= 5 (pyc phase3
+# vw_geographic_analysis). Spark expresses HAVING as a filter over the
+# aggregated frame — Catalyst pushes nothing here (correctly), the
+# filter runs on |groups| rows.
+
+_A7_ORACLE = """
+SELECT
+  user_id,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 20
+ORDER BY user_id
+"""
+
+
+@register("q_a7_having_gate", oracle=_A7_ORACLE)
+def q_a7_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 20)
+        .orderBy("user_id")
+    )
+
+
+# --- A8: multi-key group-by (temporal grain) --------------------------------
+# Reference: GROUP BY bank, year, quarter
+# (mart_comprehensive_bank_analysis.sql:91-107).
+
+_A8_ORACLE = f"""
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("q_a8_temporal_grain", oracle=_A8_ORACLE)
+def q_a8_temporal_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("order_year", "order_quarter", "o_orderstatus")
+    )
+
+
+# --- A9: global grand-total aggregates --------------------------------------
+# Reference: whole-table validation counts / AVG quality metric
+# (complete_data_pipeline_fixed.py:311-320).
+
+_A9_ORACLE = f"""
+SELECT
+  COUNT(*) AS total_rows,
+  COUNT(DISTINCT l_orderkey) AS distinct_orders,
+  {sql_dsum('l_quantity', 'total_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  CAST(MIN(l_shipdate) AS DATE) AS first_ship_date,
+  CAST(MAX(l_shipdate) AS DATE) AS last_ship_date
+FROM lineitem
+"""
+
+
+@register("q_a9_global_aggregates", oracle=_A9_ORACLE)
+def q_a9_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        dsum("l_quantity", "total_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship_date"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
+    )
+
+
+# --- A10: profile aggregates (value_counts / median) ------------------------
+# Reference: pandas value_counts(), nunique(), median()
+# (run_phase2_transformation.py:203-222). Exact interpolated
+# percentile (not approx) so the DuckDB median oracle matches.
+
+_A10_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT source) AS n_sources,
+  CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("q_a10_profile_stats", oracle=_A10_ORACLE)
+def q_a10_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").alias("median_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

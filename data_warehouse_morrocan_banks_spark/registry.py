@@ -1,0 +1,87 @@
+"""Query registry — binds every implemented operator to its oracle.
+
+Each SURVEY.md §2 operator lands here as a named query callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables.  The
+driver executes both sides at sf=0.01 and compares row-count, schema,
+and an order-insensitive value hash — so callables and oracles must
+agree on column NAMES and exact VALUES (see ``numerics`` for the
+decimal-backed determinism layer that makes float aggregates
+bit-identical across engines).
+
+Usage::
+
+    @register("q_a1_pricing_summary", oracle="SELECT ...")
+    def q_a1(spark, sf_dir):
+        ...
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query callable and (optionally) its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check —
+    reserved for genuinely non-SQL-expressible ops (LDA, MinHash-LSH,
+    streaming state).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported for their @register side effects.
+    from .queries import (  # noqa: F401
+        aggregates,
+        dedup,
+        joins,
+        llm_ops,
+        marts,
+        nlp_queries,
+        scalars,
+        star_queries,
+        streaming_queries,
+        windows,
+    )
+
+    _LOADED = True
+
+
+def run(name: str, spark: SparkSession, sf_dir: str) -> Any:
+    return all_queries()[name](spark, sf_dir)

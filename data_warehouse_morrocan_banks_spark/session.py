@@ -1,0 +1,67 @@
+"""SparkSession construction tuned for the engine.
+
+The engine targets large clusters (the design point is ~100 TB across
+~1000 executors) but tests on ``local[N]``.  Everything
+scale-sensitive is expressed through conf, not code:
+
+- AQE on (runtime join re-planning, skew-join splitting, partition
+  coalescing) — the 100 TB plan adapts itself instead of hand-tuning.
+- ``spark.sql.shuffle.partitions`` small locally; on a real cluster
+  AQE coalesces from a high initial number, so we set the initial
+  partitions high and let AQE shrink, which is the right shape at
+  both scales.
+- Session timezone pinned to UTC so date/time semantics are stable
+  and match the DuckDB oracle (naive timestamps).
+- Arrow enabled for the pandas-UDF surface (NLP + multimodal ops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims in the reference are tiny (9 banks / 5 sentiments / 4018
+    # dates) — keep the broadcast threshold at default 10 MB; AQE will
+    # also convert to broadcast at runtime when post-shuffle stats allow.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # At 100 TB, files.maxPartitionBytes governs scan parallelism;
+    # 128m default is right, stated here to make it explicit/tunable.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(app_name: str = "dwmb-spark", master: str | None = None) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) so tests and bench share one code path; on a cluster the
+    driver simply passes no master and spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_query_confs(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs query correctness depends on.
+
+    Query callables receive an externally built session (the driver's);
+    timezone and Arrow settings are runtime-mutable, so pin them here
+    rather than assuming the ambient session was built by us.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

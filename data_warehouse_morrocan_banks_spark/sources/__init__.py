@@ -1,0 +1,3 @@
+from .readers import table
+
+__all__ = ["table"]

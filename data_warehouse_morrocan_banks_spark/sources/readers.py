@@ -1,0 +1,73 @@
+"""Source readers.
+
+The engine's layered store is plain parquet paths (bronze/silver/gold
+in a real deployment; the driver's testdata directory in tests).  All
+readers take explicit schemas where the format cannot carry one —
+mirroring the reference's declared-DDL contract (SURVEY.md §1.2:
+never ``inferSchema`` in the engine proper).
+
+Reference parity notes:
+- S6 (latest-file CSV pick, run_phase2_transformation.py:45-62) is
+  ``read_latest_csv``.
+- S7 (filtered/ordered table extract, phase2_transformation_pipeline.py:71-82)
+  is a plain scan + filter — predicate pushdown makes it a real
+  column-pruned parquet range scan here, not a full-table SELECT.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + predicate pushdown are
+    preserved by returning the raw scan and letting callers filter."""
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects.  Read nanos as long and truncate to microseconds —
+    exactly what DuckDB (µs-native) does on the same file, so oracle
+    comparisons see identical instants."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV source with a mandatory explicit schema (S5/S6 contract)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_latest_csv(spark: SparkSession, pattern: str, schema: StructType) -> DataFrame:
+    """S6: glob a landing directory, pick the newest file by mtime, scan it.
+
+    The glob and max() run driver-side (file metadata, not data); the
+    scan itself is distributed.
+    """
+    paths = glob.glob(pattern)
+    if not paths:
+        raise FileNotFoundError(f"no files match {pattern}")
+    latest = max(paths, key=os.path.getmtime)
+    return read_csv(spark, latest, schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON landing-zone reader (S4 reverse path)."""
+    return spark.read.schema(schema).json(path)

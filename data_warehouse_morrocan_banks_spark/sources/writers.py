@@ -1,0 +1,46 @@
+"""Sink writers.
+
+The reference's sinks (S4 JSON, S5/S9/S13 CSV, S8 batched JDBC
+inserts, S10 CTAS, S12 seed) collapse to distributed writes here.
+Scale posture: fact tables partition by a low-cardinality date column
+so a 1000-executor write neither tiny-files (per-partition coalesce)
+nor hot-spots, and downstream date-bounded queries get partition
+pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """S10 CTAS equivalent: materialize a DataFrame as a parquet table.
+
+    Full-overwrite mode mirrors the reference's idempotent
+    drop-and-recreate rebuild (complete_data_pipeline_fixed.py:96-107).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv_snapshot(df: DataFrame, path: str) -> None:
+    """S13 backup sink: CSV with header, one snapshot dir per run."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S4 JSON sink."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None,
+               batchsize: int = 10_000) -> None:
+    """S8 equivalent: set-based JDBC append (no row loop, no per-row
+    try/except — invalid rows are filtered *before* the write by the
+    quality layer, operators.cleaning)."""
+    df.write.mode("append").option("batchsize", str(batchsize)).jdbc(
+        url, table, properties=properties or {}
+    )

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_warehouse_morrocan_banks_spark.session import get_spark
+
+    s = get_spark("dwmb-tests")
+    yield s
+    s.stop()

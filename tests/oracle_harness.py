@@ -1,0 +1,80 @@
+"""Local mirror of the driver's Spark-vs-DuckDB correctness gate.
+
+For each registered query: run the Spark callable and the oracle SQL
+on the same sf dir, sort columns by name, canonicalize values, and
+compare row multisets exactly.  Running this before every commit
+means the driver's CORRECTNESS gate holds no surprises.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a cell for cross-engine comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(spark, name: str, fn, sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_dir)
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+    con.close()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"{name}: columns differ spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+    sc = rows_canonical(s_cols, s_rows)
+    dc = rows_canonical(d_cols, d_rows)
+    if sc != dc:
+        diffs = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
+        sample = diffs[:3]
+        msg = [f"{name}: values differ in {len(diffs)}+ rows"]
+        for i in sample:
+            msg.append(f"  row{i} spark={sc[i]}")
+            msg.append(f"  row{i} duck ={dc[i]}")
+        if len(sc) != len(dc):
+            msg.append(f"  (lengths {len(sc)} vs {len(dc)})")
+        problems.append("\n".join(msg))
+    return problems

@@ -1,0 +1,33 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.01
+(exactly the driver's gate, run locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_morrocan_banks_spark import registry
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+
+def _cases():
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    return [(n, qs[n], oracles[n]) for n in sorted(oracles)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
+def test_oracle_parity(spark, name, fn, sql):
+    problems = compare(spark, name, fn, sql, SF_ORACLE)
+    assert not problems, "\n".join(problems)
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    for name in sorted(set(qs) - set(oracles)):
+        df = qs[name](spark, SF_ORACLE)
+        assert df.columns, name
+        assert df.count() >= 0, name
