@@ -1,0 +1,7 @@
+"""Scalar expression layer (SURVEY.md §2.9-2.12).
+
+Pure column-expression helpers — no UDFs anywhere in this package.
+Everything stays inside whole-stage codegen; the PG-compat shims
+(DOW offset, blank-split word count, global regex default) are
+expression-level, exactly as catalogued in SURVEY §2.9/2.10.
+"""

@@ -1,0 +1,78 @@
+"""Math / conditional scalar functions (SURVEY.md §2.11, M1-M6).
+
+The CASE-bucketing ladder (M4) is the reference's signature operator
+— every mart classifies on threshold ladders (rating category,
+sentiment level, tier, risk, detail level).  ``threshold_ladder``
+generalizes them; thresholds live in ``config`` (the dbt vars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import (
+    RATING_NEGATIVE_MAX,
+    RATING_POSITIVE_MIN,
+    SENTIMENT_NEGATIVE,
+    SENTIMENT_POSITIVE,
+    SENTIMENT_STRONG,
+)
+
+
+def threshold_ladder(col: Column | str, cuts: list[tuple[float, str]],
+                     default: str, descending: bool = True) -> Column:
+    """M4: first-match threshold classification.
+
+    ``cuts`` is [(threshold, label), …]; with ``descending`` the test
+    is ``col >= threshold`` top-down (the reference's ladder shape),
+    else ``col <= threshold``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit(default)
+    for threshold, label in reversed(cuts):
+        cond = c >= threshold if descending else c <= threshold
+        expr = F.when(cond, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def rating_category(col: Column | str) -> Column:
+    """M4: rating ≥4 positive / ≤2 negative / else neutral
+    (run_phase2_transformation.py:153-155)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c >= RATING_POSITIVE_MIN, "positive")
+        .when(c <= RATING_NEGATIVE_MAX, "negative")
+        .otherwise("neutral")
+    )
+
+
+def sentiment_level(col: Column | str) -> Column:
+    """M4: 5-level sentiment ladder at ±0.5 / ±0.1
+    (stg_nlp_enriched_reviews.sql:77-83; fact_reviews.sql:91-97 order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c >= SENTIMENT_STRONG, "very_positive")
+        .when(c >= SENTIMENT_POSITIVE, "positive")
+        .when(c <= -SENTIMENT_STRONG, "very_negative")
+        .when(c <= SENTIMENT_NEGATIVE, "negative")
+        .otherwise("neutral")
+    )
+
+
+def sentiment_from_rating(rating: Column | str) -> Column:
+    """M3: rating-derived sentiment fallback — rating ≥4 → 0.5,
+    ≤2 → −0.5, else 0 (mart_bank_reviews_analysis.sql:33-47)."""
+    r = F.col(rating) if isinstance(rating, str) else rating
+    return (
+        F.when(r >= RATING_POSITIVE_MIN, 0.5)
+        .when(r <= RATING_NEGATIVE_MAX, -0.5)
+        .otherwise(0.0)
+    )
+
+
+def safe_rate(num: Column, den: Column, nd: int = 1) -> Column:
+    """M1+M6+A5: ROUND(num::DECIMAL/den*100, nd) with divide-by-zero → NULL."""
+    return F.round(
+        F.when(den != 0, num.cast("double") * 100 / den.cast("double")), nd
+    )

@@ -1,0 +1,86 @@
+"""Date/time scalar functions (SURVEY.md §2.10, T1-T10).
+
+PG-compat shims pinned per SURVEY:
+- ``dow_pg``: PG DOW is 0=Sunday; Spark dayofweek is 1=Sunday →
+  ``dayofweek(col) - 1`` (T2).
+- month/day names via date_format patterns, unpadded (the reference
+  TRIMs PG's padded TO_CHAR output — dim_date.sql:92,96) (T3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import MOROCCO_HOLIDAYS
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def epoch_to_timestamp(col: Column | str) -> Column:
+    """T1: unix seconds → timestamp; invalid/overflow → NULL via cast
+    semantics (pandas errors='coerce' equivalent)."""
+    return F.timestamp_seconds(_c(col))
+
+
+def dow_pg(col: Column | str) -> Column:
+    """T2 shim: PG day-of-week, 0=Sunday … 6=Saturday."""
+    return F.dayofweek(_c(col)) - 1
+
+
+def month_name(col: Column | str) -> Column:
+    """T3: TRIM(TO_CHAR(d,'Month')) equivalent."""
+    return F.date_format(_c(col), "MMMM")
+
+
+def day_name(col: Column | str) -> Column:
+    """T3: TRIM(TO_CHAR(d,'Day')) equivalent."""
+    return F.date_format(_c(col), "EEEE")
+
+
+def date_key(col: Column | str) -> Column:
+    """T5: composite int YYYYMMDD (dim_date.sql:30-32)."""
+    c = _c(col)
+    return (
+        F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)
+    ).cast("int")
+
+
+def is_weekend(col: Column | str) -> Column:
+    """T6: DOW ∈ {0,6} in PG terms ≡ Spark dayofweek ∈ {1,7}."""
+    return F.dayofweek(_c(col)).isin(1, 7)
+
+
+def season(col: Column | str) -> Column:
+    """T7: month bucketing — Winter {12,1,2}, Spring {3,4,5},
+    Summer {6,7,8}, Autumn {9,10,11} (dim_date.sql:57-62)."""
+    m = F.month(_c(col))
+    return (
+        F.when(m.isin(12, 1, 2), "Winter")
+        .when(m.isin(3, 4, 5), "Spring")
+        .when(m.isin(6, 7, 8), "Summer")
+        .otherwise("Autumn")
+    )
+
+
+def is_morocco_holiday(col: Column | str) -> Column:
+    """T8: nine fixed (month, day) public holidays (dim_date.sql:69-81)."""
+    c = _c(col)
+    m, d = F.month(c), F.dayofmonth(c)
+    cond = F.lit(False)
+    for hm, hd in MOROCCO_HOLIDAYS:
+        cond = cond | ((m == hm) & (d == hd))
+    return cond
+
+
+def business_hours_bucket(col: Column | str) -> Column:
+    """T9: hour 9-17 business / 18-22 evening / else off_hours
+    (pyc enhanced staging view)."""
+    h = F.hour(_c(col))
+    return (
+        F.when(h.between(9, 17), "business_hours")
+        .when(h.between(18, 22), "evening")
+        .otherwise("off_hours")
+    )

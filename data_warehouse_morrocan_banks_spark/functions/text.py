@@ -1,0 +1,98 @@
+"""String / regex scalar functions (SURVEY.md §2.9, F1-F10).
+
+All pure column expressions (JVM-side, codegen'd).  PG-semantics
+shims follow SURVEY's pinned decisions:
+
+- Spark regexp_replace is global by default → the reference's
+  ``'g'`` flag is dropped (F4).
+- ``word_count`` pins the *pandas* semantics (blank → 0), not PG's
+  ``string_to_array`` (blank → 1) — SURVEY F7.
+- Hash keys use md5, not PG HASHTEXT — only key-stability matters
+  (SURVEY F8), and md5 is engine-portable so oracles can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def slug(col: Column | str) -> Column:
+    """F2: id-slug — LOWER(REPLACE(REPLACE(x,' ','_'),'-','_'))
+    (dim_bank.sql:19)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(c, "[ -]", "_"))
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """F10: lower → collapse runs of whitespace → strip
+    (run_phase2_transformation.py:101-117) without a UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def clean_text_whitelist(col: Column | str) -> Column:
+    """F4: accent-aware character whitelist then lower/trim
+    (stg_raw_reviews.sql:36). Spark regex is global by default (PG
+    needed the 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.lower(
+            F.regexp_replace(
+                c, "[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\\s]", " "
+            )
+        )
+    )
+
+
+def word_count(col: Column | str) -> Column:
+    """F7: whitespace word count, pandas semantics (blank/empty → 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    """F3: LENGTH."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stable_hash_key(*cols: Column | str) -> Column:
+    """F8: reviewer-key style hash of concatenated COALESCE'd parts.
+
+    Reference: ABS(HASHTEXT(COALESCE(a,'')||COALESCE(b,'')))
+    (fact_reviews.sql:100). md5 replaces HASHTEXT — values differ from
+    PG by design; key-stability (same inputs → same key, portable
+    across engines) is the contract.
+    """
+    parts = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(""))
+        for c in cols
+    ]
+    return F.md5(F.concat(*parts))
+
+
+def keyword_flag(col: Column | str, pattern: str) -> Column:
+    """F6: case-insensitive keyword-presence flag — col RLIKE '(?i)…'
+    (run_phase2_transformation.py:164-172 str.contains port)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(pattern)
+
+
+def like_ladder(col: Column | str, mapping: list[tuple[str, str]],
+                default: str) -> Column:
+    """F5: the reference's LIKE-classification ladder (33-pattern city
+    extraction, dim_branch.sql:23-68): first matching ``%TOKEN%`` wins.
+
+    ``mapping`` is [(token, label), …]; match is case-insensitive
+    containment, preserving PG ILIKE semantics.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    up = F.upper(c)
+    expr = F.lit(default)
+    for token, label in reversed(mapping):
+        expr = F.when(up.like(f"%{token.upper()}%"), F.lit(label)).otherwise(expr)
+    return expr

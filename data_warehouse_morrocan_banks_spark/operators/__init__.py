@@ -1,0 +1,7 @@
+"""Relational operator modules (SURVEY.md §2).
+
+Each module exposes composable DataFrame → DataFrame transformers;
+the `queries/` package binds them to concrete testdata queries with
+DuckDB oracles, and `star/` + `plans/` compose them into the
+warehouse build.
+"""

@@ -1,0 +1,79 @@
+"""Deduplication operators (SURVEY.md §2.3, D1-D5 + scale extensions).
+
+The reference dedups three ways: key-based keep-first after an ORDER
+BY (run_phase2_transformation.py:70-74), full-row DISTINCT
+(stg_raw_reviews.sql:49-69), and distinct-projection for dim builds
+(complete_data_pipeline_fixed.py:209-213).  ``dropDuplicates`` is
+nondeterministic about WHICH row survives under parallelism, so the
+engine's keep-first is the window form: one shuffle on the dedup key,
+deterministic survivor, no global sort.
+
+Scale: the window partitions by the dedup key — at 100 TB this is one
+hash shuffle (same cost as any groupBy on that key); skewed keys are
+handled by AQE skew-join/partition splitting. The exact-hash variant
+(`dedup_exact_content`) groups by a 128-bit content hash so the
+shuffle moves hashes, not documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str],
+                     order_by: list[Column]) -> DataFrame:
+    """D1: keep exactly one row per key, the first under ``order_by``.
+
+    Deterministic equivalent of pandas ``drop_duplicates(keep='first')``
+    over a sorted frame; always pass a unique total tiebreaker as the
+    last order column.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_distinct(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """D2/D3: full-row or projected DISTINCT (hash aggregate, one shuffle)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def synthetic_key(cols: list[Column | str], sep: str = "_") -> Column:
+    """D5: deterministic composite business key
+    (reference: review_id = f"{place_id}_{time}_{author_name}",
+    google_maps_collector.py:283)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.concat_ws(sep, *[p.cast("string") for p in parts])
+
+
+def content_hash(col: Column | str, normalize: bool = True) -> Column:
+    """128-bit content fingerprint for exact near-zero-collision dedup.
+
+    md5 (not Spark's xxhash64) so the value is engine-portable — the
+    DuckDB oracle computes the identical digest.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(c)
+
+
+def dedup_exact_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup over a document corpus: group by md5 of the
+    normalized text, keep the lowest id, count the family size.
+
+    At 100 TB the shuffle key is the 32-char digest — documents
+    themselves never move (aggregate only carries id + hash).
+    """
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

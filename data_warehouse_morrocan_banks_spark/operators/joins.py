@@ -1,0 +1,73 @@
+"""Join operators (SURVEY.md §2.4, J1-J8).
+
+The reference's joins are all fact→small-dim lookups plus two
+correlated-subquery shapes.  Engine postures:
+
+- Dim joins broadcast (J1-J3, J5): dims are tiny (9 banks, 5
+  sentiments, 4018 dates) — an explicit ``F.broadcast`` pins the
+  hash-join side so a 100 TB fact never shuffles for a kB-sized dim.
+- J6's correlated scalar range-lookup decorrelates into a broadcast
+  theta-join on BETWEEN (Catalyst turns it into
+  BroadcastNestedLoopJoin over a handful of dim rows — per-row cost
+  is a short in-memory scan, no shuffle).
+- J7's argmax-per-group correlated subquery rewrites to the window
+  row_number pattern — the canonical Spark form; one shuffle on the
+  group key instead of one subquery per row.
+- J8's null-probe anti pattern is a true ``left_anti`` join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """J1/J2/J3/J5: fact ⋈ broadcast(dim)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def range_bucket_join(fact: DataFrame, dim: DataFrame, value_col: str,
+                      lo_col: str, hi_col: str, how: str = "left") -> DataFrame:
+    """J6 decorrelated: value BETWEEN dim.lo AND dim.hi on a broadcast dim.
+
+    Overlapping ranges (the reference's sentiment dim overlaps
+    deliberately) must be resolved by the caller — see
+    star.dims.sentiment_key_expr for the CASE-ladder resolution that
+    pins the reference's semantics.
+    """
+    cond = (F.col(value_col) >= dim[lo_col]) & (F.col(value_col) <= dim[hi_col])
+    return fact.join(F.broadcast(dim), cond, how)
+
+
+def argmax_per_group(df: DataFrame, group_keys: list[str],
+                     order_by: list[Column], n: int = 1) -> DataFrame:
+    """J7 rewrite: top-n rows per group under a total order.
+
+    Always include a unique tiebreaker in ``order_by`` — the driver's
+    hash compare (and any replay at scale) requires a deterministic
+    survivor.
+    """
+    w = Window.partitionBy(*group_keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def orphan_keys(fact: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """J8: fact rows whose FK has no dim match (validation anti-join)."""
+    return fact.filter(F.col(key).isNotNull()).join(dim, key, "left_anti")
+
+
+def agg_back_join(detail: DataFrame, keys: list[str], aggs: list[Column],
+                  how: str = "left") -> DataFrame:
+    """J4: group the detail, join the aggregates back onto row grain.
+
+    For single-level enrichment a window aggregate is usually better
+    (one shuffle instead of two); this form exists for multi-grain
+    marts where the aggregate is reused.
+    """
+    grouped = detail.groupBy(*keys).agg(*aggs)
+    return detail.join(grouped, keys, how)

@@ -1,0 +1,66 @@
+"""Window operators (SURVEY.md §2.6, W1-W3 + O2 top-k).
+
+The reference's windows: global ROW_NUMBER surrogate keys (dim/fact
+builds), RANK with multi-key tie-break, and LAG over aggregated time
+series (quarter/month trends).
+
+Scale hazard called out in SURVEY §4: a global ``row_number() OVER
+(ORDER BY …)`` collapses to a single partition.  Fine for dims (≤ a
+few thousand rows — the reference's largest dim is the 4018-row date
+spine); fatal for a 100 TB fact.  ``surrogate_key`` therefore takes a
+``scale`` switch: ``"dim"`` uses the ordered window (stable,
+resumable keys), ``"fact"`` uses ``monotonically_increasing_id`` (no
+shuffle, unique, NOT dense — documented trade, matching SURVEY W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = None,
+                  scale: str = "dim") -> DataFrame:
+    """W1: add a surrogate key column."""
+    if scale == "dim":
+        if not order_by:
+            raise ValueError("dim-scale surrogate keys need a total order")
+        w = Window.orderBy(*order_by)
+        return df.withColumn(key_name, F.row_number().over(w))
+    return df.withColumn(key_name, F.monotonically_increasing_id())
+
+
+def rank_by(df: DataFrame, rank_name: str, order_by: list[Column],
+            partition_by: list[str] | None = None, dense: bool = False) -> DataFrame:
+    """W2: RANK (gapped) / dense_rank with multi-key tie-break."""
+    w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(rank_name, fn.over(w))
+
+
+def lag_over(df: DataFrame, col: str, partition_by: list[str],
+             order_by: list[Column], n: int = 1, prefix: str = "prev_") -> DataFrame:
+    """W3: previous-period value over an (already aggregated) series."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(f"{prefix}{col}", F.lag(col, n).over(w))
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """O2: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full sort. Include a unique
+    tiebreaker for determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def rolling(df: DataFrame, col: str, out_name: str, partition_by: list[str],
+            order_by: list[Column], preceding: int, agg: str = "avg") -> DataFrame:
+    """Frame-spec extension (SURVEY §2.6 note): rolling aggregate over the
+    trailing ``preceding`` rows — the reference uses default frames only,
+    the engine exposes rowsBetween for trend marts."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(out_name, fn(col).over(w))

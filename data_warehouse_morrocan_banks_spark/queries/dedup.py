@@ -1,1 +1,113 @@
-"""Placeholder — queries land here incrementally."""
+"""Dedup operator queries (SURVEY.md §2.3, D1-D5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_distinct,
+    dedup_keep_first,
+    synthetic_key,
+)
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- D1: key-based dedup, keep-first under an order -------------------------
+# Reference: drop_duplicates(subset=['review_id'], keep='first') on a
+# frame ordered collected_at DESC (run_phase2_transformation.py:70-74)
+# → deterministic window form: survivor = latest ts, tiebreak highest
+# event_id.
+
+_D1_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value
+FROM (
+  SELECT e.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events e
+)
+WHERE rn = 1
+"""
+
+
+@register("q_d1_dedup_keep_first", oracle=_D1_ORACLE)
+def q_d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    kept = dedup_keep_first(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return kept.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+# --- D2: full-row SELECT DISTINCT ------------------------------------------
+# Reference: dedup CTE over the staging projection (stg_raw_reviews.sql:49-69).
+
+_D2_ORACLE = """
+SELECT DISTINCT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year
+FROM orders
+"""
+
+
+@register("q_d2_distinct_projection", oracle=_D2_ORACLE)
+def q_d2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    proj = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    return dedup_distinct(proj)
+
+
+# --- D3: distinct-subquery dim build ---------------------------------------
+# Reference: SELECT DISTINCT place_id, branch_name, bank_name for
+# dim_branch (complete_data_pipeline_fixed.py:209-213).
+
+_D3_ORACLE = """
+SELECT DISTINCT p_brand, p_type FROM part
+"""
+
+
+@register("q_d3_distinct_dim_source", oracle=_D3_ORACLE)
+def q_d3_distinct_dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    p = table(spark, sf_dir, "part")
+    return dedup_distinct(p, ["p_brand", "p_type"])
+
+
+# --- D5: synthetic composite business key ----------------------------------
+# Reference: review_id = f"{place_id}_{time}_{author_name}"
+# (google_maps_collector.py:283). Epoch seconds via unix_timestamp /
+# floor(epoch()) — identical after the µs truncation both engines apply.
+
+_D5_ORACLE = """
+SELECT
+  event_id,
+  CAST(user_id AS VARCHAR) || '_' ||
+    CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS VARCHAR) || '_' ||
+    event_type AS synthetic_id
+FROM events
+"""
+
+
+@register("q_d5_synthetic_key", oracle=_D5_ORACLE)
+def q_d5_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        synthetic_key(
+            ["user_id", F.unix_timestamp("ts"), "event_type"]
+        ).alias("synthetic_id"),
+    )

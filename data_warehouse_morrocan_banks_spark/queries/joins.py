@@ -1,1 +1,243 @@
-"""Placeholder — queries land here incrementally."""
+"""Join operator queries (SURVEY.md §2.4, J1-J8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import davg, dsum, sql_davg, sql_dsum
+from ..operators.joins import (
+    agg_back_join,
+    argmax_per_group,
+    broadcast_dim_join,
+    orphan_keys,
+    range_bucket_join,
+)
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- J1: fact ⋈ broadcast dim (equi-join + aggregate) -----------------------
+# Reference: LEFT JOIN dim_bank ON bank_name then aggregate
+# (complete_data_pipeline_fixed.py:254-256). part is the dim here;
+# broadcast pins the build side so the lineitem scan never shuffles.
+
+_J1_ORACLE = f"""
+SELECT
+  p.p_brand,
+  COUNT(*) AS n_items,
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("q_j1_broadcast_dim_join", oracle=_J1_ORACLE)
+def q_j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = broadcast_dim_join(
+        li, part, li["l_partkey"] == part["p_partkey"], how="inner"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue, "revenue"))
+        .orderBy("p_brand")
+    )
+
+
+# --- J5: multi-dim snowflake join (BI-view shape) ---------------------------
+# Reference: fact ⋈ dim_bank ⋈ dim_branch ⋈ dim_date in the dashboard
+# views (complete_data_pipeline_fixed.py:277-279). Here the TPC-H Q5
+# shape: region ⋈ nation ⋈ customer ⋈ orders — two broadcast dims and
+# one co-keyed shuffle join.
+
+_J5_ORACLE = f"""
+SELECT
+  r.r_name AS region_name,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o.o_totalprice', 'revenue')}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("q_j5_regional_revenue", oracle=_J5_ORACLE)
+def q_j5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    df = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+    )
+    return (
+        df.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# --- J6: decorrelated scalar range-lookup (sentiment-key pattern) -----------
+# Reference: (SELECT sentiment_key FROM dim_sentiment WHERE score
+# BETWEEN …) inside a CASE ladder (complete_data_pipeline_fixed.py:229-235).
+# Here: events.value bucketed against an inline range dim via a
+# broadcast BETWEEN join; ranges non-overlapping so the lookup is exact.
+
+_J6_ORACLE = """
+WITH buckets(bucket_id, bucket_label, lo, hi) AS (
+  VALUES (1, 'low', 0.0, 99.999999),
+         (2, 'mid', 100.0, 299.999999),
+         (3, 'high', 300.0, 1000.0)
+)
+SELECT b.bucket_label, COUNT(*) AS n_events
+FROM events e
+JOIN buckets b ON e.value >= b.lo AND e.value <= b.hi
+GROUP BY b.bucket_label
+ORDER BY b.bucket_label
+"""
+
+
+@register("q_j6_range_bucket_join", oracle=_J6_ORACLE)
+def q_j6_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(1, "low", 0.0, 99.999999), (2, "mid", 100.0, 299.999999),
+         (3, "high", 300.0, 1000.0)],
+        "bucket_id INT, bucket_label STRING, lo DOUBLE, hi DOUBLE",
+    )
+    joined = range_bucket_join(ev, buckets, "value", "lo", "hi", how="inner")
+    return (
+        joined.groupBy("bucket_label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bucket_label")
+    )
+
+
+# --- J7: argmax-per-group (correlated agg+order+limit rewrite) --------------
+# Reference: top_bank per city via correlated subquery with ORDER BY
+# … LIMIT 1 (pyc phase3 vw_geographic_analysis) → window row_number=1.
+
+_J7_ORACLE = f"""
+WITH supplier_rev AS (
+  SELECT
+    s.s_nationkey,
+    s.s_name,
+    {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_name
+)
+SELECT s_nationkey, s_name AS top_supplier, revenue
+FROM (
+  SELECT sr.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY s_nationkey ORDER BY revenue DESC, s_name
+         ) AS rn
+  FROM supplier_rev sr
+)
+WHERE rn = 1
+"""
+
+
+@register("q_j7_argmax_top_supplier", oracle=_J7_ORACLE)
+def q_j7_argmax_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supplier = (
+        broadcast_dim_join(li, s, li["l_suppkey"] == s["s_suppkey"], "inner")
+        .groupBy("s_nationkey", "s_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+    top = argmax_per_group(
+        per_supplier,
+        ["s_nationkey"],
+        [F.col("revenue").desc(), F.col("s_name")],
+    )
+    return top.select("s_nationkey", F.col("s_name").alias("top_supplier"), "revenue")
+
+
+# --- J8: validation anti-join ----------------------------------------------
+# Reference: orphaned-FK probe LEFT JOIN … WHERE key IS NULL (pyc
+# phase3 validate_star_schema) as a true left_anti. Customers with no
+# orders plays the orphan role on the testdata.
+
+_J8_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("q_j8_anti_join_orphans", oracle=_J8_ORACLE)
+def q_j8_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return orphan_keys(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+# --- J4: aggregate-back-to-detail enrichment --------------------------------
+# Reference: row grain ⋈ bank_metrics ⋈ branch_metrics
+# (mart_comprehensive_bank_analysis.sql:150-152). Customer rows
+# enriched with their nation-level aggregate + share-of-nation ratio.
+
+_J4_ORACLE = f"""
+WITH nation_metrics AS (
+  SELECT
+    c_nationkey,
+    {sql_davg('c_acctbal', 'nation_avg_acctbal')},
+    COUNT(*) AS nation_customers
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT
+  c.c_custkey,
+  c.c_name,
+  c.c_nationkey,
+  ROUND(CAST(c.c_acctbal AS DOUBLE) - nm.nation_avg_acctbal, 4) AS acctbal_vs_nation,
+  nm.nation_customers
+FROM customer c
+JOIN nation_metrics nm USING (c_nationkey)
+"""
+
+
+@register("q_j4_agg_back_enrich", oracle=_J4_ORACLE)
+def q_j4_agg_back_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = table(spark, sf_dir, "customer")
+    enriched = agg_back_join(
+        c,
+        ["c_nationkey"],
+        [
+            davg("c_acctbal", "nation_avg_acctbal"),
+            F.count(F.lit(1)).alias("nation_customers"),
+        ],
+        how="inner",
+    )
+    return enriched.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(
+            F.col("c_acctbal").cast("double") - F.col("nation_avg_acctbal"), 4
+        ).alias("acctbal_vs_nation"),
+        "nation_customers",
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — queries land here incrementally."""
+"""BI mart / dashboard-view queries (SURVEY.md §1.1 marts, §2.5 A11,
+§3.1 step e) — the reference's four BI views re-expressed over the
+testdata star: each composes joins + conditional counts + ratio
+aggregates + window analytics, exactly the operator mix of
+vw_bank_performance_dashboard / vw_geographic_analysis /
+vw_monthly_trends / mart_comprehensive_bank_analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.conditional import threshold_ladder
+from ..numerics import davg, dratio, dsum, sql_davg, sql_dsum
+
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- vw_bank_performance_dashboard analog -----------------------------------
+# Reference: per-bank total/avg/rating-histogram/positive-pct view
+# (complete_data_pipeline_fixed.py:269-280). Supplier plays the bank:
+# lineitem ⋈ broadcast(supplier ⋈ nation) → conditional counts + rates.
+
+_DASH_ORACLE = f"""
+SELECT
+  s.s_name AS supplier_name,
+  n.n_name AS nation_name,
+  COUNT(*) AS total_items,
+  {sql_davg('l.l_extendedprice', 'avg_price')},
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+  COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS returned_items,
+  COUNT(CASE WHEN l.l_returnflag = 'A' THEN 1 END) AS accepted_items,
+  COUNT(CASE WHEN l.l_returnflag = 'N' THEN 1 END) AS neutral_items,
+  ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 100.0 AS DOUBLE)
+        / COUNT(*), 1) AS return_rate_pct
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_name, n.n_name
+ORDER BY s.s_name
+"""
+
+
+@register("q_mart_dashboard", oracle=_DASH_ORACLE)
+def q_mart_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "inner")
+    df = li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"], "inner")
+    total = F.count(F.lit(1))
+    returned = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    return (
+        df.groupBy(
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            total.alias("total_items"),
+            davg("l_extendedprice", "avg_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            returned.alias("returned_items"),
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("accepted_items"),
+            F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("neutral_items"),
+            dratio(returned * 100.0, total, "return_rate_pct", nd=1),
+        )
+        .orderBy("supplier_name")
+    )
+
+
+# --- vw_geographic_analysis analog ------------------------------------------
+# Reference: per-city rollup with correlated-argmax top_bank + HAVING
+# ≥5 (pyc phase3). Region grain: distinct-counts, revenue, argmax top
+# nation by revenue, HAVING gate.
+
+_GEO_ORACLE = f"""
+WITH per_nation AS (
+  SELECT
+    r.r_name AS region_name,
+    n.n_name AS nation_name,
+    COUNT(DISTINCT o.o_custkey) AS nation_customers,
+    COUNT(*) AS nation_orders,
+    {sql_dsum('o.o_totalprice', 'nation_revenue')}
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+ranked AS (
+  SELECT pn.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY region_name
+           ORDER BY nation_revenue DESC, nation_name
+         ) AS rn
+  FROM per_nation pn
+)
+SELECT
+  region_name,
+  CAST(SUM(nation_customers) AS BIGINT) AS total_customers,
+  CAST(SUM(nation_orders) AS BIGINT) AS total_orders,
+  CAST(ROUND(SUM(nation_revenue), 4) AS DOUBLE) AS total_revenue,
+  COUNT(*) AS nations_present,
+  MAX(CASE WHEN rn = 1 THEN nation_name END) AS top_nation
+FROM ranked
+GROUP BY region_name
+HAVING SUM(nation_orders) >= 5
+ORDER BY region_name
+"""
+
+
+@register("q_mart_geographic", oracle=_GEO_ORACLE)
+def q_mart_geographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("nation_customers"),
+            F.count(F.lit(1)).alias("nation_orders"),
+            dsum("o_totalprice", "nation_revenue"),
+        )
+    )
+    w = Window.partitionBy("region_name").orderBy(
+        F.col("nation_revenue").desc(), F.col("nation_name")
+    )
+    ranked = per_nation.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("region_name")
+        .agg(
+            F.sum("nation_customers").alias("total_customers"),
+            F.sum("nation_orders").alias("total_orders"),
+            F.round(F.sum("nation_revenue"), 4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("nations_present"),
+            F.max(F.when(F.col("rn") == 1, F.col("nation_name"))).alias("top_nation"),
+        )
+        .filter(F.col("total_orders") >= 5)
+        .orderBy("region_name")
+    )
+
+
+# --- vw_monthly_trends analog -----------------------------------------------
+# Reference: month grain with prev-month LAG + growth pct (pyc phase3
+# vw_monthly_performance).
+
+_TRENDS_ORACLE = f"""
+WITH monthly AS (
+  SELECT
+    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+    COUNT(*) AS n_orders,
+    {sql_dsum('o_totalprice', 'revenue')},
+    {sql_davg('o_totalprice', 'avg_order_value')}
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT
+  order_year,
+  order_month,
+  n_orders,
+  revenue,
+  avg_order_value,
+  LAG(revenue) OVER (ORDER BY order_year, order_month) AS prev_month_revenue,
+  ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY order_year, order_month) != 0
+    THEN (revenue - LAG(revenue) OVER (ORDER BY order_year, order_month)) * 100.0
+         / LAG(revenue) OVER (ORDER BY order_year, order_month)
+    END, 2) AS revenue_growth_pct
+FROM monthly
+"""
+
+
+@register("q_mart_monthly_trends", oracle=_TRENDS_ORACLE)
+def q_mart_monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+        davg("o_totalprice", "avg_order_value"),
+    )
+    w = Window.orderBy("order_year", "order_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "order_year",
+        "order_month",
+        "n_orders",
+        "revenue",
+        "avg_order_value",
+        prev.alias("prev_month_revenue"),
+        F.round(
+            F.when(prev != 0, (F.col("revenue") - prev) * 100.0 / prev), 2
+        ).alias("revenue_growth_pct"),
+    )
+
+
+# --- mart_comprehensive analog (A11 two-level agg + tier/risk + rank) -------
+# Reference: bank_metrics CTE → tier/risk ladders → RANK
+# (mart_comprehensive_bank_analysis.sql:10-51, 109-148).
+
+_COMP_ORACLE = f"""
+WITH customer_metrics AS (
+  SELECT
+    c.c_custkey,
+    c.c_name,
+    c.c_mktsegment,
+    COUNT(o.o_orderkey) AS n_orders,
+    {sql_dsum('o.o_totalprice', 'total_spent')},
+    {sql_davg('o.o_totalprice', 'avg_order_value')},
+    COUNT(CASE WHEN o.o_totalprice > 200000 THEN 1 END) AS big_orders
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+)
+SELECT
+  c_custkey,
+  c_name,
+  c_mktsegment,
+  n_orders,
+  total_spent,
+  avg_order_value,
+  CASE
+    WHEN total_spent >= 2000000 THEN 'Platinum'
+    WHEN total_spent >= 1000000 THEN 'Gold'
+    WHEN total_spent >= 400000 THEN 'Silver'
+    ELSE 'Bronze'
+  END AS customer_tier,
+  CASE
+    WHEN big_orders * 100.0 / n_orders >= 50 THEN 'High Concentration'
+    WHEN big_orders * 100.0 / n_orders >= 20 THEN 'Moderate Concentration'
+    ELSE 'Diversified'
+  END AS spend_profile,
+  CAST(RANK() OVER (ORDER BY total_spent DESC, c_custkey) AS INT) AS spend_rank
+FROM customer_metrics
+"""
+
+
+@register("q_mart_comprehensive", oracle=_COMP_ORACLE)
+def q_mart_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    metrics = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+            davg("o_totalprice", "avg_order_value"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("big_orders"),
+        )
+    )
+    big_pct = F.col("big_orders") * 100.0 / F.col("n_orders")
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    return metrics.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "n_orders",
+        "total_spent",
+        "avg_order_value",
+        threshold_ladder(
+            "total_spent",
+            [(2000000, "Platinum"), (1000000, "Gold"), (400000, "Silver")],
+            "Bronze",
+        ).alias("customer_tier"),
+        F.when(big_pct >= 50, "High Concentration")
+        .when(big_pct >= 20, "Moderate Concentration")
+        .otherwise("Diversified")
+        .alias("spend_profile"),
+        F.rank().over(w).alias("spend_rank"),
+    )

@@ -1,1 +1,316 @@
-"""Placeholder — queries land here incrementally."""
+"""Scalar-function coverage queries (SURVEY.md §2.9-2.11: F, T, M
+families).  Row-level expression suites — each query exercises one
+family end-to-end through the parquet scan so pushdown/codegen are
+real, with the DuckDB oracle computing the identical expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.conditional import safe_rate, threshold_ladder
+from ..functions.datetime import (
+    business_hours_bucket,
+    date_key,
+    day_name,
+    dow_pg,
+    is_morocco_holiday,
+    is_weekend,
+    month_name,
+    season,
+)
+from ..functions.text import (
+    char_count,
+    clean_text_whitelist,
+    keyword_flag,
+    like_ladder,
+    normalize_whitespace,
+    slug,
+    stable_hash_key,
+    word_count,
+)
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- F1/F2/F3/F8/F9: core string suite --------------------------------------
+# Reference: trim/lower/upper normalization, REPLACE-chain id slugs
+# (dim_bank.sql:19), LENGTH gates, HASHTEXT reviewer keys
+# (fact_reviews.sql:100) — here over part/supplier names.
+
+_F_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  UPPER(p_name) AS name_upper,
+  LOWER(REGEXP_REPLACE(p_type, '[ -]', '_', 'g')) AS type_slug,
+  CAST(LENGTH(p_name) AS INT) AS name_chars,
+  MD5(COALESCE(p_brand, '') || COALESCE(CAST(p_size AS VARCHAR), ''))
+    AS part_hash_key,
+  CAST(p_partkey AS VARCHAR) || '_' || p_brand AS synthetic_id
+FROM part
+"""
+
+
+@register("q_f_string_suite", oracle=_F_STRING_ORACLE)
+def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        slug("p_type").alias("type_slug"),
+        char_count("p_name").alias("name_chars"),
+        stable_hash_key("p_brand", "p_size").alias("part_hash_key"),
+        F.concat_ws("_", F.col("p_partkey").cast("string"), F.col("p_brand"))
+        .alias("synthetic_id"),
+    )
+
+
+# --- F5: LIKE/ILIKE classification ladder -----------------------------------
+# Reference: the 33-pattern city-extraction ladder (dim_branch.sql:23-68).
+# First-match-wins containment over p_type tokens.
+
+_F5_ORACLE = """
+SELECT
+  CASE
+    WHEN UPPER(p_type) LIKE '%ECONOMY%' THEN 'Value Tier'
+    WHEN UPPER(p_type) LIKE '%SMALL%' THEN 'Compact Tier'
+    WHEN UPPER(p_type) LIKE '%LARGE%' THEN 'Bulk Tier'
+    WHEN UPPER(p_type) LIKE '%STANDARD%' THEN 'Standard Tier'
+    ELSE 'Other'
+  END AS type_category,
+  COUNT(*) AS n_parts
+FROM part
+GROUP BY 1
+ORDER BY 1
+"""
+
+_F5_LADDER = [
+    ("ECONOMY", "Value Tier"),
+    ("SMALL", "Compact Tier"),
+    ("LARGE", "Bulk Tier"),
+    ("STANDARD", "Standard Tier"),
+]
+
+
+@register("q_f5_like_ladder", oracle=_F5_ORACLE)
+def q_f5_like_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(like_ladder("p_type", _F5_LADDER, "Other").alias("type_category"))
+        .groupBy("type_category")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("type_category")
+    )
+
+
+# --- F4/F10/F7: text cleaning + word count ----------------------------------
+# Reference: accent-whitelist regexp_replace (stg_raw_reviews.sql:36),
+# whitespace normalization UDF→expr (run_phase2_transformation.py:101-117),
+# split word count with pinned blank→0 semantics (SURVEY F7).
+
+_F4_ORACLE = r"""
+SELECT
+  doc_id,
+  TRIM(LOWER(REGEXP_REPLACE(text,
+    '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\s]', ' ', 'g'))) AS cleaned_text,
+  LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS normalized_text,
+  CASE WHEN TRIM(text) = '' THEN 0
+       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+  END AS n_words,
+  CAST(LENGTH(text) AS INT) AS n_chars_computed
+FROM documents
+"""
+
+
+@register("q_f4_clean_and_count", oracle=_F4_ORACLE)
+def q_f4_clean_and_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        clean_text_whitelist("text").alias("cleaned_text"),
+        normalize_whitespace("text").alias("normalized_text"),
+        word_count("text").alias("n_words"),
+        char_count("text").alias("n_chars_computed"),
+    )
+
+
+# --- F6: keyword-mention flags ----------------------------------------------
+# Reference: mentions_service/waiting/fees/... regex contains flags
+# (run_phase2_transformation.py:164-172). Patterns adapted to the
+# documents vocabulary; boolean algebra composite (M5) included.
+
+_F6_ORACLE = """
+SELECT
+  doc_id,
+  REGEXP_MATCHES(text, '(?i)fast|quick') AS mentions_fast,
+  REGEXP_MATCHES(text, '(?i)slow|wait') AS mentions_slow,
+  REGEXP_MATCHES(text, '(?i)spark|stream') AS mentions_engine,
+  (REGEXP_MATCHES(text, '(?i)slow|wait') AND n_chars > 300) AS long_complaint
+FROM documents
+"""
+
+
+@register("q_f6_keyword_flags", oracle=_F6_ORACLE)
+def q_f6_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    slow = keyword_flag("text", "(?i)slow|wait")
+    return d.select(
+        "doc_id",
+        keyword_flag("text", "(?i)fast|quick").alias("mentions_fast"),
+        slow.alias("mentions_slow"),
+        keyword_flag("text", "(?i)spark|stream").alias("mentions_engine"),
+        (slow & (F.col("n_chars") > 300)).alias("long_complaint"),
+    )
+
+
+# --- T2/T3/T5/T6/T7/T8: date-part suite -------------------------------------
+# Reference: EXTRACT family + TO_CHAR names + composite date_key +
+# weekend/season/holiday flags (dim_date.sql:30-81). PG DOW shim
+# applied (Spark dayofweek−1 ≡ DuckDB dayofweek ≡ PG EXTRACT(dow)).
+
+_T_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_day,
+  CAST(WEEKOFYEAR(o_orderdate) AS INT) AS order_week,
+  CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow_pg,
+  MONTHNAME(o_orderdate) AS order_month_name,
+  DAYNAME(o_orderdate) AS order_day_name,
+  CAST(EXTRACT(year FROM o_orderdate) * 10000
+     + EXTRACT(month FROM o_orderdate) * 100
+     + EXTRACT(day FROM o_orderdate) AS INT) AS date_key,
+  DAYOFWEEK(o_orderdate) IN (0, 6) AS is_weekend,
+  CASE
+    WHEN EXTRACT(month FROM o_orderdate) IN (12, 1, 2) THEN 'Winter'
+    WHEN EXTRACT(month FROM o_orderdate) IN (3, 4, 5) THEN 'Spring'
+    WHEN EXTRACT(month FROM o_orderdate) IN (6, 7, 8) THEN 'Summer'
+    ELSE 'Autumn'
+  END AS order_season,
+  (EXTRACT(month FROM o_orderdate), EXTRACT(day FROM o_orderdate)) IN
+    ((1,1),(1,11),(5,1),(7,30),(8,14),(8,20),(8,21),(11,6),(11,18))
+    AS is_morocco_holiday
+FROM orders
+"""
+
+
+@register("q_t_date_parts", oracle=_T_ORACLE)
+def q_t_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.weekofyear(d).alias("order_week"),
+        dow_pg(d).alias("dow_pg"),
+        month_name(d).alias("order_month_name"),
+        day_name(d).alias("order_day_name"),
+        date_key(d).alias("date_key"),
+        is_weekend(d).alias("is_weekend"),
+        season(d).alias("order_season"),
+        is_morocco_holiday(d).alias("is_morocco_holiday"),
+    )
+
+
+# --- T9 + T1: business-hours bucket over epoch-derived timestamps -----------
+# Reference: hour bucketing in the enhanced staging view (pyc
+# enhanced). Round-trips ts → epoch seconds → timestamp to cover T1
+# in both directions.
+
+_T9_ORACLE = """
+SELECT
+  CASE
+    WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 17 THEN 'business_hours'
+    WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
+    ELSE 'off_hours'
+  END AS hours_bucket,
+  COUNT(*) AS n_events,
+  CAST(MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS BIGINT) AS first_epoch_s
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q_t9_business_hours", oracle=_T9_ORACLE)
+def q_t9_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            business_hours_bucket("ts").alias("hours_bucket"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+        )
+        .groupBy("hours_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("epoch_s").alias("first_epoch_s"),
+        )
+        .orderBy("hours_bucket")
+    )
+
+
+# --- M1-M6: math + CASE-ladder suite ----------------------------------------
+# Reference: the signature threshold ladders (tier / risk /
+# satisfaction, mart_comprehensive_bank_analysis.sql:135-148) plus
+# ROUND/ABS/COALESCE/ratio-cast — over order prices and event values.
+
+_M_ORACLE = """
+SELECT
+  o_orderkey,
+  ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price_2dp,
+  ABS(CAST(o_totalprice AS DOUBLE) - 150000.0) AS dist_from_150k,
+  CASE
+    WHEN o_totalprice >= 300000 THEN 'Excellent'
+    WHEN o_totalprice >= 150000 THEN 'Good'
+    WHEN o_totalprice >= 50000 THEN 'Average'
+    ELSE 'Below Average'
+  END AS value_tier,
+  CASE
+    WHEN o_totalprice >= 300000 THEN 'High Risk Exposure'
+    WHEN o_totalprice >= 150000 THEN 'Moderate Risk'
+    ELSE 'Low Risk'
+  END AS risk_band,
+  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING-DEFAULT') AS status_coalesced,
+  ROUND(CASE WHEN o_totalprice != 0
+        THEN CAST(o_totalprice AS DOUBLE) * 100 / CAST(o_totalprice AS DOUBLE)
+        END, 1) AS self_rate_pct
+FROM orders
+"""
+
+
+@register("q_m_case_ladders", oracle=_M_ORACLE)
+def q_m_case_ladders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(price.cast("double"), 2).alias("price_2dp"),
+        F.abs(price.cast("double") - 150000.0).alias("dist_from_150k"),
+        threshold_ladder(
+            price,
+            [(300000, "Excellent"), (150000, "Good"), (50000, "Average")],
+            "Below Average",
+        ).alias("value_tier"),
+        threshold_ladder(
+            price,
+            [(300000, "High Risk Exposure"), (150000, "Moderate Risk")],
+            "Low Risk",
+        ).alias("risk_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING-DEFAULT")
+        ).alias("status_coalesced"),
+        safe_rate(price, price, nd=1).alias("self_rate_pct"),
+    )

@@ -1,1 +1,255 @@
-"""Placeholder — queries land here incrementally."""
+"""Star-schema & set-operator queries (SURVEY.md §2.8 U1-U3, §2.4
+J1-J3, W1, S10): seed dim, date spine, union/intersect/except, and a
+full fact build with FK resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import dsum, sql_dsum
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+from ..star.dims import date_dim, derived_dim, sentiment_dim
+from ..star.fact import build_fact
+
+# --- U2: inline VALUES seed dim --------------------------------------------
+# Reference: 5-row sentiment seed (dim_sentiment.sql:25-40).
+
+_U2_ORACLE = """
+WITH seed(sentiment_id, sentiment_label, sentiment_description,
+          score_range_min, score_range_max, color_code, icon) AS (
+  VALUES
+    ('positive', 'Positive',
+     'Positive customer sentiment - satisfied customers',
+     0.1, 1.0, '#4CAF50', '😊'),
+    ('negative', 'Negative',
+     'Negative customer sentiment - dissatisfied customers',
+     -1.0, -0.1, '#F44336', '😞'),
+    ('neutral', 'Neutral',
+     'Neutral customer sentiment - neutral or mixed feelings',
+     -0.1, 0.1, '#FFC107', '😐'),
+    ('very_positive', 'Very Positive',
+     'Highly positive sentiment - extremely satisfied',
+     0.5, 1.0, '#2E7D32', '🤩'),
+    ('very_negative', 'Very Negative',
+     'Highly negative sentiment - extremely dissatisfied',
+     -1.0, -0.5, '#C62828', '😡')
+)
+SELECT sentiment_id, sentiment_label, sentiment_description,
+       CAST(score_range_min AS DOUBLE) AS score_range_min,
+       CAST(score_range_max AS DOUBLE) AS score_range_max,
+       color_code, icon,
+       CAST(ROW_NUMBER() OVER (ORDER BY sentiment_id) AS INT) AS sentiment_key
+FROM seed
+"""
+
+
+@register("q_u2_sentiment_seed", oracle=_U2_ORACLE)
+def q_u2_sentiment_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return sentiment_dim(spark)
+
+
+# --- U3: generate_series date spine (full dim_date) -------------------------
+# Reference: daily 2020-01-01 → 2030-12-31, 4,018 rows, with date_key,
+# names, weekend/season/holiday flags (dim_date.sql:16-81).
+
+_U3_ORACLE = """
+WITH spine AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2020-01-01', DATE '2030-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS full_date
+)
+SELECT
+  CAST(EXTRACT(year FROM full_date) * 10000
+     + EXTRACT(month FROM full_date) * 100
+     + EXTRACT(day FROM full_date) AS INT) AS date_key,
+  full_date,
+  CAST(EXTRACT(year FROM full_date) AS INT) AS year,
+  CAST(EXTRACT(quarter FROM full_date) AS INT) AS quarter,
+  CAST(EXTRACT(month FROM full_date) AS INT) AS month,
+  MONTHNAME(full_date) AS month_name,
+  CAST(EXTRACT(day FROM full_date) AS INT) AS day_of_month,
+  DAYNAME(full_date) AS day_name,
+  CAST(WEEKOFYEAR(full_date) AS INT) AS week_of_year,
+  CAST(DAYOFWEEK(full_date) AS INT) AS day_of_week,
+  DAYOFWEEK(full_date) IN (0, 6) AS is_weekend,
+  CASE
+    WHEN EXTRACT(month FROM full_date) IN (12, 1, 2) THEN 'Winter'
+    WHEN EXTRACT(month FROM full_date) IN (3, 4, 5) THEN 'Spring'
+    WHEN EXTRACT(month FROM full_date) IN (6, 7, 8) THEN 'Summer'
+    ELSE 'Autumn'
+  END AS season,
+  (EXTRACT(month FROM full_date), EXTRACT(day FROM full_date)) IN
+    ((1,1),(1,11),(5,1),(7,30),(8,14),(8,20),(8,21),(11,6),(11,18))
+    AS is_holiday
+FROM spine
+"""
+
+
+@register("q_u3_date_spine", oracle=_U3_ORACLE)
+def q_u3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return date_dim(spark)
+
+
+# --- U1/U4: UNION ALL accumulation ------------------------------------------
+# Reference: `select 1 union all select null` example model; loop
+# accumulation via list.extend → per-batch DataFrame union (SURVEY U4).
+
+_U1_ORACLE = """
+SELECT 'first_half' AS batch, o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'second_half' AS batch, o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@register("q_u1_union_all", oracle=_U1_ORACLE)
+def q_u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("first_half").alias("batch"), "o_orderkey", "o_totalprice"
+    )
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.lit("second_half").alias("batch"), "o_orderkey", "o_totalprice"
+    )
+    return even.unionByName(odd)
+
+
+# --- Set operators beyond the reference (SURVEY §2.8 note: exposed
+# as engine built-ins at zero cost): INTERSECT / EXCEPT ----------------------
+
+_USET_ORACLE = """
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'purchase'
+),
+w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'purchase'
+)
+SELECT 'retained' AS cohort, user_id FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2)
+UNION ALL
+SELECT 'churned' AS cohort, user_id FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2)
+"""
+
+
+@register("q_uset_intersect_except", oracle=_USET_ORACLE)
+def q_uset_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-08").cast("timestamp")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w1 = purchases.filter(F.col("ts") < cutoff).select("user_id").distinct()
+    w2 = purchases.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    retained = w1.intersect(w2).select(F.lit("retained").alias("cohort"), "user_id")
+    churned = w1.exceptAll(w2).select(F.lit("churned").alias("cohort"), "user_id")
+    return retained.unionByName(churned)
+
+
+# --- S10/W1/J1-J3 composition: the fact build --------------------------------
+# Reference: fact_reviews CTAS — staging ⋈ dims with derived keys
+# (complete_data_pipeline_fixed.py:223-261). Orders play the review
+# role: broadcast-joined to a derived customer dim, composite
+# date_key, md5 "reviewer" hash key, decimal-exact measure.
+
+_FACT_ORACLE = """
+WITH dim_customer AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key
+  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer)
+)
+SELECT
+  o.o_orderkey,
+  dc.customer_key,
+  CAST(EXTRACT(year FROM o.o_orderdate) * 10000
+     + EXTRACT(month FROM o.o_orderdate) * 100
+     + EXTRACT(day FROM o.o_orderdate) AS INT) AS date_key,
+  MD5(COALESCE(dc.c_name, '') || COALESCE(o.o_orderpriority, ''))
+    AS reviewer_key,
+  o.o_totalprice,
+  o.o_orderstatus
+FROM orders o
+LEFT JOIN dim_customer dc ON o.o_custkey = dc.c_custkey
+WHERE dc.customer_key IS NOT NULL
+"""
+
+
+@register("q_star_fact_build", oracle=_FACT_ORACLE)
+def q_star_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dim_customer = derived_dim(
+        c,
+        business_keys=["c_custkey"],
+        attrs=[F.col("c_name"), F.col("c_mktsegment")],
+        key_name="customer_key",
+        key_order=[F.col("c_custkey")],
+    )
+    fact = build_fact(
+        o,
+        dims={"customer": (dim_customer,
+                           o["o_custkey"] == dim_customer["c_custkey"])},
+        ts_col="o_orderdate",
+        hash_key_cols=["c_name", "o_orderpriority"],
+        hash_key_name="reviewer_key",
+        surrogate="none",
+    )
+    # left-join-then-null-filter ≡ inner (fact_reviews.sql:103,163)
+    return fact.filter(F.col("customer_key").isNotNull()).select(
+        "o_orderkey", "customer_key", "date_key", "reviewer_key",
+        "o_totalprice", "o_orderstatus",
+    )
+
+
+# --- Gold-layer aggregate over the fact (the BI-view read path) -------------
+# Reference: vw_bank_performance reads fact ⋈ dims (SURVEY S11/J5);
+# groups the built fact by dim attribute. GROUPING SETS consolidation
+# noted in SURVEY §2.5 — segment grain + grand total in one pass.
+
+_FACT_AGG_ORACLE = f"""
+WITH dim_customer AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key
+  FROM (SELECT DISTINCT c_custkey, c_mktsegment FROM customer)
+    -- c_name omitted: not needed at this grain
+  ),
+fact AS (
+  SELECT dc.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN dim_customer dc ON o.o_custkey = dc.c_custkey
+)
+SELECT
+  COALESCE(c_mktsegment, 'ALL_SEGMENTS') AS segment,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice', 'revenue')}
+FROM fact
+GROUP BY GROUPING SETS ((c_mktsegment), ())
+ORDER BY segment
+"""
+
+
+@register("q_star_rollup_grouping_sets", oracle=_FACT_AGG_ORACLE)
+def q_star_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    fact = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"], "inner",
+    )
+    return (
+        fact.rollup("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL_SEGMENTS")).alias("segment"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("segment")
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — queries land here incrementally."""
+"""Window & top-k operator queries (SURVEY.md §2.6 W1-W3, §2.7 O1-O3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import davg, dsum, sql_davg, sql_dsum
+from ..operators.windows import lag_over, rank_by, rolling, surrogate_key, top_k
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# --- W1: ROW_NUMBER surrogate keys (dim scale) ------------------------------
+# Reference: bank_key = ROW_NUMBER() OVER (ORDER BY bank_name)
+# (dim_bank.sql:89). Ordered-window mode is for dims only; fact keys
+# use monotonically_increasing_id (see operators.windows docstring).
+
+_W1_ORACLE = """
+SELECT
+  CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS nation_key,
+  n_name,
+  n_nationkey AS nation_id
+FROM nation
+"""
+
+
+@register("q_w1_surrogate_keys", oracle=_W1_ORACLE)
+def q_w1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    n = table(spark, sf_dir, "nation")
+    keyed = surrogate_key(n, "nation_key", [F.col("n_name")], scale="dim")
+    return keyed.select("nation_key", "n_name", F.col("n_nationkey").alias("nation_id"))
+
+
+# --- W2: RANK with multi-key tie-break --------------------------------------
+# Reference: RANK() OVER (ORDER BY avg_rating DESC, avg_sentiment DESC)
+# (phase2_transformation_pipeline.py:462). Nations ranked by avg
+# customer balance; the nationkey tiebreak makes ties deterministic.
+
+_W2_ORACLE = f"""
+WITH nation_stats AS (
+  SELECT
+    c_nationkey,
+    COUNT(*) AS n_customers,
+    {sql_davg('c_acctbal', 'avg_acctbal')}
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT
+  c_nationkey,
+  n_customers,
+  avg_acctbal,
+  CAST(RANK() OVER (ORDER BY avg_acctbal DESC, c_nationkey) AS INT) AS balance_rank
+FROM nation_stats
+"""
+
+
+@register("q_w2_rank_multikey", oracle=_W2_ORACLE)
+def q_w2_rank_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = table(spark, sf_dir, "customer")
+    stats = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal", "avg_acctbal"),
+    )
+    return rank_by(
+        stats, "balance_rank", [F.col("avg_acctbal").desc(), F.col("c_nationkey")]
+    )
+
+
+# --- W3: LAG over aggregated time series ------------------------------------
+# Reference: LAG(avg sentiment) OVER (PARTITION BY bank ORDER BY
+# year, quarter) — window over groupBy output
+# (mart_comprehensive_bank_analysis.sql:101-102).
+
+_W3_ORACLE = f"""
+WITH monthly AS (
+  SELECT
+    o_orderstatus,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    COUNT(*) AS n_orders,
+    {sql_dsum('o_totalprice', 'revenue')}
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT
+  o_orderstatus,
+  order_month,
+  n_orders,
+  revenue,
+  LAG(revenue) OVER (PARTITION BY o_orderstatus ORDER BY order_month)
+    AS prev_revenue,
+  ROUND(revenue - COALESCE(LAG(revenue) OVER (
+    PARTITION BY o_orderstatus ORDER BY order_month), 0.0), 4) AS revenue_delta
+FROM monthly
+"""
+
+
+@register("q_w3_lag_monthly_trend", oracle=_W3_ORACLE)
+def q_w3_lag_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    with_lag = lag_over(
+        monthly, "revenue", ["o_orderstatus"], [F.col("order_month")]
+    )
+    return with_lag.select(
+        "o_orderstatus",
+        "order_month",
+        "n_orders",
+        "revenue",
+        F.col("prev_revenue"),
+        F.round(
+            F.col("revenue") - F.coalesce(F.col("prev_revenue"), F.lit(0.0)), 4
+        ).alias("revenue_delta"),
+    )
+
+
+# --- O2: top-k (TakeOrderedAndProject) --------------------------------------
+# Reference: ORDER BY … DESC LIMIT 3 top banks (pyc phase3
+# generate_summary_report). o_orderkey tiebreak for determinism.
+
+_O2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q_o2_topk_orders", oracle=_O2_ORACLE)
+def q_o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+# --- Frame-spec extension: trailing rolling average -------------------------
+# The reference uses default frames only (SURVEY §2.6 note); the
+# engine exposes rowsBetween. 3-month trailing average revenue per
+# order status.
+
+_WR_ORACLE = f"""
+WITH monthly AS (
+  SELECT
+    o_orderstatus,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    {sql_dsum('o_totalprice', 'revenue')}
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT
+  o_orderstatus,
+  order_month,
+  revenue,
+  ROUND(AVG(revenue) OVER (
+    PARTITION BY o_orderstatus ORDER BY order_month
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ), 4) AS rolling_3m_revenue
+FROM monthly
+"""
+
+
+@register("q_w4_rolling_frame", oracle=_WR_ORACLE)
+def q_w4_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    ).agg(dsum("o_totalprice", "revenue"))
+    rolled = rolling(
+        monthly, "revenue", "rolling_3m_revenue",
+        ["o_orderstatus"], [F.col("order_month")], preceding=2, agg="avg",
+    )
+    return rolled.select(
+        "o_orderstatus",
+        "order_month",
+        "revenue",
+        F.round("rolling_3m_revenue", 4).alias("rolling_3m_revenue"),
+    )

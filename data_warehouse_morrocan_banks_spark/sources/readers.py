@@ -45,9 +45,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double
+    # precision, so float division drifts by ±1 µs.
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:

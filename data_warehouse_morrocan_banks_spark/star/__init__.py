@@ -1,0 +1,12 @@
+"""Star-schema builders (SURVEY.md §1.3, §2 S10/W1/J1-J3/U2-U3).
+
+Dimensional model parity with the reference warehouse: seed dim
+(sentiment), generated dim (date spine), derived dims (bank/branch
+analogs), and the fact build with FK resolution — all as DataFrame
+composition with broadcast dim joins.
+"""
+
+from .dims import date_dim, sentiment_dim, sentiment_key_expr
+from .fact import build_fact
+
+__all__ = ["date_dim", "sentiment_dim", "sentiment_key_expr", "build_fact"]

@@ -1,0 +1,127 @@
+"""Dimension builders (SURVEY.md §2: U2 seed, U3 spine, W1 keys,
+D3 distinct-source dims).
+
+Build order follows the reference's dbt models_order (G6):
+dim_sentiment → dim_date → dim_bank → dim_branch — encoded in
+plans.pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DATE_SPINE_END, DATE_SPINE_START
+from ..functions.datetime import (
+    date_key,
+    day_name,
+    dow_pg,
+    is_morocco_holiday,
+    is_weekend,
+    month_name,
+    season,
+)
+
+# U2: the reference's exact 5-row sentiment seed
+# (dim_sentiment.sql:26-40 / complete_data_pipeline_fixed.py:156-163).
+# Ranges overlap by design; key assignment is the CASE ladder below,
+# NOT range containment.
+SENTIMENT_SEED = [
+    ("positive", "Positive",
+     "Positive customer sentiment - satisfied customers",
+     0.1, 1.0, "#4CAF50", "😊"),
+    ("negative", "Negative",
+     "Negative customer sentiment - dissatisfied customers",
+     -1.0, -0.1, "#F44336", "😞"),
+    ("neutral", "Neutral",
+     "Neutral customer sentiment - neutral or mixed feelings",
+     -0.1, 0.1, "#FFC107", "😐"),
+    ("very_positive", "Very Positive",
+     "Highly positive sentiment - extremely satisfied",
+     0.5, 1.0, "#2E7D32", "🤩"),
+    ("very_negative", "Very Negative",
+     "Highly negative sentiment - extremely dissatisfied",
+     -1.0, -0.5, "#C62828", "😡"),
+]
+
+_SENTIMENT_SCHEMA = (
+    "sentiment_id STRING, sentiment_label STRING, sentiment_description STRING, "
+    "score_range_min DOUBLE, score_range_max DOUBLE, color_code STRING, icon STRING"
+)
+
+
+def sentiment_dim(spark: SparkSession) -> DataFrame:
+    """U2 + W1: inline VALUES seed with a surrogate key.
+
+    Key order = ORDER BY sentiment_id (deterministic; the reference's
+    row_number order is its seed order — only stability matters since
+    all lookups go through sentiment_id)."""
+    df = spark.createDataFrame(SENTIMENT_SEED, _SENTIMENT_SCHEMA)
+    w = Window.orderBy("sentiment_id")
+    return df.withColumn("sentiment_key", F.row_number().over(w))
+
+
+def sentiment_key_expr(score: Column | str, dim: DataFrame) -> Column:
+    """J6 resolution: the fact's sentiment_key CASE ladder, pinned to
+    the reference's match order (fact_reviews.sql:91-97):
+    ≥0.5 very_positive → ≥0.1 positive → ≤−0.5 very_negative →
+    ≤−0.1 negative → neutral.
+
+    The dim is collected driver-side (5 rows) and inlined as literals —
+    the decorrelated form of the reference's scalar subqueries, with
+    zero join cost at any scale.
+    """
+    keys = {r["sentiment_id"]: r["sentiment_key"] for r in dim.collect()}
+    s = F.col(score) if isinstance(score, str) else score
+    return (
+        F.when(s >= 0.5, F.lit(keys["very_positive"]))
+        .when(s >= 0.1, F.lit(keys["positive"]))
+        .when(s <= -0.5, F.lit(keys["very_negative"]))
+        .when(s <= -0.1, F.lit(keys["negative"]))
+        .otherwise(F.lit(keys["neutral"]))
+    )
+
+
+def date_dim(spark: SparkSession, start: str = DATE_SPINE_START,
+             end: str = DATE_SPINE_END) -> DataFrame:
+    """U3 + T2-T8: the generate_series date spine (4,018 rows for the
+    reference bounds) with every dim_date attribute
+    (dim_date.sql:16-81).
+
+    `sequence` builds the array on one executor and explodes — fine
+    for a date spine (≤ tens of thousands of rows by construction);
+    repartition after explode if a dim this small ever feeds a
+    non-broadcast join.
+    """
+    spine = spark.sql(
+        f"SELECT explode(sequence(to_date('{start}'), to_date('{end}'), "
+        "interval 1 day)) AS full_date"
+    )
+    d = F.col("full_date")
+    return spine.select(
+        date_key(d).alias("date_key"),
+        d.alias("full_date"),
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        month_name(d).alias("month_name"),
+        F.dayofmonth(d).alias("day_of_month"),
+        day_name(d).alias("day_name"),
+        F.weekofyear(d).alias("week_of_year"),
+        dow_pg(d).alias("day_of_week"),
+        is_weekend(d).alias("is_weekend"),
+        season(d).alias("season"),
+        is_morocco_holiday(d).alias("is_holiday"),
+    )
+
+
+def derived_dim(source: DataFrame, business_keys: list[str],
+                attrs: list[Column], key_name: str,
+                key_order: list[Column]) -> DataFrame:
+    """D3 + W1: distinct-projection dim build with a surrogate key —
+    the dim_bank/dim_branch shape (complete_data_pipeline_fixed.py:
+    184-216): SELECT DISTINCT business keys + attributes, then
+    ROW_NUMBER key.  Dim-scale only (ordered window)."""
+    distinct = source.select(*business_keys, *attrs).distinct()
+    w = Window.orderBy(*key_order)
+    return distinct.withColumn(key_name, F.row_number().over(w))

@@ -1,0 +1,67 @@
+"""Fact-table builder (SURVEY.md §3.1 step d; fact_reviews.sql:60-164).
+
+The reference's fact build: staging rows ⋈ dim_bank ⋈ dim_branch
+(left joins then null-filter ≡ inner), CASE-ladder sentiment_key,
+composite date_key, HASHTEXT reviewer key, ROW_NUMBER review_key.
+
+Engine shape: broadcast joins against every dim (all dims are
+kB-sized), pure-expression derived keys, and fact surrogate keys from
+``monotonically_increasing_id`` by default (the global ROW_NUMBER
+variant stays available for small/reproducible builds — SURVEY W1's
+documented dual mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime import date_key
+from ..functions.text import stable_hash_key
+from .dims import sentiment_key_expr
+
+
+def build_fact(
+    staging: DataFrame,
+    dims: dict[str, tuple[DataFrame, str | Column]],
+    sentiment_dim_df: DataFrame | None = None,
+    sentiment_score_col: str | None = None,
+    ts_col: str | None = None,
+    hash_key_cols: list[str] | None = None,
+    hash_key_name: str = "reviewer_key",
+    measures: list[Column] | None = None,
+    surrogate: str = "distributed",
+    surrogate_order: list[Column] | None = None,
+) -> DataFrame:
+    """Assemble a fact table.
+
+    dims: {dim_name: (dim_df, join_on)} — each joined via broadcast
+    left join then FK-null filter (the reference's left-join-then-
+    IS NOT NULL ≡ inner, fact_reviews.sql:103,163 semantics).
+    """
+    fact = staging
+    for _, (dim_df, on) in dims.items():
+        fact = fact.join(F.broadcast(dim_df), on, "left")
+
+    cols: list[Column] = []
+    if ts_col is not None:
+        cols.append(date_key(ts_col).alias("date_key"))
+    if sentiment_dim_df is not None and sentiment_score_col is not None:
+        cols.append(
+            sentiment_key_expr(sentiment_score_col, sentiment_dim_df)
+            .alias("sentiment_key")
+        )
+    if hash_key_cols:
+        cols.append(stable_hash_key(*hash_key_cols).alias(hash_key_name))
+    if cols:
+        fact = fact.select("*", *cols)
+    if measures is not None:
+        fact = fact.select(*measures)
+
+    if surrogate == "dim" and surrogate_order:
+        w = Window.orderBy(*surrogate_order)
+        fact = fact.withColumn("row_key", F.row_number().over(w))
+    elif surrogate == "distributed":
+        # unique, partition-parallel, NOT dense — the 100 TB default
+        fact = fact.withColumn("row_key", F.monotonically_increasing_id())
+    return fact

@@ -47,22 +47,67 @@ def rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _pa_type_name(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_floating(t):
+        return "double" if pa.types.is_float64(t) else "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_pa_type_name(t.value_type)}>"
+    return str(t)
+
+
+def _spark_type_name(dt: str) -> str:
+    m = {"int": "int32", "bigint": "int64", "smallint": "int32",
+         "double": "double", "float": "float", "boolean": "bool",
+         "string": "string", "date": "date", "timestamp": "timestamp",
+         "timestamp_ntz": "timestamp"}
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("array<"):
+        inner = dt[6:-1]
+        return f"array<{_spark_type_name(inner)}>"
+    return m.get(dt, dt)
+
+
 def compare(spark, name: str, fn, sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = {c: _spark_type_name(t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    d_schema = rel.arrow().schema
+    d_types = {f.name: _pa_type_name(f.type) for f in d_schema}
     d_rows = rel.fetchall()
     con.close()
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns differ spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    for c in s_cols:
+        if s_types[c] != d_types.get(c):
+            problems.append(
+                f"{name}: type of {c} differs spark={s_types[c]} duckdb={d_types.get(c)}"
+            )
     if len(s_rows) != len(d_rows):
         problems.append(f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
     sc = rows_canonical(s_cols, s_rows)
