@@ -29,7 +29,8 @@ HEADLINE = [
     "q_j7_argmax_top_supplier",
     "q_w3_lag_monthly_trend",
     "q_mart_comprehensive",
-    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_exact_content",
     "q_ann_cosine_topk",
 ]
 

@@ -1,0 +1,23 @@
+"""NLP operator layer (SURVEY.md §2.13, N1-N8).
+
+The reference's only non-SQL surface: language detection, sentiment,
+LDA topic modeling, and the feature-engineering block.  Engine
+posture: N1/N2/N3/N8 are pure column expressions (the reference's
+keyword/lexicon algorithms are deterministic and SQL-expressible —
+no UDF, no Python in the hot path); N4-N6 use Spark ML's LDA (the
+corpus-level fit is the pipeline's one materialization barrier);
+TextBlob-backed N2 exists as an optional Arrow-batched pandas UDF
+behind an import guard.
+"""
+
+from .language import language_detect_cols
+from .sentiment import lexicon_sentiment_cols
+from .topics import fit_topics, topic_summary, transform_topics
+
+__all__ = [
+    "language_detect_cols",
+    "lexicon_sentiment_cols",
+    "fit_topics",
+    "transform_topics",
+    "topic_summary",
+]

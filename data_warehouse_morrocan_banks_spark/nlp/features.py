@@ -1,0 +1,49 @@
+"""N8: the feature-engineering block (run_phase2_transformation.py:
+142-180) as one withColumn chain over a review-shaped frame.
+
+Inputs: text col + rating col + epoch/timestamp col.  Adds word/char
+counts, rating_category, time features, mention flags, detail level —
+all pure expressions (see functions/ for the primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    DETAIL_WORDS_DETAILED,
+    DETAIL_WORDS_MODERATE,
+    MENTION_PATTERNS,
+)
+from ..functions.conditional import rating_category
+from ..functions.datetime import day_name, is_weekend, month_name
+from ..functions.text import char_count, keyword_flag, word_count
+
+
+def add_review_features(df: DataFrame, text_col: str = "text",
+                        rating_col: str = "rating",
+                        ts_col: str = "review_time") -> DataFrame:
+    """Apply the full N8 block; column names mirror the reference's
+    processed.bank_reviews DDL (phase2_transformation_pipeline.py:210-255)."""
+    wc = word_count(text_col)
+    out = (
+        df.withColumn("word_count", wc)
+        .withColumn("char_count", char_count(text_col))
+        .withColumn("rating_category", rating_category(rating_col))
+        .withColumn("review_year", F.year(ts_col))
+        .withColumn("review_month", F.date_format(ts_col, "yyyy-MM"))
+        .withColumn("review_quarter", F.quarter(ts_col))
+        .withColumn("day_of_week", day_name(ts_col))
+        .withColumn("month_name", month_name(ts_col))
+        .withColumn("is_weekend", is_weekend(ts_col))
+        .withColumn(
+            "review_detail_level",
+            F.when(wc >= DETAIL_WORDS_DETAILED, "Detailed")
+            .when(wc >= DETAIL_WORDS_MODERATE, "Moderate")
+            .otherwise("Brief"),
+        )
+    )
+    for flag, pattern in MENTION_PATTERNS.items():
+        out = out.withColumn(flag, keyword_flag(text_col, pattern))
+    return out

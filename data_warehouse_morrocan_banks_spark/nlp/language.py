@@ -1,0 +1,58 @@
+"""N1: keyword-list language detection as pure column expressions.
+
+Reference algorithm (nlp_processor_simple.py:42-75): tokenize on
+whitespace, count occurrences of French/Arabic indicator words,
+confidence = hits/words capped at 1.0, fallbacks:
+len(text) < 3 → ('unknown', 0.0); no hits → ('unknown', 0.3).
+
+Exactly portable to expressions: ``filter(tokens, t -> array_contains
+(indicators, t))`` counts every occurrence (the reference counts per
+token, not per distinct word).  JVM-side, codegen'd, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import ARABIC_INDICATORS, FRENCH_INDICATORS
+
+
+def _hit_count(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_detect_cols(
+    text: Column | str,
+    french: list[str] | None = None,
+    arabic: list[str] | None = None,
+) -> dict[str, Column]:
+    """Return {detected_language, language_confidence, n_words} exprs."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens))
+    fr = _hit_count(tokens, french or FRENCH_INDICATORS)
+    ar = _hit_count(tokens, arabic or ARABIC_INDICATORS)
+
+    lang = (
+        F.when(F.length(c) < 3, F.lit("unknown"))
+        .when((fr == 0) & (ar == 0), F.lit("unknown"))
+        .when(fr >= ar, F.lit("fr"))
+        .otherwise(F.lit("ar"))
+    )
+    conf = (
+        F.when(F.length(c) < 3, F.lit(0.0))
+        .when((fr == 0) & (ar == 0), F.lit(0.3))
+        .otherwise(
+            F.least(
+                F.greatest(fr, ar).cast("double") / n_words.cast("double"),
+                F.lit(1.0),
+            )
+        )
+    )
+    return {
+        "detected_language": lang,
+        "language_confidence": F.round(conf, 6),
+        "n_words": n_words,
+    }

@@ -1,0 +1,94 @@
+"""N2: sentiment analysis — deterministic lexicon default, optional
+TextBlob pandas-UDF mode.
+
+The reference has two implementations: TextBlob polarity
+(nlp_processor_simple.py:77-121, nondeterministic dependency) and the
+deterministic keyword-lexicon variant its own tests use
+(test_phase2_simple.py:83-109): ±0.2 per matched word, score capped
+at ±0.8, label thresholds ±0.1.  SURVEY §7 "hard parts" pins the
+lexicon mode as the engine default/test oracle; TextBlob mode is an
+Arrow-batched pandas UDF behind an import guard (the library is not
+in the runtime here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import (
+    NEGATIVE_LEXICON,
+    POSITIVE_LEXICON,
+    SENTIMENT_NEGATIVE,
+    SENTIMENT_POSITIVE,
+    SENTIMENT_SCORE_CAP,
+    SENTIMENT_WORD_WEIGHT,
+)
+
+
+def lexicon_sentiment_cols(
+    text: Column | str,
+    positive: list[str] | None = None,
+    negative: list[str] | None = None,
+) -> dict[str, Column]:
+    """Deterministic lexicon sentiment: score/label/confidence exprs."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    pos_arr = F.array(*[F.lit(w) for w in (positive or POSITIVE_LEXICON)])
+    neg_arr = F.array(*[F.lit(w) for w in (negative or NEGATIVE_LEXICON)])
+    pos = F.size(F.filter(tokens, lambda t: F.array_contains(pos_arr, t)))
+    neg = F.size(F.filter(tokens, lambda t: F.array_contains(neg_arr, t)))
+
+    raw = (pos - neg).cast("double") * F.lit(SENTIMENT_WORD_WEIGHT)
+    score = F.least(
+        F.greatest(raw, F.lit(-SENTIMENT_SCORE_CAP)), F.lit(SENTIMENT_SCORE_CAP)
+    )
+    label = (
+        F.when(score >= SENTIMENT_POSITIVE, "Positive")
+        .when(score <= SENTIMENT_NEGATIVE, "Negative")
+        .otherwise("Neutral")
+    )
+    confidence = F.least(
+        (pos + neg).cast("double") * F.lit(SENTIMENT_WORD_WEIGHT), F.lit(1.0)
+    )
+    return {
+        "sentiment_score": F.round(score, 6),
+        "sentiment_label": label,
+        "sentiment_confidence": F.round(confidence, 6),
+        "positive_hits": pos,
+        "negative_hits": neg,
+    }
+
+
+def textblob_sentiment_udf():
+    """Optional lib-backed mode (reference's production path).  Returns
+    a pandas UDF computing (score, label, confidence, subjectivity)
+    per nlp_processor_simple.py:77-121, or raises ImportError when
+    TextBlob is unavailable (this runtime does not ship it — the
+    lexicon mode above is the default)."""
+    from textblob import TextBlob  # noqa: F401 — gate
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "score double, label string, confidence double, subjectivity double"
+    )
+    def _analyze(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts.fillna(""):
+            blob = TextBlob(t)
+            polarity = float(blob.sentiment.polarity)
+            subjectivity = float(blob.sentiment.subjectivity)
+            label = (
+                "Positive" if polarity >= SENTIMENT_POSITIVE
+                else "Negative" if polarity <= SENTIMENT_NEGATIVE
+                else "Neutral"
+            )
+            confidence = min(subjectivity + abs(polarity), 1.0)
+            out.append((polarity, label, confidence, subjectivity))
+        return pd.DataFrame(
+            out, columns=["score", "label", "confidence", "subjectivity"]
+        )
+
+    return _analyze

@@ -1,0 +1,112 @@
+"""N3-N6: LDA topic pipeline on Spark ML.
+
+Reference: TF-IDF (max_features=100, min_df=2, ngram 1-2) → sklearn
+LDA (k=8, seed=42, max_iter=10, online) → per-doc dominant topic +
+distribution + fixed business-label map (nlp_processor_simple.py:
+123-242).  Spark mapping per SURVEY N4-N6: RegexTokenizer →
+StopWordsRemover → CountVectorizer → pyspark.ml.clustering.LDA with
+the same k/seed/maxIter/optimizer.  Exact sklearn parity is
+impossible (SURVEY §7 hard-part 3); tests assert structural
+invariants: 8 topics, distributions sum ≈ 1, seed-stable schema.
+
+The corpus-level `fit` is the pipeline's one materialization barrier
+(SURVEY §3.2): at scale the fit runs on a sample/full corpus as a
+Spark job, then `transform` streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    FRENCH_STOPWORDS,
+    LDA_K,
+    LDA_MAX_ITER,
+    LDA_MIN_DOCS,
+    LDA_SEED,
+    LDA_VOCAB_SIZE,
+    TOPIC_LABELS,
+)
+
+
+def _label_map_expr():
+    pairs: list = []
+    for k, v in TOPIC_LABELS.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None):
+    """N4: fit the tokenize→stop→vectorize→LDA pipeline.
+
+    Returns (PipelineModel, vocabulary) or None when the corpus is
+    smaller than the reference's 10-doc gate
+    (nlp_processor_simple.py:188-195).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
+
+    if df.count() < LDA_MIN_DOCS:
+        return None
+
+    tokenizer = RegexTokenizer(
+        inputCol=text_col, outputCol="__tokens",
+        pattern=r"[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ]+", minTokenLength=3,
+    )
+    remover = StopWordsRemover(
+        inputCol="__tokens", outputCol="__filtered",
+        stopWords=stopwords if stopwords is not None else FRENCH_STOPWORDS,
+    )
+    vectorizer = CountVectorizer(
+        inputCol="__filtered", outputCol="__features",
+        vocabSize=LDA_VOCAB_SIZE, minDF=2.0,
+    )
+    lda = LDA(
+        k=LDA_K, maxIter=LDA_MAX_ITER, seed=LDA_SEED, optimizer="online",
+        featuresCol="__features",
+    )
+    return Pipeline(stages=[tokenizer, remover, vectorizer, lda]).fit(df)
+
+
+def transform_topics(model, df: DataFrame, id_cols: list[str]) -> DataFrame:
+    """N5: per-doc dominant topic + label + max probability.
+
+    topicDistribution is an ML vector; argmax + label map are column
+    expressions over its array form.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(df)
+    dist = vector_to_array(F.col("topicDistribution"))
+    dominant = F.expr(
+        "array_position(transform({d}, x -> x = array_max({d})), true) - 1"
+        .format(d="__dist")
+    )
+    return (
+        out.withColumn("__dist", dist)
+        .withColumn("dominant_topic_id", dominant.cast("int"))
+        .withColumn("topic_probability",
+                    F.round(F.array_max(F.col("__dist")), 6))
+        .withColumn("dominant_topic",
+                    _label_map_expr()[F.col("dominant_topic_id")])
+        .select(*id_cols, "dominant_topic_id", "dominant_topic",
+                "topic_probability")
+    )
+
+
+def topic_summary(model, n_words: int = 10) -> DataFrame:
+    """N6: top-n words + weights per topic (describeTopics joined to
+    the CountVectorizer vocabulary)."""
+    vocab = model.stages[2].vocabulary
+    lda_model = model.stages[3]
+    topics = lda_model.describeTopics(n_words)
+    to_words = F.udf(lambda idxs: [vocab[i] for i in idxs], "array<string>")
+    return topics.select(
+        F.col("topic").alias("topic_id"),
+        _label_map_expr()[F.col("topic")].alias("topic_label"),
+        to_words("termIndices").alias("top_words"),
+        F.col("termWeights").alias("weights"),
+    )

@@ -1,0 +1,93 @@
+"""Cleaning / filtering / imputation operators (SURVEY.md §2.2,
+P1-P9).
+
+The reference's cleaning stack, in its execution order
+(run_phase2_transformation.py:249-286): null filter → impute →
+length-range filter → quality flag.  All expressed as pushdown-
+friendly filters — at scale these reach the parquet scan
+(PushedFilters) so rejected rows never leave the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    MAX_REVIEW_LENGTH,
+    MIN_REVIEW_LENGTH,
+    RATING_MAX,
+    RATING_MIN,
+    RATING_NEUTRAL_DEFAULT,
+)
+
+
+def filter_required_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P1: drop rows with NULL in any required key column
+    (complete_data_pipeline_fixed.py:136-138)."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.filter(cond)
+
+
+def filter_nonblank_text(df: DataFrame, col: str) -> DataFrame:
+    """P2: text IS NOT NULL AND length(trim(text)) > 0."""
+    return df.filter(
+        F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0)
+    )
+
+
+def filter_text_length(df: DataFrame, col: str,
+                       lo: int = MIN_REVIEW_LENGTH,
+                       hi: int = MAX_REVIEW_LENGTH) -> DataFrame:
+    """P3: keep lo ≤ len(text) ≤ hi (run_phase2_transformation.py:80-93)."""
+    return df.filter(F.length(F.col(col)).between(lo, hi))
+
+
+def impute_defaults(df: DataFrame, text_col: str = "text",
+                    rating_col: str = "rating",
+                    bank_col: str = "bank_name") -> DataFrame:
+    """P6: fillna('') text / fillna(3) rating / fillna('Unknown') bank
+    (run_phase2_transformation.py:76-79)."""
+    return df.na.fill({
+        text_col: "",
+        rating_col: RATING_NEUTRAL_DEFAULT,
+        bank_col: "Unknown",
+    })
+
+
+def data_quality_flag(text: Column | str) -> Column:
+    """P4: 'empty_text'/'too_short'/'too_long'/'valid' ladder
+    (stg_raw_reviews.sql:28-33)."""
+    c = F.col(text) if isinstance(text, str) else text
+    length = F.length(F.coalesce(c, F.lit("")))
+    return (
+        F.when(c.isNull() | (F.trim(c) == ""), "empty_text")
+        .when(length < MIN_REVIEW_LENGTH, "too_short")
+        .when(length > MAX_REVIEW_LENGTH, "too_long")
+        .otherwise("valid")
+    )
+
+
+def enriched_quality_flag(review_id: Column | str, rating: Column | str,
+                          text: Column | str, sentiment: Column | str) -> Column:
+    """P5: enriched-layer validity ladder
+    (stg_nlp_enriched_reviews.sql:59-66): missing_id → invalid_rating
+    (1-5) → empty_text → invalid_sentiment (−1..1) → valid."""
+    rid = F.col(review_id) if isinstance(review_id, str) else review_id
+    r = F.col(rating) if isinstance(rating, str) else rating
+    t = F.col(text) if isinstance(text, str) else text
+    s = F.col(sentiment) if isinstance(sentiment, str) else sentiment
+    return (
+        F.when(rid.isNull(), "missing_id")
+        .when(r.isNull() | ~r.between(RATING_MIN, RATING_MAX), "invalid_rating")
+        .when(t.isNull() | (F.trim(t) == ""), "empty_text")
+        .when(s.isNotNull() & ~s.between(-1.0, 1.0), "invalid_sentiment")
+        .otherwise("valid")
+    )
+
+
+def keep_valid(df: DataFrame, flag_col: str = "data_quality_flag") -> DataFrame:
+    """P4/P5 companion: WHERE flag = 'valid'."""
+    return df.filter(F.col(flag_col) == "valid")

@@ -1,0 +1,108 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design per BASELINE.json: opaque ``binary`` payload columns + typed
+metadata struct, with decode / feature-extract / resize /
+frame-sample as Arrow-batched ``mapInPandas`` stages.  The actual
+codec libraries are NOT in this runtime, so the decode kernel is
+stubbed (deterministic fake keyed on payload bytes) behind
+``DECODERS`` — the Spark-side contract (schema, batching, partition
+behavior) is real and tested.
+
+Scale: payloads never shuffle — every stage is map-only; metadata
+extraction projects the struct so downstream filters prune the
+binary column entirely (parquet column pruning drops the bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("media_type", StringType(), False),   # image|audio|video
+    StructField("payload", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+])
+
+DECODED_SCHEMA = (
+    "media_id string, media_type string, n_bytes int, "
+    "payload_md5 string, feat_mean double, feat_dim int"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, int]:
+    """Deterministic stand-in for image/audio decoding: derives a
+    pseudo-feature from the payload bytes.  Replace with PIL/libav
+    kernels in a runtime that ships them."""
+    if not payload:
+        return 0.0, 0
+    acc = 0
+    for b in payload[:1024]:
+        acc = (acc * 31 + b) % 1_000_003
+    return round(acc / 1_000_003, 6), 8
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary payload → feature columns.
+
+    Arrow-batched; one python worker pass per partition, no shuffle.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [_fake_decode(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                "payload_md5": [
+                    hashlib.md5(p if p is not None else b"").hexdigest()
+                    for p in payloads
+                ],
+                "feat_mean": [f[0] for f in feats],
+                "feat_dim": [f[1] for f in feats],
+            })
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage — STUB: no imaging library in this runtime.
+
+    The contract (map-only, payload→payload, metadata update) is what
+    the engine guarantees; the kernel raises until a codec is present.
+    """
+    raise NotImplementedError(
+        "image codec not available in this runtime; decode_media shows "
+        "the mapInPandas plumbing this stage plugs into"
+    )
+
+
+def media_from_text(df: DataFrame, id_col: str, text_col: str,
+                    media_type: str = "image") -> DataFrame:
+    """Test helper: fabricate a binary media table from text payloads
+    (utf-8 bytes) so the plumbing is exercisable without real media."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )

@@ -1,0 +1,80 @@
+"""Text-analysis operators for training-data curation (BASELINE.json
+north star): quality scoring, token counting, rolling-hash
+fingerprinting — all pure column expressions (oracle-checkable and
+codegen'd; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-style simplification: letter runs | single digits | non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.trim(_c(col))
+    return F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer's segment
+    count — the cheap "how many tokens will this cost" estimator."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    return F.when(F.length(c) > 0,
+                  F.round(punct.cast("double") / F.length(c), 6)).otherwise(0.0)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    tokens = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+    n = F.size(tokens)
+    return F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), 6)) \
+            .otherwise(0.0)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    tokens = F.split(F.trim(_c(col)), r"\s+")
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(tokens)
+    return F.when(n > 0, F.round(total.cast("double") / n.cast("double"), 6)) \
+            .otherwise(0.0)
+
+
+def quality_score(col: Column | str, stopwords: list[str],
+                  min_words: int = 10, max_words: int = 2000) -> Column:
+    """Composite [0,1] quality heuristic: length-in-range + healthy
+    stopword rate + sane punctuation + plausible mean word length —
+    the standard pretraining-corpus gate (each term 0/0.25)."""
+    wc = whitespace_token_count(col)
+    sr = stopword_ratio(col, stopwords)
+    pr = punct_ratio(col)
+    mwl = mean_word_length(col)
+    length_ok = wc.between(min_words, max_words).cast("double") * 0.25
+    stop_ok = sr.between(0.01, 0.6).cast("double") * 0.25
+    punct_ok = (pr <= 0.2).cast("double") * 0.25
+    word_ok = mwl.between(2.0, 12.0).cast("double") * 0.25
+    return F.round(length_ok + stop_ok + punct_ok + word_ok, 2)
+
+
+def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters — the classic document
+    fingerprint, as an expression fold (split to chars → aggregate).
+    Deterministic and engine-portable (DuckDB list_reduce matches)."""
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -1,0 +1,2 @@
+"""Pipeline orchestration + data-quality layers (SURVEY.md §2.15
+G1-G7, §5)."""

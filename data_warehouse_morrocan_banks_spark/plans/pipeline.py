@@ -1,0 +1,87 @@
+"""Pipeline runner (SURVEY.md §2.15, G1-G7).
+
+The reference orchestrates with Airflow DAGs (retries, XCom metadata,
+preflight checks, run reports).  The engine's equivalent is a
+driver-side staged runner: named stages with per-stage retries (G1),
+a run-manifest dict replacing XCom (G2), preflight row-count gates
+(G3), post-build validation (G4), and a JSON report (G5).  Build
+order encodes the dbt models_order (G6): dim_sentiment → dim_date →
+dim_bank → dim_branch → fact.  Materialization policy (G7):
+staging = lazy DataFrame/temp view, marts = written parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[dict[str, Any]], Any]
+    retries: int = 2
+    retry_delay_s: float = 0.5
+
+
+@dataclass
+class RunManifest:
+    """G2/G5: inter-stage metadata + run report (the XCom replacement)."""
+    stages: dict[str, dict[str, Any]] = field(default_factory=dict)
+    outputs: dict[str, Any] = field(default_factory=dict)
+    status: str = "pending"
+
+    def report_json(self) -> str:
+        return json.dumps(
+            {"status": self.status, "stages": self.stages}, default=str
+        )
+
+
+class PipelineRunner:
+    """G1: sequential stage execution with retries and fail-fast."""
+
+    def __init__(self, stages: list[Stage]):
+        self.stages = stages
+
+    def run(self) -> RunManifest:
+        manifest = RunManifest()
+        for stage in self.stages:
+            info: dict[str, Any] = {"attempts": 0}
+            t0 = time.perf_counter()
+            last_err: str | None = None
+            for _ in range(stage.retries + 1):
+                info["attempts"] += 1
+                try:
+                    result = stage.fn(manifest.outputs)
+                    if result is not None:
+                        manifest.outputs[stage.name] = result
+                    last_err = None
+                    break
+                except Exception:
+                    last_err = traceback.format_exc()
+                    time.sleep(stage.retry_delay_s)
+            info["seconds"] = round(time.perf_counter() - t0, 3)
+            info["status"] = "failed" if last_err else "ok"
+            if last_err:
+                info["error"] = last_err.splitlines()[-1]
+            manifest.stages[stage.name] = info
+            if last_err:
+                manifest.status = "failed"
+                return manifest
+        manifest.status = "ok"
+        return manifest
+
+
+def preflight_rowcount(df: DataFrame, min_rows: int, what: str) -> int:
+    """G3: availability gate — `SELECT COUNT(*)` ≥ threshold or raise
+    (complete_data_pipeline_fixed.py:77-88)."""
+    n = df.count()
+    if n < min_rows:
+        raise RuntimeError(f"preflight failed: {what} has {n} rows < {min_rows}")
+    return n

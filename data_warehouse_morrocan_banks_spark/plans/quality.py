@@ -1,0 +1,78 @@
+"""Data-quality assertion layer (SURVEY.md §5).
+
+The reference's dbt schema tests (unique / not_null /
+accepted_values / accepted_range, sources.yml:10-67, schema.yml) and
+pipeline validations (row-count gates, orphaned-FK probe, G3/G4)
+replayed as programmatic DataFrame checks.  Each check returns a
+violation COUNT computed in one aggregate pass — checks batch into a
+single job, not one action per rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QualityReport:
+    checks: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def passed(self) -> bool:
+        return all(v == 0 for v in self.checks.values())
+
+    def failures(self) -> dict[str, int]:
+        return {k: v for k, v in self.checks.items() if v > 0}
+
+
+def _violations(df: DataFrame, conds: dict[str, Column]) -> dict[str, int]:
+    """Count violations for many predicates in ONE aggregate job."""
+    aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name]) for name in conds}
+
+
+def check_table(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    unique: list[str] | None = None,
+    min_rows: int = 1,
+) -> QualityReport:
+    """dbt-test-equivalent battery over one table."""
+    report = QualityReport()
+    conds: dict[str, Column] = {}
+    for c in not_null or []:
+        conds[f"not_null:{c}"] = F.col(c).isNull()
+    for c, vals in (accepted_values or {}).items():
+        conds[f"accepted_values:{c}"] = (
+            F.col(c).isNotNull() & ~F.col(c).isin(vals)
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        conds[f"range:{c}"] = F.col(c).isNotNull() & ~F.col(c).between(lo, hi)
+    if conds:
+        report.checks.update(_violations(df, conds))
+
+    for c in unique or []:
+        dup = (
+            df.groupBy(c).count().filter(F.col("count") > 1)
+            .agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+        )
+        report.checks[f"unique:{c}"] = int(dup)
+
+    n = df.count()
+    report.checks["min_rows"] = 0 if n >= min_rows else 1
+    return report
+
+
+def check_no_orphans(fact: DataFrame, dim: DataFrame, key: str) -> int:
+    """G4: orphaned-FK anti-join probe (pyc phase3 validate_star_schema)."""
+    return (
+        fact.filter(F.col(key).isNotNull())
+        .join(dim.select(key), key, "left_anti")
+        .count()
+    )

@@ -1,1 +1,358 @@
-"""Placeholder — queries land here incrementally."""
+"""LLM-training-pipeline operator queries (BASELINE.json north star):
+deduplication (exact / Jaccard / SimHash / MinHash-LSH), similarity
+search over embeddings, text quality analysis, token counting,
+fingerprinting, multimodal plumbing.
+
+Oracle-backed wherever the algorithm is engine-portable; MinHash-LSH
+(Spark ML hash family) and mapInPandas stages are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import davg, sql_davg
+from ..operators.dedup import dedup_exact_content
+from ..operators.multimodal import decode_media, media_from_text
+from ..operators.similarity import (
+    as_double_array,
+    brute_force_topk,
+    cosine,
+    ivf_assign,
+    jaccard_token_sets,
+    l2_norm,
+    minhash_lsh_pairs,
+    simhash_agg,
+)
+from ..operators.textstats import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+_STOPWORDS = ["the", "a"]
+_SIMHASH_BITS = 16
+
+
+# --- exact dedup: content-hash families -------------------------------------
+
+_EXACT_ORACLE = r"""
+SELECT
+  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS content_md5,
+  MIN(doc_id) AS canonical_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_dedup_exact_content", oracle=_EXACT_ORACLE)
+def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return dedup_exact_content(d, "text", "doc_id")
+
+
+# --- n-gram Jaccard near-dup pairs ------------------------------------------
+# Token-set Jaccard ≥ 0.9 within language partitions.  The lang
+# equi-key bounds the self-join (the 100 TB version swaps this key
+# for LSH buckets — see minhash below); list ops are codegen'd.
+
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
+    (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))), 6) AS jaccard_sim
+FROM toks a
+JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
+      (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))) >= 0.9
+"""
+
+
+@register("q_dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    sim = jaccard_token_sets(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            sim.alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= 0.9)
+    )
+
+
+# --- SimHash fingerprints ----------------------------------------------------
+# md5-parity simhash (operators.similarity.simhash) — fingerprint per
+# doc + bucket population, fully oracle-checkable.
+
+
+def _simhash_sql(bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CAST((LEN(LIST_FILTER(hs, h -> "
+            f"ASCII(SUBSTR(h, {i + 1}, 1)) % 2 = 1)) * 2 > LEN(hs)) "
+            f"AS BIGINT) * {2 ** i}"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+    LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                   t -> MD5(t)) AS hs
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST({_simhash_sql(_SIMHASH_BITS)} AS BIGINT) AS simhash16
+  FROM base
+)
+SELECT h.doc_id, h.simhash16, b.bucket_size
+FROM hashed h
+JOIN (
+  SELECT simhash16, COUNT(*) AS bucket_size FROM hashed GROUP BY simhash16
+) b USING (simhash16)
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    hashed = simhash_agg(d, "doc_id", toks, bits=_SIMHASH_BITS) \
+        .withColumnRenamed("simhash", "simhash16")
+    buckets = hashed.groupBy("simhash16").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return hashed.join(F.broadcast(buckets), "simhash16", "inner").select(
+        "doc_id", "simhash16", "bucket_size"
+    )
+
+
+# --- MinHash-LSH near-dup (rows-only: Spark ML hash family) -----------------
+
+
+@register("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle→minhash→band→bucket-join near-dup pairs at Jaccard ≥0.9
+    (approx; seed=42). The 100 TB fuzzy-dedup plan: candidate
+    generation never compares documents outside shared LSH buckets.
+
+    Threshold note: this synthetic corpus is pathologically
+    self-similar (≈25% of same-language pairs exceed 0.6 Jaccard), so
+    a 0.6 cut degenerates into an all-pairs join — 0.9 keeps the
+    candidate set the size LSH is designed to produce."""
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+
+
+# --- similarity search: brute-force cosine top-k ----------------------------
+# Exact ANN baseline: 5 probe vectors drawn from the corpus, top-10
+# cosine neighbors each.  Scale path: q_ann_ivf_bucketed below.
+
+_ANN_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 5),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+    ROUND(LIST_DOT_PRODUCT(p.q, c.v)
+      / (SQRT(LIST_DOT_PRODUCT(p.q, p.q)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))),
+      6) AS cosine_sim
+  FROM corpus c CROSS JOIN probes p
+  WHERE c.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cosine_sim
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored s
+)
+WHERE rn <= 10
+"""
+
+
+@register("q_ann_cosine_topk", oracle=_ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, probes, k=10)
+
+
+# --- similarity search: IVF-bucketed scale path (rows-only) -----------------
+
+
+@register("q_ann_ivf_bucketed")
+def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket assignment with 8 seeded centroids (first 8 corpus
+    vectors) + per-bucket population/centroid-affinity stats — the
+    map-only stage that makes 100 TB ANN tractable."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    assigned = ivf_assign(emb, centroids)
+    return (
+        assigned.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            davg("bucket_sim", "avg_affinity"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+# --- embedding column statistics --------------------------------------------
+
+_EMB_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT label,
+    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+  {sql_davg('norm', 'avg_norm')}
+FROM base
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("q_embedding_label_stats", oracle=_EMB_STATS_ORACLE)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    base = emb.select("label", l2_norm(v).alias("norm"))
+    return (
+        base.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), davg("norm", "avg_norm"))
+        .orderBy("label")
+    )
+
+
+# --- text quality scoring ----------------------------------------------------
+
+_QUALITY_ORACLE = rf"""
+WITH stats AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(text) = '' THEN 0
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+    END AS n_words,
+    CASE WHEN LENGTH(text) > 0 THEN
+      ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE)
+            / LENGTH(text), 6) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) > 0 THEN
+      ROUND(CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                     t -> LIST_CONTAINS(['the', 'a'], t))) AS DOUBLE)
+            / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')), 6)
+      ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) > 0 THEN
+      ROUND(CAST(LIST_REDUCE(
+              LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                             t -> LENGTH(t)), (x, y) -> x + y) AS DOUBLE)
+            / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')), 6)
+      ELSE 0.0 END AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
+  ROUND(CAST(
+    CAST(n_words BETWEEN 10 AND 2000 AS INT) * 0.25
+    + CAST(stopword_ratio BETWEEN 0.01 AND 0.6 AS INT) * 0.25
+    + CAST(punct_ratio <= 0.2 AS INT) * 0.25
+    + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS INT) * 0.25 AS DOUBLE), 2)
+    AS quality_score
+FROM stats
+"""
+
+
+@register("q_text_quality", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_words"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text", _STOPWORDS).alias("stopword_ratio"),
+        mean_word_length("text").alias("mean_word_len"),
+        quality_score("text", _STOPWORDS).alias("quality_score"),
+    )
+
+
+# --- token counting ----------------------------------------------------------
+
+_TOKENS_ORACLE = rf"""
+SELECT doc_id,
+  CASE WHEN TRIM(text) = '' THEN 0
+       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+  END AS ws_tokens,
+  CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
+  CAST(LIST_REDUCE(
+    LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ''), c -> CAST(ASCII(c) AS BIGINT)),
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_hash_fp
+FROM documents
+"""
+
+
+@register("q_token_counts", oracle=_TOKENS_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        rolling_hash("text").alias("rolling_hash_fp"),
+    )
+
+
+# --- multimodal plumbing (rows-only: mapInPandas stage) ---------------------
+
+
+@register("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: fabricate payloads from documents (the
+    runtime ships no codecs), then run the Arrow-batched mapInPandas
+    decode stage — schema/batching/partition contract is the real
+    deliverable (operators.multimodal)."""
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    media = media_from_text(d, "doc_id", "text")
+    return decode_media(media)

@@ -1,1 +1,216 @@
-"""Placeholder — queries land here incrementally."""
+"""NLP operator queries (SURVEY.md §2.13, N1-N6).
+
+N1/N2/N3 are deterministic expression ports with full DuckDB oracles.
+N4-N6 (LDA) are Spark-ML-backed and registered WITHOUT oracles —
+sklearn/Spark LDA parity is impossible (SURVEY §7 hard-part 3), so
+the driver records the rows-only check and pytest asserts structural
+invariants.
+
+The testdata `documents` corpus has its own vocabulary, so the
+indicator/lexicon word lists here are corpus-specific parameters of
+the same operators the warehouse path configures with French lists
+(config.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..nlp.language import language_detect_cols
+from ..nlp.sentiment import lexicon_sentiment_cols
+from ..nlp.topics import fit_topics, topic_summary, transform_topics
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# corpus-specific parameter lists for the documents table
+_LANG_A = ["fast", "small", "key"]          # plays "French indicators"
+_LANG_B = ["slow", "big", "merge"]          # plays "Arabic indicators"
+_POS_LEX = ["fast", "small"]
+_NEG_LEX = ["slow", "big"]
+_STOPWORDS = ["the", "a"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- N1: keyword language detection -----------------------------------------
+# Reference: detect_language_simple (nlp_processor_simple.py:42-75) —
+# hits/words confidence, <3 chars → unknown/0.0, no hits → unknown/0.3.
+
+_N1_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS tokens,
+    CASE WHEN TRIM(text) = '' THEN 0
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS INT)
+    END AS n_words
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, n_words,
+    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_LANG_A)}, t))) AS INT) AS hits_a,
+    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_LANG_B)}, t))) AS INT) AS hits_b,
+    LENGTH(text) AS n_chars
+  FROM base
+)
+SELECT doc_id, n_words, hits_a, hits_b,
+  CASE WHEN n_chars < 3 THEN 'unknown'
+       WHEN hits_a = 0 AND hits_b = 0 THEN 'unknown'
+       WHEN hits_a >= hits_b THEN 'lang_a'
+       ELSE 'lang_b' END AS detected_language,
+  CASE WHEN n_chars < 3 THEN 0.0
+       WHEN hits_a = 0 AND hits_b = 0 THEN 0.3
+       ELSE ROUND(LEAST(CAST(GREATEST(hits_a, hits_b) AS DOUBLE)
+                        / CAST(n_words AS DOUBLE), 1.0), 6)
+  END AS language_confidence
+FROM hits
+"""
+
+
+@register("q_n1_language_detect", oracle=_N1_ORACLE)
+def q_n1_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    cols = language_detect_cols("text", french=_LANG_A, arabic=_LANG_B)
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    arr_a = F.array(*[F.lit(w) for w in _LANG_A])
+    arr_b = F.array(*[F.lit(w) for w in _LANG_B])
+    lang = (
+        F.when(cols["detected_language"] == "fr", "lang_a")
+        .when(cols["detected_language"] == "ar", "lang_b")
+        .otherwise(cols["detected_language"])
+    )
+    return d.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(arr_a, t))).alias("hits_a"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(arr_b, t))).alias("hits_b"),
+        lang.alias("detected_language"),
+        cols["language_confidence"].alias("language_confidence"),
+    )
+
+
+# --- N2: deterministic lexicon sentiment ------------------------------------
+# Reference: the test-oracle variant (test_phase2_simple.py:83-109):
+# ±0.2 per hit, cap ±0.8, labels at ±0.1.
+
+_N2_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+    REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS tokens
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_POS_LEX)}, t))) AS INT) AS positive_hits,
+    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_NEG_LEX)}, t))) AS INT) AS negative_hits
+  FROM base
+),
+scored AS (
+  SELECT *,
+    LEAST(GREATEST(CAST(positive_hits - negative_hits AS DOUBLE) * 0.2,
+                   -0.8), 0.8) AS raw_score
+  FROM hits
+)
+SELECT doc_id, positive_hits, negative_hits,
+  ROUND(raw_score, 6) AS sentiment_score,
+  CASE WHEN raw_score >= 0.1 THEN 'Positive'
+       WHEN raw_score <= -0.1 THEN 'Negative'
+       ELSE 'Neutral' END AS sentiment_label,
+  ROUND(LEAST(CAST(positive_hits + negative_hits AS DOUBLE) * 0.2, 1.0), 6)
+    AS sentiment_confidence
+FROM scored
+"""
+
+
+@register("q_n2_lexicon_sentiment", oracle=_N2_ORACLE)
+def q_n2_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    cols = lexicon_sentiment_cols("text", positive=_POS_LEX, negative=_NEG_LEX)
+    return d.select(
+        "doc_id",
+        cols["positive_hits"].alias("positive_hits"),
+        cols["negative_hits"].alias("negative_hits"),
+        cols["sentiment_score"].alias("sentiment_score"),
+        cols["sentiment_label"].alias("sentiment_label"),
+        cols["sentiment_confidence"].alias("sentiment_confidence"),
+    )
+
+
+# --- N3: LDA preprocessing (clean → tokenize → stopword/length filter) ------
+# Reference: preprocess_for_lda (nlp_processor_simple.py:123-157):
+# whitelist regex, lowercase, >2-char tokens, stopword removal.
+# Fingerprint of the sorted distinct token set doubles as the
+# document-fingerprint text-analysis op.
+
+_N3_ORACLE = rf"""
+WITH cleaned AS (
+  SELECT doc_id,
+    LIST_FILTER(
+      REGEXP_SPLIT_TO_ARRAY(
+        TRIM(LOWER(REGEXP_REPLACE(text,
+          '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\s]', ' ', 'g'))), '\s+'),
+      t -> LENGTH(t) > 2 AND NOT LIST_CONTAINS({_sql_list(_STOPWORDS)}, t)
+    ) AS lda_tokens
+  FROM documents
+)
+SELECT doc_id,
+  lda_tokens,
+  CAST(LEN(lda_tokens) AS INT) AS n_lda_tokens,
+  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(lda_tokens)), ' '))
+    AS doc_fingerprint
+FROM cleaned
+"""
+
+
+@register("q_n3_lda_preprocess", oracle=_N3_ORACLE)
+def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    cleaned = F.trim(
+        F.lower(
+            F.regexp_replace(
+                F.col("text"), "[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\\s]", " "
+            )
+        )
+    )
+    tokens = F.filter(
+        F.split(cleaned, r"\s+"),
+        lambda t: (F.length(t) > 2) & ~F.array_contains(stop_arr, t),
+    )
+    return d.select(
+        "doc_id",
+        tokens.alias("lda_tokens"),
+        F.size(tokens).alias("n_lda_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens))))
+        .alias("doc_fingerprint"),
+    )
+
+
+# --- N4/N5: LDA fit + topic assignment (rows-only: no SQL oracle) -----------
+
+
+@register("q_n5_lda_topics")
+def q_n5_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit k=8 seed=42 online LDA on the documents corpus and assign
+    each doc its dominant topic + probability (SURVEY N4/N5)."""
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    model = fit_topics(d, "text", stopwords=_STOPWORDS)
+    if model is None:  # corpus under the 10-doc gate
+        return d.select("doc_id").withColumn("dominant_topic_id", F.lit(None))
+    return transform_topics(model, d, ["doc_id"])
+
+
+@register("q_n6_topic_summary")
+def q_n6_topic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words per topic from the fitted model (SURVEY N6)."""
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    model = fit_topics(d, "text", stopwords=_STOPWORDS)
+    return topic_summary(model, 10)

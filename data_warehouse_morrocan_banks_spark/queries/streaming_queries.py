@@ -1,1 +1,73 @@
-"""Placeholder — queries land here incrementally."""
+"""Streaming-semantics queries (SURVEY.md §2.14 extension).
+
+Registered in their batch-equivalent form (the driver needs a
+DataFrame + a DuckDB oracle); the genuinely streaming execution of
+the SAME plans (readStream + watermark + AvailableNow) is exercised
+in tests/test_streaming.py and asserted equal to these results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..numerics import sql_davg, sql_dsum
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+from ..streaming.events import daily_rollup_batch, sessionize_batch
+
+# --- tumbling 1-day window rollup -------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  CAST(date_trunc('day', ts) AS DATE) AS event_date,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 'total_value')},
+  {sql_davg('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_daily_rollup", oracle=_ROLLUP_ORACLE)
+def q_stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return daily_rollup_batch(table(spark, sf_dir, "events"))
+
+
+# --- session windows (gaps-and-islands ≡ F.session_window) ------------------
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                  - CAST(FLOOR(EPOCH(prev_ts)) AS BIGINT) > 1800
+            THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  {sql_dsum('value', 'session_value')}
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("q_stream_sessionize", oracle=_SESSION_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return sessionize_batch(table(spark, sf_dir, "events"), gap_minutes=30)

@@ -1,0 +1,95 @@
+"""Explicit schema contracts for every layer (SURVEY.md §1.2).
+
+The reference declares DDL + dbt column contracts; the engine mirrors
+them as StructTypes — never ``inferSchema`` (SURVEY's pinned
+decision).  Field lists follow FIXTURES.md, which consolidates
+sources.yml, the collector dataclasses, and the processed-table DDL
+(phase2_transformation_pipeline.py:210-255).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# bronze: raw_data.bank_reviews (FIXTURES.md §1)
+RAW_REVIEWS = StructType([
+    StructField("review_id", StringType(), False),
+    StructField("place_id", StringType(), False),
+    StructField("bank_name", StringType(), True),
+    StructField("branch_name", StringType(), True),
+    StructField("author_name", StringType(), True),
+    StructField("author_url", StringType(), True),
+    StructField("language", StringType(), True),
+    StructField("original_language", StringType(), True),
+    StructField("profile_photo_url", StringType(), True),
+    StructField("rating", IntegerType(), True),
+    StructField("text", StringType(), True),
+    StructField("time", LongType(), True),          # unix epoch seconds (T1)
+    StructField("translated", BooleanType(), True),
+    StructField("relative_time_description", StringType(), True),
+    StructField("collected_at", TimestampType(), False),
+])
+
+# silver: processed.bank_reviews / enriched (FIXTURES.md §2)
+NLP_ENRICHED_REVIEWS = StructType([
+    StructField("review_id", StringType(), False),
+    StructField("place_id", StringType(), True),
+    StructField("bank_name", StringType(), True),
+    StructField("branch_name", StringType(), True),
+    StructField("author_name", StringType(), True),
+    StructField("rating", IntegerType(), True),
+    StructField("original_text", StringType(), True),
+    StructField("cleaned_text", StringType(), True),
+    StructField("review_time", TimestampType(), True),
+    StructField("detected_language", StringType(), True),
+    StructField("language_confidence", DecimalType(8, 6), True),
+    StructField("sentiment_score", DecimalType(8, 6), True),
+    StructField("sentiment_label", StringType(), True),
+    StructField("sentiment_confidence", DecimalType(8, 6), True),
+    StructField("subjectivity", DecimalType(8, 6), True),
+    StructField("dominant_topic", StringType(), True),
+    StructField("topic_distribution", MapType(StringType(), DoubleType()), True),
+    StructField("word_count", IntegerType(), True),
+    StructField("char_count", IntegerType(), True),
+    StructField("review_year", IntegerType(), True),
+    StructField("review_month", StringType(), True),
+    StructField("review_quarter", IntegerType(), True),
+    StructField("day_of_week", StringType(), True),
+    StructField("is_weekend", BooleanType(), True),
+    StructField("rating_category", StringType(), True),
+    StructField("review_detail_level", StringType(), True),
+    StructField("mentions_service", BooleanType(), True),
+    StructField("mentions_waiting", BooleanType(), True),
+    StructField("mentions_fees", BooleanType(), True),
+    StructField("mentions_staff", BooleanType(), True),
+    StructField("collected_at", TimestampType(), True),
+    StructField("processed_at", TimestampType(), True),
+])
+
+# collector: BankLocation (FIXTURES.md §3)
+BANK_LOCATIONS = StructType([
+    StructField("place_id", StringType(), False),
+    StructField("name", StringType(), True),
+    StructField("bank_name", StringType(), True),
+    StructField("address", StringType(), True),
+    StructField("city", StringType(), True),
+    StructField("latitude", DoubleType(), True),
+    StructField("longitude", DoubleType(), True),
+    StructField("rating", DoubleType(), True),
+    StructField("user_ratings_total", IntegerType(), True),
+    StructField("phone_number", StringType(), True),
+    StructField("website", StringType(), True),
+    StructField("opening_hours", ArrayType(StringType()), True),
+])

@@ -1,0 +1,135 @@
+"""Review-grain mart builders (SURVEY.md §1.1 marts; the
+mart_comprehensive / BI-view layer for the warehouse path).
+
+These operate on the review-shaped silver frame (schemas.
+NLP_ENRICHED_REVIEWS) and compose the same operators the testdata
+queries exercise: conditional counts, ratio-of-aggregates, tier
+ladders, rank, lag trends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.conditional import safe_rate
+from ..numerics import davg, dsum
+
+
+def bank_performance_mart(reviews: DataFrame) -> DataFrame:
+    """vw_bank_performance_dashboard (complete_data_pipeline_fixed.py:
+    269-280): bank grain, rating histogram, sentiment rates, rank."""
+    total = F.count(F.lit(1))
+    positive = F.count(F.when(F.col("sentiment_label") == "Positive", 1))
+    agg = (
+        reviews.groupBy("bank_name")
+        .agg(
+            total.alias("total_reviews"),
+            F.countDistinct("place_id").alias("total_branches"),
+            davg("rating", "avg_rating"),
+            davg("sentiment_score", "avg_sentiment"),
+            *[
+                F.count(F.when(F.col("rating") == r, 1)).alias(f"rating_{r}_count")
+                for r in (1, 2, 3, 4, 5)
+            ],
+            positive.alias("positive_reviews"),
+            F.count(F.when(F.col("sentiment_label") == "Negative", 1))
+            .alias("negative_reviews"),
+            safe_rate(positive, total).alias("positive_percentage"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_rating").desc(), F.col("avg_sentiment").desc(),
+                       F.col("bank_name"))
+    return agg.withColumn("bank_rank", F.rank().over(w))
+
+
+def geographic_mart(reviews: DataFrame, city_col: str = "city",
+                    min_reviews: int = 5) -> DataFrame:
+    """vw_geographic_analysis (pyc phase3): city grain with argmax
+    top_bank + HAVING gate."""
+    per_bank = (
+        reviews.groupBy(city_col, "bank_name")
+        .agg(
+            F.count(F.lit(1)).alias("bank_reviews"),
+            davg("rating", "bank_avg_rating"),
+        )
+    )
+    w = Window.partitionBy(city_col).orderBy(
+        F.col("bank_avg_rating").desc(), F.col("bank_reviews").desc(),
+        F.col("bank_name"),
+    )
+    ranked = per_bank.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(city_col)
+        .agg(
+            F.sum("bank_reviews").alias("total_reviews"),
+            F.count(F.lit(1)).alias("banks_present"),
+            F.max(F.when(F.col("rn") == 1, F.col("bank_name"))).alias("top_bank"),
+        )
+        .filter(F.col("total_reviews") >= min_reviews)
+    )
+
+
+def monthly_trends_mart(reviews: DataFrame) -> DataFrame:
+    """vw_monthly_trends / vw_monthly_performance (pyc phase3): month ×
+    bank grain with LAG deltas."""
+    monthly = (
+        reviews.groupBy("bank_name", "review_year", "review_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_reviews"),
+            davg("rating", "avg_rating"),
+            davg("sentiment_score", "avg_sentiment"),
+        )
+    )
+    w = Window.partitionBy("bank_name").orderBy("review_year", "review_quarter")
+    return (
+        monthly.withColumn("prev_avg_sentiment", F.lag("avg_sentiment").over(w))
+        .withColumn(
+            "sentiment_delta",
+            F.round(F.col("avg_sentiment") - F.col("prev_avg_sentiment"), 6),
+        )
+    )
+
+
+def comprehensive_mart(reviews: DataFrame) -> DataFrame:
+    """mart_comprehensive_bank_analysis.sql:10-148: bank metrics CTE →
+    tier/risk ladders → dual rank — the reference's widest mart."""
+    total = F.count(F.lit(1))
+    negative = F.count(F.when(F.col("sentiment_label") == "Negative", 1))
+    complaints = F.count(
+        F.when(F.col("mentions_waiting") & (F.col("sentiment_score") < 0), 1)
+    )
+    metrics = (
+        reviews.groupBy("bank_name")
+        .agg(
+            total.alias("total_reviews"),
+            davg("rating", "avg_rating"),
+            davg("sentiment_score", "avg_sentiment"),
+            F.expr(
+                "sqrt(greatest(0.0, avg(sentiment_score * sentiment_score) "
+                "- avg(sentiment_score) * avg(sentiment_score)))"
+            ).alias("sentiment_volatility"),
+            negative.alias("negative_reviews"),
+            complaints.alias("wait_complaints"),
+            safe_rate(negative, total).alias("negative_rate_pct"),
+        )
+    )
+    tier = (
+        F.when(F.col("avg_rating") >= 4.5, "Excellent")
+        .when(F.col("avg_rating") >= 4.0, "Good")
+        .when(F.col("avg_rating") >= 3.0, "Average")
+        .otherwise("Below Average")
+    )
+    risk = (
+        F.when(F.col("negative_rate_pct") >= 10.0, "High Risk")
+        .when(F.col("negative_rate_pct") >= 5.0, "Moderate Risk")
+        .otherwise("Low Risk")
+    )
+    w_rating = Window.orderBy(F.col("avg_rating").desc(), F.col("bank_name"))
+    w_sent = Window.orderBy(F.col("avg_sentiment").desc(), F.col("bank_name"))
+    return (
+        metrics.withColumn("performance_tier", tier)
+        .withColumn("risk_level", risk)
+        .withColumn("rating_rank", F.rank().over(w_rating))
+        .withColumn("sentiment_rank", F.rank().over(w_sent))
+    )

@@ -1,0 +1,17 @@
+"""Structured Streaming ingest (SURVEY.md §2.14).
+
+The reference has NO streaming operators — its "real-time" is daily
+cron batch.  This package is the parity+ extension SURVEY §2.14
+specifies: the same daily-refresh semantics expressed as
+``readStream → withWatermark → window → foreachBatch`` with
+``Trigger.AvailableNow`` — incremental arrival without the full
+rebuild.
+"""
+
+from .events import (
+    daily_rollup_batch,
+    sessionize_batch,
+    stream_daily_rollup,
+)
+
+__all__ = ["daily_rollup_batch", "sessionize_batch", "stream_daily_rollup"]

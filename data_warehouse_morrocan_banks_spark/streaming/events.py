@@ -1,0 +1,115 @@
+"""Event-stream operators: tumbling-window rollups and session
+windows, in both batch and Structured Streaming form.
+
+The batch form is the semantics oracle (SQL-expressible, checked
+against DuckDB); the streaming form runs the SAME aggregation as
+``readStream`` + watermark + ``Trigger.AvailableNow`` and is asserted
+equal to the batch result in tests (tests/test_streaming.py) — the
+engine's guarantee that "daily refresh" and "streaming refresh"
+agree, which is what replaces the reference's drop-and-rebuild cron
+(SURVEY §2.14).
+
+Scale: windowed aggregation shuffles on (window, keys) — partial
+aggregation applies as in any groupBy; watermark bounds state so a
+1000-executor streaming job holds one day (+ lateness) of state, not
+history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..numerics import davg, dsum
+
+
+def _rollup(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("event_date"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def daily_rollup_batch(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day window aggregate, batch execution."""
+    return _rollup(events)
+
+
+def stream_daily_rollup(spark: SparkSession, parquet_path: str,
+                        checkpoint_dir: str, out_table: str = "stream_rollup",
+                        schema=None) -> None:
+    """The same rollup via Structured Streaming with AvailableNow.
+
+    readStream(parquet) → 1-day watermark → tumbling window → complete
+    mode into an in-memory sink. Late rows beyond the watermark drop —
+    the semantics a daily batch rebuild can't express.
+    """
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withWatermark("ts", "1 day")
+    )
+    q = (
+        _rollup(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization (the batch/SQL-oracle form of
+    ``F.session_window``): a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    One shuffle on user_id; cumulative-sum window assigns session ids.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_s)
+    ).cast("int")
+    with_ids = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "session_value"),
+        )
+    )
+
+
+def sessionize_streaming(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native streaming form via F.session_window (merging windows with
+    a dynamic gap); used with a watermark in a streaming query."""
+    return (
+        events_stream.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "session_value"))
+    )

@@ -1,0 +1,98 @@
+"""Deterministic review-shaped fixtures (FIXTURES.md §1, seed=42).
+
+~1,000 raw bank reviews with every edge the reference pipeline must
+handle: NULL/whitespace bank names, duplicate review_ids with later
+collected_at (D1), exact full-row dups (D2), blank/short/long texts
+(P3/P4), keyword triggers (F6), epoch timestamps incl. zero (T1),
+city tokens in branch names (F5), reused authors (F8).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+BANKS = [
+    "Attijariwafa Bank", "Banque Populaire", "BMCE Bank", "BMCI",
+    "Credit Agricole du Maroc", "Credit du Maroc", "CIH Bank",
+    "Societe Generale Maroc", "Al Barid Bank",
+]
+CITIES = ["Casablanca", "RABAT", "Fès", "Meknès", "Marrakech", "Tanger",
+          "Agadir", "Oujda"]
+SNIPPETS_POS = [
+    "service excellent et personnel accueillant",
+    "tres bon accueil rapide et professionnel merci",
+    "parfait je recommande cette agence top",
+]
+SNIPPETS_NEG = [
+    "attente horrible et personnel lent probleme de frais",
+    "mauvais service queue interminable a eviter",
+    "frais caches arnaque application nul jamais",
+]
+SNIPPETS_NEU = [
+    "agence bancaire classique avec guichet automatique",
+    "horaires normaux parking disponible en ligne",
+]
+
+
+def make_raw_reviews(n: int = 1000, seed: int = 42) -> list[tuple]:
+    rng = random.Random(seed)
+    base = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    rows: list[tuple] = []
+    authors = [f"author_{i}" for i in range(120)]
+    places = []
+    for i in range(181):
+        bank = BANKS[i % len(BANKS)]
+        city = CITIES[i % len(CITIES)]
+        places.append((f"place_{i:04d}", bank, f"Agence {bank} {city}"))
+
+    for i in range(n):
+        place_id, bank, branch = places[rng.randrange(len(places))]
+        author = authors[rng.randrange(len(authors))]
+        rating = rng.choices([1, 2, 3, 4, 5], weights=[8, 5, 12, 35, 40])[0]
+        pool = (
+            SNIPPETS_POS if rating >= 4
+            else SNIPPETS_NEG if rating <= 2 else SNIPPETS_NEU
+        )
+        text = pool[rng.randrange(len(pool))]
+        # edge rows
+        edge = rng.random()
+        if edge < 0.02:
+            text = ""                           # empty_text
+        elif edge < 0.04:
+            text = "ok"                         # too_short
+        elif edge < 0.05:
+            text = "tres long avis " * 500      # too_long (>5000 chars)
+        ts = int((base + timedelta(minutes=rng.randrange(0, 4 * 365 * 24 * 60)))
+                 .timestamp())
+        if edge >= 0.05 and edge < 0.06:
+            ts = 0                               # invalid epoch
+        collected = base + timedelta(days=1400, minutes=i)
+        bank_out = None if 0.06 <= edge < 0.07 else (
+            "   " if 0.07 <= edge < 0.075 else bank
+        )
+        review_id = f"{place_id}_{ts}_{author}"
+        rows.append((
+            review_id, place_id, bank_out, branch, author,
+            f"https://maps.example/u/{author}" if rng.random() > 0.2 else None,
+            "fr", None, None, rating, text, ts, False, "il y a 2 mois",
+            collected,
+        ))
+        # D1: duplicate review_id with LATER collected_at and different text
+        if 0.075 <= edge < 0.09:
+            rows.append((
+                review_id, place_id, bank_out, branch, author, None,
+                "fr", None, None, rating,
+                text + " mise a jour", ts, False, "il y a 1 mois",
+                collected + timedelta(days=3),
+            ))
+        # D2: exact full-row duplicate
+        if 0.09 <= edge < 0.10:
+            rows.append(rows[-1])
+    return rows
+
+
+def raw_reviews_df(spark, n: int = 1000, seed: int = 42):
+    from data_warehouse_morrocan_banks_spark.schemas import RAW_REVIEWS
+
+    return spark.createDataFrame(make_raw_reviews(n, seed), RAW_REVIEWS)

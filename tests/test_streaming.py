@@ -1,0 +1,37 @@
+"""Structured Streaming ≡ batch semantics (SURVEY §2.14 extension).
+
+The streaming rollup (readStream + watermark + AvailableNow) must
+produce exactly the batch rollup on the same input — the engine's
+replacement guarantee for the reference's cron full-rebuild.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+from data_warehouse_morrocan_banks_spark.streaming.events import (
+    daily_rollup_batch,
+    stream_daily_rollup,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_rollup_equals_batch(spark):
+    # parquet ns-timestamps can't feed readStream directly; re-land the
+    # events as a µs-timestamp parquet dir first (bronze landing zone).
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/events"
+        checkpoint = f"{tmp}/ckpt"
+        ev = table(spark, SF_SMOKE, "events")
+        ev.write.parquet(landing)
+
+        stream_daily_rollup(spark, landing, checkpoint, out_table="t_rollup")
+        streamed = spark.table("t_rollup")
+        batch = daily_rollup_batch(spark.read.parquet(landing))
+
+        s_rows = sorted([tuple(r) for r in streamed.collect()], key=repr)
+        b_rows = sorted([tuple(r) for r in batch.collect()], key=repr)
+        assert len(s_rows) > 0
+        assert s_rows == b_rows

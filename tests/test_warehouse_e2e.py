@@ -1,0 +1,193 @@
+"""End-to-end warehouse parity on review-shaped fixtures: the full
+reference pipeline (SURVEY §3.1/§3.2) — clean → dedup → NLP enrich →
+star build → marts — with the reference's own validation battery
+(dbt schema tests + orphan probes, SURVEY §5 / FIXTURES §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.functions.datetime import epoch_to_timestamp
+from data_warehouse_morrocan_banks_spark.nlp.features import add_review_features
+from data_warehouse_morrocan_banks_spark.nlp.language import language_detect_cols
+from data_warehouse_morrocan_banks_spark.nlp.sentiment import lexicon_sentiment_cols
+from data_warehouse_morrocan_banks_spark.operators.cleaning import (
+    data_quality_flag,
+    filter_required_keys,
+    filter_text_length,
+    impute_defaults,
+    keep_valid,
+)
+from data_warehouse_morrocan_banks_spark.operators.dedup import dedup_keep_first
+from data_warehouse_morrocan_banks_spark.plans.pipeline import (
+    PipelineRunner,
+    Stage,
+    preflight_rowcount,
+)
+from data_warehouse_morrocan_banks_spark.plans.quality import (
+    check_no_orphans,
+    check_table,
+)
+from data_warehouse_morrocan_banks_spark.star.dims import (
+    date_dim,
+    derived_dim,
+    sentiment_dim,
+    sentiment_key_expr,
+)
+from data_warehouse_morrocan_banks_spark.star.marts import (
+    bank_performance_mart,
+    comprehensive_mart,
+    geographic_mart,
+    monthly_trends_mart,
+)
+
+from .fixtures import raw_reviews_df
+
+
+def _enrich(raw):
+    """Silver build: the reference's phase-2 pipeline as ONE lazy plan
+    (SURVEY §3.2: no CSV hops, no schema-loss boundary)."""
+    cleaned = impute_defaults(
+        filter_required_keys(raw, ["review_id", "place_id"])
+    )
+    deduped = dedup_keep_first(
+        cleaned, ["review_id"],
+        [F.col("collected_at").desc(), F.col("text")],
+    )
+    in_range = filter_text_length(deduped, "text")
+    lang = language_detect_cols("text")
+    sent = lexicon_sentiment_cols("text")
+    enriched = (
+        in_range.withColumn("review_time", epoch_to_timestamp("time"))
+        .withColumn("detected_language", lang["detected_language"])
+        .withColumn("language_confidence", lang["language_confidence"])
+        .withColumn("sentiment_score", sent["sentiment_score"])
+        .withColumn("sentiment_label", sent["sentiment_label"])
+        .withColumn("sentiment_confidence", sent["sentiment_confidence"])
+        .withColumn("data_quality_flag", data_quality_flag("text"))
+        .withColumn("processed_at", F.current_timestamp())
+    )
+    return add_review_features(keep_valid(enriched))
+
+
+def test_full_warehouse_build(spark):
+    raw = raw_reviews_df(spark)
+    manifest_holder = {}
+
+    def stage_preflight(outputs):
+        return preflight_rowcount(raw, 100, "raw_reviews")
+
+    def stage_silver(outputs):
+        silver = _enrich(raw)
+        silver.cache()
+        outputs["silver_count"] = silver.count()
+        return silver
+
+    def stage_star(outputs):
+        silver = outputs["stage_silver"]
+        dim_sent = sentiment_dim(spark)
+        dim_d = date_dim(spark)
+        dim_bank = derived_dim(
+            silver, ["bank_name"], [], "bank_key", [F.col("bank_name")]
+        )
+        dim_branch = derived_dim(
+            silver, ["place_id"],
+            [F.col("branch_name"), F.col("bank_name").alias("branch_bank")],
+            "branch_key", [F.col("place_id")],
+        )
+        fact = (
+            silver.join(F.broadcast(dim_bank), "bank_name", "left")
+            .join(F.broadcast(dim_branch), "place_id", "left")
+            .withColumn("sentiment_key",
+                        sentiment_key_expr("sentiment_score", dim_sent))
+            .withColumn(
+                "date_key",
+                (F.year("review_time") * 10000 + F.month("review_time") * 100
+                 + F.dayofmonth("review_time")).cast("int"),
+            )
+            .filter(F.col("bank_key").isNotNull())
+        )
+        return {"fact": fact, "dim_bank": dim_bank, "dim_branch": dim_branch,
+                "dim_sent": dim_sent, "dim_date": dim_d}
+
+    runner = PipelineRunner([
+        Stage("stage_preflight", stage_preflight),
+        Stage("stage_silver", stage_silver),
+        Stage("stage_star", stage_star),
+    ])
+    manifest = runner.run()
+    manifest_holder["m"] = manifest
+    assert manifest.status == "ok", manifest.report_json()
+
+    silver = manifest.outputs["stage_silver"]
+    star = manifest.outputs["stage_star"]
+    fact = star["fact"]
+
+    # §5 battery — replayed dbt schema tests
+    silver_report = check_table(
+        silver,
+        not_null=["review_id", "place_id", "bank_name", "rating"],
+        accepted_values={
+            "sentiment_label": ["Positive", "Negative", "Neutral"],
+            "rating_category": ["positive", "neutral", "negative"],
+            "data_quality_flag": ["valid"],
+        },
+        ranges={"rating": (1, 5), "sentiment_score": (-1, 1),
+                "word_count": (0, float("inf"))},
+        unique=["review_id"],
+        min_rows=500,
+    )
+    assert silver_report.passed, silver_report.failures()
+
+    # G4: structural counts + zero orphaned FKs
+    assert star["dim_sent"].count() == 5
+    assert star["dim_date"].count() == 4018
+    assert check_no_orphans(fact, star["dim_bank"], "bank_key") == 0
+    assert check_no_orphans(fact, star["dim_branch"], "branch_key") == 0
+    assert fact.filter(F.col("sentiment_key").isNull()).count() == 0
+
+    # D1 semantics: duplicate review_ids collapsed to the LATEST
+    dup_check = silver.groupBy("review_id").count().filter("count > 1").count()
+    assert dup_check == 0
+
+    # marts build and classify
+    perf = bank_performance_mart(silver)
+    comp = comprehensive_mart(silver)
+    geo = geographic_mart(
+        silver.withColumn(
+            "city",
+            F.regexp_extract("branch_name", r"(\w+)$", 1),
+        )
+    )
+    trends = monthly_trends_mart(silver)
+    assert perf.count() >= 6
+    assert set(r["performance_tier"] for r in comp.collect()) <= {
+        "Excellent", "Good", "Average", "Below Average"
+    }
+    assert geo.count() > 0
+    assert trends.filter(F.col("prev_avg_sentiment").isNotNull()).count() > 0
+
+
+def test_sentiment_ladder_overlap_semantics(spark):
+    """FIXTURES §4: scores 0.5/0.6/−0.5/−0.6 must resolve by CASE
+    order (very_* first), not range containment."""
+    dim = sentiment_dim(spark)
+    keys = {r["sentiment_id"]: r["sentiment_key"] for r in dim.collect()}
+    df = spark.createDataFrame(
+        [(0.5,), (0.6,), (-0.5,), (-0.6,), (0.1,), (-0.1,), (0.0,)],
+        "score DOUBLE",
+    )
+    out = {
+        r["score"]: r["k"]
+        for r in df.select(
+            "score", sentiment_key_expr("score", dim).alias("k")
+        ).collect()
+    }
+    assert out[0.5] == keys["very_positive"]
+    assert out[0.6] == keys["very_positive"]
+    assert out[-0.5] == keys["very_negative"]
+    assert out[-0.6] == keys["very_negative"]
+    assert out[0.1] == keys["positive"]
+    assert out[-0.1] == keys["negative"]
+    assert out[0.0] == keys["neutral"]
