@@ -182,15 +182,26 @@ def q_j7_argmax_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J8_ORACLE = """
 SELECT c.c_custkey, c.c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+)
 """
 
 
 @register("q_j8_anti_join_orphans", oracle=_J8_ORACLE)
 def q_j8_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no first-year order — a non-empty orphan set at
+    every sf (the all-time variant returns 0 rows on this testdata,
+    which would make the check vacuous)."""
     ensure_query_confs(spark)
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return orphan_keys(c, o, "c_custkey").select("c_custkey", "c_name")
 
 

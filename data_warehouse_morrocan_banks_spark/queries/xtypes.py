@@ -1,0 +1,87 @@
+"""Array / map / JSON operator queries (SURVEY.md §2.12, X1-X4).
+
+X1 array literals (dim_branch services_offered), X2 map→JSON sink
+serialization (topic_distribution), X3 JSON parsing on read
+(fact ::JSONB / opening_hours), X4 small JSON documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+# X1: the reference's branch_type → services_offered array ladder
+# (dim_branch.sql:94-98), keyed here on event_type.
+_SERVICES = {
+    "purchase": ["Checkout", "Payment"],
+    "view": ["Browse"],
+    "click": ["Browse", "Interact"],
+    "signup": ["Account", "Onboarding"],
+    "error": ["Support"],
+}
+
+_X_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CASE event_type
+    WHEN 'purchase' THEN ['Checkout', 'Payment']
+    WHEN 'view' THEN ['Browse']
+    WHEN 'click' THEN ['Browse', 'Interact']
+    WHEN 'signup' THEN ['Account', 'Onboarding']
+    ELSE ['Support']
+  END AS services_offered,
+  CAST(LEN(CASE event_type
+    WHEN 'purchase' THEN ['Checkout', 'Payment']
+    WHEN 'view' THEN ['Browse']
+    WHEN 'click' THEN ['Browse', 'Interact']
+    WHEN 'signup' THEN ['Account', 'Onboarding']
+    ELSE ['Support']
+  END) AS INT) AS n_services,
+  LIST_CONTAINS(CASE event_type
+    WHEN 'purchase' THEN ['Checkout', 'Payment']
+    WHEN 'view' THEN ['Browse']
+    WHEN 'click' THEN ['Browse', 'Interact']
+    WHEN 'signup' THEN ['Account', 'Onboarding']
+    ELSE ['Support']
+  END, 'Browse') AS offers_browse,
+  TO_JSON(MAP {'topic_0': 0.5, 'topic_1': 0.25, 'topic_2': 0.25})
+    AS topic_distribution_json,
+  CAST(JSON_EXTRACT(props, '$.k') AS INT) AS props_k
+FROM events
+"""
+
+
+@register("q_x_array_map_json", oracle=_X_ORACLE)
+def q_x_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+
+    services = F.lit(None).cast("array<string>")
+    expr = F.array(F.lit("Support"))
+    for etype, svcs in reversed(list(_SERVICES.items())):
+        if etype == "error":
+            continue
+        expr = F.when(
+            F.col("event_type") == etype, F.array(*[F.lit(s) for s in svcs])
+        ).otherwise(expr)
+    services = expr
+
+    topic_map = F.create_map(
+        F.lit("topic_0"), F.lit(0.5),
+        F.lit("topic_1"), F.lit(0.25),
+        F.lit("topic_2"), F.lit(0.25),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        services.alias("services_offered"),
+        F.size(services).alias("n_services"),
+        F.array_contains(services, "Browse").alias("offers_browse"),
+        F.to_json(topic_map).alias("topic_distribution_json"),
+        F.get_json_object("props", "$.k").cast("int").alias("props_k"),
+    )

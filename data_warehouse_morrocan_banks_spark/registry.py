@@ -78,6 +78,7 @@ def _load_all() -> None:
         star_queries,
         streaming_queries,
         windows,
+        xtypes,
     )
 
     _LOADED = True

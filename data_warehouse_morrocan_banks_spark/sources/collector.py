@@ -1,0 +1,119 @@
+"""Collection driver (SURVEY.md §2.1 S1-S4, §3.3).
+
+The reference collects Google-Maps bank locations/reviews with nested
+bank × city loops, a 2 s rate limit, seen-place dedup, and JSON
+landing files (google_maps_collector.py:142-183; morocco_banks_
+collection.py:60-111).  API ingestion is inherently driver-side
+(network-bound, quota-limited); the engine keeps the loop in the
+driver but lands straight into DataFrames/parquet — the distributed
+part starts at the landing zone.
+
+The API client is injected (``fetch_locations`` / ``fetch_reviews``
+callables) so tests run a deterministic fake and a real deployment
+plugs an HTTP client — the engine takes no network dependency.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import API_CALL_DELAY_S, MAX_REVIEWS_PER_LOCATION
+from ..schemas import BANK_LOCATIONS, RAW_REVIEWS
+
+FetchLocations = Callable[[str, str], list[dict[str, Any]]]
+FetchReviews = Callable[[str], list[dict[str, Any]]]
+
+
+@dataclass
+class CollectionStats:
+    """G5-shaped run report for a collection pass."""
+    api_calls: int = 0
+    locations: int = 0
+    reviews: int = 0
+    skipped_duplicates: int = 0
+    per_bank: dict[str, int] = field(default_factory=dict)
+
+
+def collect(
+    spark: SparkSession,
+    banks: Iterable[str],
+    cities: Iterable[str],
+    fetch_locations: FetchLocations,
+    fetch_reviews: FetchReviews,
+    delay_s: float = API_CALL_DELAY_S,
+    max_reviews_per_location: int = MAX_REVIEWS_PER_LOCATION,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[DataFrame, DataFrame, CollectionStats]:
+    """S3: the bank × city collection loop.
+
+    Rate-limits between API calls (S3), dedups on place_id during
+    collection (D4), caps reviews per location (quota ceiling), and
+    returns (locations_df, reviews_df, stats) with the declared
+    schemas — ready for ``writers.write_json``/``write_table`` landing.
+    """
+    seen_place_ids: set[str] = set()
+    locations: list[tuple] = []
+    reviews: list[tuple] = []
+    stats = CollectionStats()
+
+    for bank in banks:
+        for city in cities:
+            stats.api_calls += 1
+            found = fetch_locations(bank, city)
+            sleep(delay_s)
+            for loc in found:
+                pid = loc["place_id"]
+                if pid in seen_place_ids:  # D4
+                    stats.skipped_duplicates += 1
+                    continue
+                seen_place_ids.add(pid)
+                locations.append((
+                    pid, loc.get("name"), bank, loc.get("address"), city,
+                    loc.get("latitude"), loc.get("longitude"),
+                    loc.get("rating"), loc.get("user_ratings_total"),
+                    loc.get("phone_number"), loc.get("website"),
+                    loc.get("opening_hours"),
+                ))
+                stats.api_calls += 1
+                fetched = fetch_reviews(pid)[:max_reviews_per_location]
+                sleep(delay_s)
+                for rv in fetched:
+                    # D5: synthetic composite key
+                    rid = f"{pid}_{rv['time']}_{rv.get('author_name', '')}"
+                    reviews.append((
+                        rid, pid, bank, loc.get("name"),
+                        rv.get("author_name"), rv.get("author_url"),
+                        rv.get("language"), rv.get("original_language"),
+                        rv.get("profile_photo_url"), rv.get("rating"),
+                        rv.get("text"), rv.get("time"),
+                        rv.get("translated", False),
+                        rv.get("relative_time_description"),
+                        rv["collected_at"],
+                    ))
+                stats.per_bank[bank] = stats.per_bank.get(bank, 0) + len(fetched)
+
+    stats.locations = len(locations)
+    stats.reviews = len(reviews)
+    loc_df = spark.createDataFrame(locations, BANK_LOCATIONS)
+    rev_df = spark.createDataFrame(reviews, RAW_REVIEWS)
+    return loc_df, rev_df, stats
+
+
+def validate_collection(stats: CollectionStats, banks: Iterable[str],
+                        min_locations: int = 50) -> list[str]:
+    """G3/G4 collection checks (morocco_banks_collection.py:113-141):
+    min-location warning + per-bank presence."""
+    warnings = []
+    if stats.locations < min_locations:
+        warnings.append(
+            f"only {stats.locations} locations collected (< {min_locations})"
+        )
+    for bank in banks:
+        if stats.per_bank.get(bank, 0) == 0:
+            warnings.append(f"no reviews collected for {bank}")
+    return warnings

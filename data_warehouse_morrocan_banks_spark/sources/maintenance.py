@@ -1,0 +1,70 @@
+"""Landing-zone maintenance (SURVEY.md §2.1 S13-S14).
+
+The reference snapshots tables to CSV per run date and deletes
+data/log files past retention (morocco_banks_collection.py:181-213).
+Driver-side path metadata work — the data never moves through
+executors.  With a Delta/Iceberg table layer this becomes VACUUM /
+expire_snapshots; on raw parquet paths it is explicit pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass
+
+from ..config import RETENTION_DATA_DAYS, RETENTION_LOG_DAYS
+
+_TS_PATTERN = re.compile(r"(\d{8})")  # yyyymmdd embedded in the name
+
+
+@dataclass
+class CleanupResult:
+    removed: list[str]
+    kept: list[str]
+
+
+def _age_days(path: str, now: float) -> float:
+    """Prefer the timestamp embedded in the filename (the reference
+    parses it, S14); fall back to mtime."""
+    m = _TS_PATTERN.search(os.path.basename(path))
+    if m:
+        try:
+            ts = time.mktime(time.strptime(m.group(1), "%Y%m%d"))
+            return (now - ts) / 86400.0
+        except ValueError:
+            pass
+    return (now - os.path.getmtime(path)) / 86400.0
+
+
+def cleanup_old_artifacts(root: str, max_age_days: float = RETENTION_DATA_DAYS,
+                          now: float | None = None) -> CleanupResult:
+    """S14: remove files/dirs under ``root`` older than the retention
+    window.  Returns what was removed vs kept (for the run report)."""
+    now = now if now is not None else time.time()
+    removed, kept = [], []
+    if not os.path.isdir(root):
+        return CleanupResult(removed, kept)
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if _age_days(path, now) > max_age_days:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+            removed.append(name)
+        else:
+            kept.append(name)
+    return CleanupResult(removed, kept)
+
+
+def cleanup_old_logs(root: str, now: float | None = None) -> CleanupResult:
+    """S14 variant: the longer log-retention window."""
+    return cleanup_old_artifacts(root, RETENTION_LOG_DAYS, now)
+
+
+def snapshot_path(base: str, table: str, run_date: str) -> str:
+    """S13: per-run-date CSV snapshot directory naming."""
+    return os.path.join(base, f"{table}_backup_{run_date}")

@@ -1,0 +1,68 @@
+"""Physical-plan audits (SURVEY §4; the 100 TB posture checks).
+
+The correctness gate says WHAT the operators compute; these tests pin
+HOW Catalyst executes them — broadcast joins stay broadcast, filters
+reach the parquet scan, aggregates keep map-side partial phases,
+anti-joins don't degenerate. A plan regression here is a scale bug
+even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from data_warehouse_morrocan_banks_spark import registry
+
+from .conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_ORACLE)
+    df.collect()  # materialize THIS plan so AQE finalizes
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_a1_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q_a1_pricing_summary")
+    # filter reaches the parquet reader
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    # two-phase hash aggregation (partial + final around one exchange)
+    assert plan.count("HashAggregate") >= 2
+    assert "codegen id" in plan  # whole-stage codegen spans exist
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q_j1_broadcast_dim_join", "q_j5_regional_revenue",
+                 "q_mart_dashboard"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_anti_join_stays_broadcast(spark):
+    plan = _plan(spark, "q_j8_anti_join_orphans")
+    assert "LeftAnti" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q_f_string_suite")
+    # the part scan must not read p_retailprice (unused)
+    assert "p_retailprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q_o2_topk_orders")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    # 3-row bucket dim: nested-loop over a broadcast is the right plan
+    plan = _plan(spark, "q_j6_range_bucket_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1,0 +1,127 @@
+"""S-family coverage: collection driver, sink/reader round-trips,
+retention maintenance (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.schemas import RAW_REVIEWS
+from data_warehouse_morrocan_banks_spark.sources.collector import (
+    collect,
+    validate_collection,
+)
+from data_warehouse_morrocan_banks_spark.sources.maintenance import (
+    cleanup_old_artifacts,
+    snapshot_path,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_latest_csv,
+)
+from data_warehouse_morrocan_banks_spark.sources.writers import (
+    write_csv_snapshot,
+    write_json,
+    write_table,
+)
+
+from .fixtures import raw_reviews_df
+
+
+def _fake_clients():
+    """Deterministic in-memory 'API': 2 locations per (bank, city),
+    3 reviews each, one duplicate place across cities (exercises D4)."""
+    def fetch_locations(bank, city):
+        locs = [
+            {"place_id": f"{bank}_{city}_{i}", "name": f"{bank} {city} {i}",
+             "address": f"{i} rue {city}", "latitude": 33.5, "longitude": -7.6,
+             "rating": 4.0, "user_ratings_total": 10}
+            for i in range(2)
+        ]
+        locs.append({"place_id": f"{bank}_shared", "name": f"{bank} HQ",
+                     "address": "hq", "latitude": 34.0, "longitude": -6.8,
+                     "rating": 4.5, "user_ratings_total": 99})
+        return locs
+
+    def fetch_reviews(place_id):
+        return [
+            {"author_name": f"user{j}", "rating": 4, "text": f"avis {j} ok bien",
+             "time": 1_600_000_000 + j, "language": "fr",
+             "collected_at": datetime(2024, 1, 1, tzinfo=timezone.utc)}
+            for j in range(3)
+        ]
+
+    return fetch_locations, fetch_reviews
+
+
+def test_collect_loop_dedup_and_stats(spark):
+    fl, fr = _fake_clients()
+    slept = []
+    loc, rev, stats = collect(
+        spark, ["BankA", "BankB"], ["Casa", "Rabat"], fl, fr,
+        delay_s=0.01, sleep=slept.append,
+    )
+    # shared place dedup: BankA_shared seen in Casa, skipped in Rabat
+    assert stats.skipped_duplicates == 2
+    assert loc.count() == stats.locations == 10
+    assert rev.count() == stats.reviews == 30
+    assert loc.filter(F.col("place_id") == "BankA_shared").count() == 1
+    # rate limiter engaged per API call
+    assert len(slept) == stats.api_calls
+    # review_id is the D5 synthetic key
+    rid = rev.select("review_id").first()[0]
+    assert rid.count("_") >= 2
+    warnings = validate_collection(stats, ["BankA", "BankB", "BankC"])
+    assert any("BankC" in w for w in warnings)
+    assert any("locations" in w for w in warnings)  # < 50
+
+
+def test_sink_reader_roundtrips(spark, tmp_path):
+    df = raw_reviews_df(spark, n=50)
+    # S10 CTAS parquet
+    p = str(tmp_path / "tbl")
+    write_table(df, p)
+    assert spark.read.parquet(p).count() == df.count()
+    # S4 JSON round trip
+    j = str(tmp_path / "json")
+    write_json(df.select("review_id", "place_id", "rating"), j)
+    back = read_json(
+        spark, j,
+        df.select("review_id", "place_id", "rating").schema,
+    )
+    assert back.count() == df.count()
+    # S5/S13 CSV snapshot + S6 latest-file pick
+    c1 = str(tmp_path / "snap_20240101")
+    c2 = str(tmp_path / "snap_20240102")
+    small = df.select("review_id", "rating")
+    write_csv_snapshot(small, c1)
+    time.sleep(0.05)
+    write_csv_snapshot(small.limit(10), c2)
+    latest = read_latest_csv(spark, str(tmp_path / "snap_*/*.csv"), small.schema)
+    assert latest.count() == 10
+    direct = read_csv(spark, f"{c1}/*.csv", small.schema)
+    assert direct.count() == small.count()
+
+
+def test_retention_cleanup(tmp_path):
+    old = tmp_path / "reviews_20200101.json"
+    new = tmp_path / "reviews_20991231.json"
+    old.write_text("{}")
+    new.write_text("{}")
+    res = cleanup_old_artifacts(str(tmp_path), max_age_days=7)
+    assert res.removed == ["reviews_20200101.json"]
+    assert res.kept == ["reviews_20991231.json"]
+    assert snapshot_path("/base", "bank_locations", "20240101").endswith(
+        "bank_locations_backup_20240101"
+    )
+
+
+def test_p9_limit_probe(spark):
+    """P9: LIMIT smoke probe (test_phase2_simple.py:43-50)."""
+    df = raw_reviews_df(spark, n=50).limit(10)
+    assert df.count() == 10
+    assert df.schema == RAW_REVIEWS
