@@ -32,6 +32,8 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_exact_content",
     "q_ann_cosine_topk",
+    "q_mart_drill_topk",
+    "q_stream_daily_rollup",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Scale mechanics (SURVEY.md §4): the operators that exist purely
+for the 100 TB posture.
+
+- **Salted joins**: when one join key carries a disproportionate row
+  share, a plain hash join sends the whole hot key to one task.
+  Salting fans the hot side across ``salt_buckets`` partitions and
+  replicates the small side per salt — an explicit fallback for when
+  AQE's skew-join splitting can't apply (e.g. broadcast-ineligible
+  dimensions).
+- **Bucketed writes**: the engine's replacement for the reference's
+  btree indexes (SURVEY §4) — co-locating fact and dim on the join
+  key at write time removes the shuffle from every downstream join.
+- **approx_count_distinct**: exact COUNT(DISTINCT) shuffles every
+  distinct value; HLL sketches cap the state at kilobytes per group
+  — the 100 TB default, with exact mode kept for dims and audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, explode the small.
+
+    big gains a uniform ``__salt`` per row; small is replicated once
+    per salt value; the join key becomes (key, __salt), splitting a
+    hot key across ``salt_buckets`` tasks.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(salt_buckets)])
+    ).alias("__salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 32, sort_col: str | None = None,
+                   path: str | None = None) -> None:
+    """Bucket + sort-on-write (the 'index'): downstream equi-joins and
+    point lookups on ``bucket_col`` skip the shuffle entirely when
+    both sides share the bucketing."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def distinct_count(col: str, exact: bool = False, rsd: float = 0.05) -> Column:
+    """A3 dual mode: exact for dims/audits, HLL sketch for 100 TB."""
+    return (
+        F.countDistinct(col) if exact
+        else F.approx_count_distinct(col, rsd=rsd)
+    )

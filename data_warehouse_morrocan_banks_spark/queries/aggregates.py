@@ -371,3 +371,33 @@ def q_a10_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- A10b: exact quantile profile (engine extension of the pandas
+# median/profile block) — interpolated percentiles, not approx, so the
+# DuckDB quantile_cont oracle matches element-for-element.
+
+_A12_ORACLE = """
+SELECT
+  event_type,
+  QUANTILE_CONT(value, [0.25, 0.5, 0.75]) AS value_quartiles,
+  CAST(QUANTILE_CONT(value, 0.95) AS DOUBLE) AS p95_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_a12_quantiles", oracle=_A12_ORACLE)
+def q_a12_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+            .alias("value_quartiles"),
+            F.expr("CAST(percentile(value, 0.95D) AS DOUBLE)").alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -284,3 +284,47 @@ def q_mart_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_profile"),
         F.rank().over(w).alias("spend_rank"),
     )
+
+
+# --- Composite pipeline shape (TPC-H Q3 style): selective filters on
+# two tables → co-keyed join → agg → top-k. The canonical "BI drill"
+# the reference's dashboard queries approximate; exercises pushdown +
+# shuffle join + TakeOrderedAndProject in one plan.
+
+_Q3_ORACLE = f"""
+SELECT
+  l.l_orderkey,
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q_mart_drill_topk", oracle=_Q3_ORACLE)
+def q_mart_drill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

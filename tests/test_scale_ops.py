@@ -1,0 +1,57 @@
+"""Scale-mechanics correctness: salted join ≡ plain join, bucketed
+write round-trip without exchange, HLL within tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.scale import (
+    distinct_count,
+    salted_join,
+    write_bucketed,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    o = table(spark, SF_SMOKE, "orders")
+    c = table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        o.join(c, "o_custkey", "inner")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", salt_buckets=8)
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_write_skips_shuffle(spark, tmp_path):
+    # warehouse.dir is a static conf; an explicit table path suffices
+    o = table(spark, SF_SMOKE, "orders")
+    write_bucketed(
+        o, "orders_bucketed", "o_custkey", n_buckets=8, sort_col="o_custkey",
+        path=str(tmp_path / "orders_b"),
+    )
+    b = spark.table("orders_bucketed")
+    agg = b.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # bucketing removes the aggregation exchange on the bucket key
+    assert "Exchange" not in plan
+    assert b.count() == o.count()
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_approx_distinct_tolerance(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    row = ev.agg(
+        distinct_count("user_id", exact=True).alias("exact"),
+        distinct_count("user_id").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
