@@ -46,11 +46,18 @@ def clean_text_whitelist(col: Column | str) -> Column:
 
 
 def word_count(col: Column | str) -> Column:
-    """F7: whitespace word count, pandas semantics (blank/empty → 0)."""
+    """F7: whitespace word count, pandas semantics (blank or
+    whitespace-only → 0).
+
+    Explicit ``[ \\t\\n\\r]`` class rather than ``\\s``: SQL TRIM
+    strips spaces only (a "\\n" input would otherwise count 2), and
+    Java/RE2 disagree on ``\\s`` membership (\\x0B) — the explicit
+    class is identical in Spark, DuckDB, and the pandas reference.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+    stripped = F.regexp_replace(c, r"^[ \t\n\r]+|[ \t\n\r]+$", "")
+    return F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"[ \t\n\r]+"))
     )
 
 

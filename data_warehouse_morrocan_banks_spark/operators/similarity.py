@@ -139,6 +139,64 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     return out
 
 
+def ivf_search(corpus: DataFrame, queries: DataFrame,
+               centroids: list[tuple[int, list[float]]], k: int,
+               nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """IVF-bucketed ANN search: probe only the ``nprobe`` buckets
+    nearest to each query.
+
+    Plan shape: corpus bucketed once (map-only), queries' probe list
+    broadcast, equi-join on bucket_id replaces the cross join — the
+    candidate set shrinks from N to ~N·nprobe/K before any scoring.
+    Recall vs the brute-force baseline is measured in tests (the
+    correctness trade is explicit, not silent).
+    """
+    from pyspark.sql import Window
+
+    bucketed = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col), as_double_array(vec_col).alias("__cvec"), "bucket_id"
+    )
+
+    # per-query nprobe nearest centroids, computed driver-side is wrong
+    # at scale — instead reuse ivf_assign on the (small) query set per
+    # probe rank: rank centroids per query via posexplode of scores.
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("__qvec")
+    )
+    scores = []
+    for cid, cvec in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        scores.append(F.struct(
+            (dot(F.col("__qvec"), arr)
+             / (l2_norm(F.col("__qvec")) * l2_norm(arr))).alias("sim"),
+            F.lit(cid).alias("bucket_id"),
+        ))
+    probes = (
+        q.withColumn("__cand", F.explode(F.slice(
+            F.sort_array(F.array(*scores), asc=False), 1, nprobe)))
+        .select(query_id_col, "__qvec", F.col("__cand.bucket_id").alias("bucket_id"))
+    )
+
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket_id", "inner")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
                 bits: int = 16) -> DataFrame:
     """DataFrame-level simhash — the scale form.

@@ -18,8 +18,11 @@ def _c(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
-    c = F.trim(_c(col))
-    return F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+    # explicit class, not \s — see functions.text.word_count
+    stripped = F.regexp_replace(_c(col), r"^[ \t\n\r]+|[ \t\n\r]+$", "")
+    return F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"[ \t\n\r]+"))
+    )
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

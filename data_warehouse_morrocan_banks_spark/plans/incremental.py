@@ -1,0 +1,62 @@
+"""Incremental refresh (SURVEY.md §4 roadmap: "incremental MERGE as
+extension").
+
+The reference rebuilds the whole warehouse every run (DROP CASCADE +
+CTAS).  At 100 TB a full rebuild is not a plan; the engine's
+incremental path:
+
+- **Partition-scoped overwrite**: facts partition by a date column;
+  a refresh overwrites ONLY the partitions present in the new batch
+  (``partitionOverwriteMode=dynamic``) — idempotent like the
+  reference's rebuild, but touching one day, not ten years.
+- **Streaming upsert**: ``foreachBatch`` applies the same
+  partition-scoped overwrite per micro-batch, giving MERGE-like
+  day-level upsert semantics on plain parquet (a table format —
+  Delta/Iceberg — would upgrade this to row-level MERGE; the call
+  site stays the same).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Initial load: date-partitioned parquet layout."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def upsert_partitions(spark: SparkSession, batch: DataFrame, path: str,
+                      partition_col: str) -> None:
+    """Overwrite only the partitions the batch touches (dynamic mode);
+    all other partitions are untouched — the incremental form of the
+    reference's idempotent rebuild."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def streaming_upsert(spark: SparkSession, source_path: str, target_path: str,
+                     checkpoint: str, partition_col: str,
+                     transform=None) -> None:
+    """foreachBatch incremental load: land micro-batches into the
+    partitioned target with partition-scoped overwrite semantics."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        upsert_partitions(spark, batch, target_path, partition_col)
+
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+        .start()
+        .awaitTermination()
+    )
+
+
+def with_event_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn("event_date", F.col(ts_col).cast("date"))

@@ -272,8 +272,10 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_ORACLE = rf"""
 WITH stats AS (
   SELECT doc_id,
-    CASE WHEN TRIM(text) = '' THEN 0
-         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+    CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
+           REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+           '[ \t\n\r]+')) AS INT)
     END AS n_words,
     CASE WHEN LENGTH(text) > 0 THEN
       ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE)
@@ -320,8 +322,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_ORACLE = rf"""
 SELECT doc_id,
-  CASE WHEN TRIM(text) = '' THEN 0
-       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+  CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
+       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
+         REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+         '[ \t\n\r]+')) AS INT)
   END AS ws_tokens,
   CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
   CAST(LIST_REDUCE(
@@ -356,3 +360,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     media = media_from_text(d, "doc_id", "text")
     return decode_media(media)
+
+
+@register("q_ann_ivf_search")
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search path (rows-only): probe the 3 nearest of 8
+    buckets per query, top-10 within candidates. Recall vs brute force
+    is asserted ≥0.5 in tests/test_similarity.py — the explicit
+    speed/recall trade of the 100 TB plan."""
+    from ..operators.similarity import ivf_search
+
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    return ivf_search(emb, probes, centroids, k=10, nprobe=3)

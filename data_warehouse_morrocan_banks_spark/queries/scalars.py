@@ -117,8 +117,10 @@ SELECT
   TRIM(LOWER(REGEXP_REPLACE(text,
     '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\s]', ' ', 'g'))) AS cleaned_text,
   LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS normalized_text,
-  CASE WHEN TRIM(text) = '' THEN 0
-       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INT)
+  CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
+       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
+         REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+         '[ \t\n\r]+')) AS INT)
   END AS n_words,
   CAST(LENGTH(text) AS INT) AS n_chars_computed
 FROM documents

@@ -1,0 +1,54 @@
+"""Incremental refresh semantics: dynamic partition overwrite touches
+only the partitions in the batch; streaming upsert lands the same
+state as a batch load."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.plans.incremental import (
+    streaming_upsert,
+    upsert_partitions,
+    with_event_date,
+    write_partitioned,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_SMOKE
+
+
+def test_partition_scoped_upsert(spark, tmp_path):
+    target = str(tmp_path / "fact")
+    ev = with_event_date(table(spark, SF_SMOKE, "events"))
+    days = sorted(r["event_date"] for r in ev.select("event_date").distinct().collect())
+    d0, d1 = days[0], days[1]
+
+    write_partitioned(ev.filter(F.col("event_date").isin([d0, d1])),
+                      target, "event_date")
+    before = spark.read.parquet(target)
+    d0_before = before.filter(F.col("event_date") == d0).count()
+    assert d0_before > 0
+
+    # "corrected" reload of day d1 only: half the rows
+    corrected = ev.filter(F.col("event_date") == d1).filter(
+        F.col("event_id") % 2 == 0
+    )
+    upsert_partitions(spark, corrected, target, "event_date")
+
+    after = spark.read.parquet(target)
+    # d0 untouched, d1 replaced with the corrected subset
+    assert after.filter(F.col("event_date") == d0).count() == d0_before
+    assert after.filter(F.col("event_date") == d1).count() == corrected.count()
+
+
+def test_streaming_upsert_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    ev = with_event_date(table(spark, SF_SMOKE, "events"))
+    ev.write.parquet(src)
+
+    streaming_upsert(spark, src, tgt, ckpt, "event_date")
+    out = spark.read.parquet(tgt)
+    assert out.count() == ev.count()
+    assert sorted(out.columns) == sorted(ev.columns)

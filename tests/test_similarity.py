@@ -1,0 +1,70 @@
+"""Similarity-search invariants: IVF recall vs brute force, MinHash
+candidate sanity, LDA structural invariants (SURVEY §7 hard-part 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_search,
+    minhash_lsh_pairs,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def _centroids(emb, n=8):
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n).collect()
+    ]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=10)
+    approx = ivf_search(emb, probes, _centroids(emb), k=10, nprobe=3)
+
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # nprobe=3 of 8 buckets: recall must beat the random-bucket floor
+    # by a wide margin; exact value is data-dependent, the invariant is
+    # "bucketing concentrates true neighbors".
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    # and the candidate set must actually shrink (the point of IVF)
+    assert approx.count() <= exact.count()
+
+
+def test_minhash_pairs_are_plausible(spark):
+    d = table(spark, SF_SMOKE, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+    rows = pairs.collect()
+    for r in rows[:20]:
+        assert 0.9 <= r["jaccard_sim"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+
+
+def test_lda_structural_invariants(spark):
+    from data_warehouse_morrocan_banks_spark.config import LDA_K
+    from data_warehouse_morrocan_banks_spark.nlp.topics import (
+        fit_topics,
+        topic_summary,
+        transform_topics,
+    )
+
+    d = table(spark, SF_SMOKE, "documents")
+    model = fit_topics(d, "text", stopwords=["the", "a"])
+    assert model is not None
+    topics = transform_topics(model, d, ["doc_id"])
+    rows = topics.collect()
+    assert len(rows) == d.count()
+    assert all(0 <= r["dominant_topic_id"] < LDA_K for r in rows)
+    assert all(0.0 < r["topic_probability"] <= 1.0 for r in rows)
+    summary = topic_summary(model, 10)
+    srows = summary.collect()
+    assert len(srows) == LDA_K
+    assert all(len(r["top_words"]) == 10 for r in srows)
