@@ -91,6 +91,50 @@ def monthly_trends_mart(reviews: DataFrame) -> DataFrame:
     )
 
 
+def topic_analysis_mart(reviews: DataFrame,
+                        topic_col: str = "dominant_topic") -> DataFrame:
+    """int_nlp_analytics.sql:14-76: topic grain with ILIKE
+    topic_category ladder and |sentiment|-weighted influence scoring.
+
+    Falls back to the mention flags when no LDA topic column exists
+    (the deterministic path; the LDA path plugs the same grain).
+    """
+    if topic_col not in reviews.columns:
+        topic = (
+            F.when(F.col("mentions_waiting"), "Wait Times")
+            .when(F.col("mentions_fees"), "Fees & Pricing")
+            .when(F.col("mentions_staff"), "Staff & Personnel")
+            .when(F.col("mentions_service"), "Customer Service")
+            .otherwise("General Experience")
+        )
+        reviews = reviews.withColumn(topic_col, topic)
+    up = F.upper(F.col(topic_col))
+    category = (
+        F.when(up.like("%SERVICE%") | up.like("%STAFF%"), "service_quality")
+        .when(up.like("%WAIT%") | up.like("%TIME%"), "operational_efficiency")
+        .when(up.like("%FEE%") | up.like("%PRICING%"), "pricing")
+        .when(up.like("%DIGITAL%") | up.like("%APP%"), "digital_experience")
+        .otherwise("general")
+    )
+    influence = F.abs(F.col("sentiment_score")) * F.when(
+        F.col("word_count") >= 50, 1.5
+    ).when(F.col("word_count") >= 20, 1.2).otherwise(1.0)
+    return (
+        reviews.withColumn("topic_category", category)
+        .withColumn("review_influence", influence)
+        .groupBy(topic_col, "topic_category")
+        .agg(
+            F.count(F.lit(1)).alias("n_reviews"),
+            davg("rating", "avg_rating"),
+            davg("sentiment_score", "avg_sentiment"),
+            dsum("review_influence", "total_influence"),
+            F.concat_ws(
+                ", ", F.sort_array(F.collect_set("bank_name"))
+            ).alias("banks_with_topic"),
+        )
+    )
+
+
 def comprehensive_mart(reviews: DataFrame) -> DataFrame:
     """mart_comprehensive_bank_analysis.sql:10-148: bank metrics CTE →
     tier/risk ladders → dual rank — the reference's widest mart."""

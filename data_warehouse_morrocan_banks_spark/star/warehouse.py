@@ -1,0 +1,199 @@
+"""The complete warehouse build — one callable replacing the
+reference's three Airflow DAGs (SURVEY.md §3.1-§3.3).
+
+``build_warehouse(spark, raw_reviews)`` runs the whole ELT as one
+lazy composition: clean → dedup → NLP-enrich (silver) → dims → fact
+(gold) → marts → BI views, in the dbt models_order (G6), with the §5
+quality battery and a G5 run manifest.  A user of the reference
+switches by pointing this at their landed raw reviews.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime import date_key, epoch_to_timestamp
+from ..nlp.features import add_review_features
+from ..nlp.language import language_detect_cols
+from ..nlp.sentiment import lexicon_sentiment_cols
+from ..operators.cleaning import (
+    data_quality_flag,
+    filter_required_keys,
+    filter_text_length,
+    impute_defaults,
+    keep_valid,
+)
+from ..operators.dedup import dedup_keep_first
+from ..plans.pipeline import PipelineRunner, RunManifest, Stage, preflight_rowcount
+from ..plans.quality import QualityReport, check_no_orphans, check_table
+from .dims import date_dim, derived_dim, sentiment_dim, sentiment_key_expr
+from .marts import (
+    bank_performance_mart,
+    comprehensive_mart,
+    geographic_mart,
+    monthly_trends_mart,
+    topic_analysis_mart,
+)
+
+
+@dataclass
+class Warehouse:
+    silver: DataFrame
+    dim_sentiment: DataFrame
+    dim_date: DataFrame
+    dim_bank: DataFrame
+    dim_branch: DataFrame
+    fact_reviews: DataFrame
+    marts: dict[str, DataFrame]
+    quality: QualityReport
+    manifest: RunManifest
+
+    def register_views(self, spark: SparkSession, prefix: str = "") -> list[str]:
+        """S11/G7: expose every layer as temp views (staging=view
+        policy); marts stay DataFrames for the caller to persist."""
+        names = []
+        tables = {
+            "stg_bank_reviews": self.silver,
+            "dim_sentiment": self.dim_sentiment,
+            "dim_date": self.dim_date,
+            "dim_bank": self.dim_bank,
+            "dim_branch": self.dim_branch,
+            "fact_reviews": self.fact_reviews,
+            **{f"mart_{k}": v for k, v in self.marts.items()},
+        }
+        for name, df in tables.items():
+            full = f"{prefix}{name}"
+            df.createOrReplaceTempView(full)
+            names.append(full)
+        return names
+
+
+def enrich_reviews(raw: DataFrame) -> DataFrame:
+    """Bronze → silver: the reference's phase-2 pipeline as ONE lazy
+    plan (SURVEY §3.2 — the CSV hops and INSERT loops disappear)."""
+    cleaned = impute_defaults(filter_required_keys(raw, ["review_id", "place_id"]))
+    deduped = dedup_keep_first(
+        cleaned, ["review_id"], [F.col("collected_at").desc(), F.col("text")]
+    )
+    in_range = filter_text_length(deduped, "text")
+    lang = language_detect_cols("text")
+    sent = lexicon_sentiment_cols("text")
+    enriched = (
+        in_range.withColumn("review_time", epoch_to_timestamp("time"))
+        .withColumn("detected_language", lang["detected_language"])
+        .withColumn("language_confidence", lang["language_confidence"])
+        .withColumn("sentiment_score", sent["sentiment_score"])
+        .withColumn("sentiment_label", sent["sentiment_label"])
+        .withColumn("sentiment_confidence", sent["sentiment_confidence"])
+        .withColumn("data_quality_flag", data_quality_flag("text"))
+        .withColumn("processed_at", F.current_timestamp())
+    )
+    return add_review_features(keep_valid(enriched))
+
+
+def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
+                    min_rows: int = 1) -> Warehouse:
+    """Run the full star-schema build with staged retries + manifest."""
+    from ..session import ensure_query_confs
+
+    ensure_query_confs(spark)  # AQE partition coalescing on externally built sessions
+
+    def stage_preflight(outputs):
+        return preflight_rowcount(raw_reviews, min_rows, "raw_reviews")
+
+    def stage_silver(outputs):
+        silver = enrich_reviews(raw_reviews)
+        silver.cache()  # G7: intermediate=table policy → cached once
+        silver.count()
+        return silver
+
+    def stage_dims(outputs):
+        silver = outputs["silver"]
+        return {
+            "dim_sentiment": sentiment_dim(spark),
+            "dim_date": date_dim(spark),
+            "dim_bank": derived_dim(
+                silver, ["bank_name"], [], "bank_key", [F.col("bank_name")]
+            ),
+            "dim_branch": derived_dim(
+                silver, ["place_id"],
+                [F.col("branch_name"), F.col("bank_name").alias("branch_bank")],
+                "branch_key", [F.col("place_id")],
+            ),
+        }
+
+    def stage_fact(outputs):
+        silver, dims = outputs["silver"], outputs["dims"]
+        return (
+            silver.join(F.broadcast(dims["dim_bank"]), "bank_name", "left")
+            .join(F.broadcast(dims["dim_branch"]), "place_id", "left")
+            .withColumn(
+                "sentiment_key",
+                sentiment_key_expr("sentiment_score", dims["dim_sentiment"]),
+            )
+            .withColumn("date_key", date_key("review_time"))
+            .filter(F.col("bank_key").isNotNull())   # J1 null-filter ≡ inner
+        )
+
+    def stage_marts(outputs):
+        silver = outputs["silver"]
+        return {
+            "bank_performance": bank_performance_mart(silver),
+            "comprehensive": comprehensive_mart(silver),
+            "monthly_trends": monthly_trends_mart(silver),
+            "geographic": geographic_mart(
+                silver.withColumn(
+                    "city", F.regexp_extract("branch_name", r"(\w+)$", 1)
+                )
+            ),
+            "topic_analysis": topic_analysis_mart(silver),
+        }
+
+    runner = PipelineRunner([
+        Stage("preflight", stage_preflight),
+        Stage("silver", stage_silver),
+        Stage("dims", stage_dims),
+        Stage("fact", stage_fact),
+        Stage("marts", stage_marts),
+    ])
+    manifest = runner.run()
+    if manifest.status != "ok":
+        raise RuntimeError(f"warehouse build failed: {manifest.report_json()}")
+
+    silver = manifest.outputs["silver"]
+    dims = manifest.outputs["dims"]
+    fact = manifest.outputs["fact"]
+
+    # §5/G4 battery
+    quality = check_table(
+        silver,
+        not_null=["review_id", "place_id", "bank_name", "rating"],
+        accepted_values={
+            "sentiment_label": ["Positive", "Negative", "Neutral"],
+            "data_quality_flag": ["valid"],
+        },
+        ranges={"rating": (1, 5), "sentiment_score": (-1, 1)},
+        unique=["review_id"],
+        min_rows=min_rows,
+    )
+    quality.checks["orphans:bank_key"] = check_no_orphans(
+        fact, dims["dim_bank"], "bank_key"
+    )
+    quality.checks["orphans:branch_key"] = check_no_orphans(
+        fact, dims["dim_branch"], "branch_key"
+    )
+
+    return Warehouse(
+        silver=silver,
+        dim_sentiment=dims["dim_sentiment"],
+        dim_date=dims["dim_date"],
+        dim_bank=dims["dim_bank"],
+        dim_branch=dims["dim_branch"],
+        fact_reviews=fact,
+        marts=manifest.outputs["marts"],
+        quality=quality,
+        manifest=manifest,
+    )

@@ -8,18 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_warehouse_morrocan_banks_spark.functions.datetime import epoch_to_timestamp
-from data_warehouse_morrocan_banks_spark.nlp.features import add_review_features
-from data_warehouse_morrocan_banks_spark.nlp.language import language_detect_cols
-from data_warehouse_morrocan_banks_spark.nlp.sentiment import lexicon_sentiment_cols
-from data_warehouse_morrocan_banks_spark.operators.cleaning import (
-    data_quality_flag,
-    filter_required_keys,
-    filter_text_length,
-    impute_defaults,
-    keep_valid,
-)
-from data_warehouse_morrocan_banks_spark.operators.dedup import dedup_keep_first
 from data_warehouse_morrocan_banks_spark.plans.pipeline import (
     PipelineRunner,
     Stage,
@@ -35,6 +23,7 @@ from data_warehouse_morrocan_banks_spark.star.dims import (
     sentiment_dim,
     sentiment_key_expr,
 )
+from data_warehouse_morrocan_banks_spark.star.warehouse import enrich_reviews
 from data_warehouse_morrocan_banks_spark.star.marts import (
     bank_performance_mart,
     comprehensive_mart,
@@ -45,32 +34,6 @@ from data_warehouse_morrocan_banks_spark.star.marts import (
 from .fixtures import raw_reviews_df
 
 
-def _enrich(raw):
-    """Silver build: the reference's phase-2 pipeline as ONE lazy plan
-    (SURVEY §3.2: no CSV hops, no schema-loss boundary)."""
-    cleaned = impute_defaults(
-        filter_required_keys(raw, ["review_id", "place_id"])
-    )
-    deduped = dedup_keep_first(
-        cleaned, ["review_id"],
-        [F.col("collected_at").desc(), F.col("text")],
-    )
-    in_range = filter_text_length(deduped, "text")
-    lang = language_detect_cols("text")
-    sent = lexicon_sentiment_cols("text")
-    enriched = (
-        in_range.withColumn("review_time", epoch_to_timestamp("time"))
-        .withColumn("detected_language", lang["detected_language"])
-        .withColumn("language_confidence", lang["language_confidence"])
-        .withColumn("sentiment_score", sent["sentiment_score"])
-        .withColumn("sentiment_label", sent["sentiment_label"])
-        .withColumn("sentiment_confidence", sent["sentiment_confidence"])
-        .withColumn("data_quality_flag", data_quality_flag("text"))
-        .withColumn("processed_at", F.current_timestamp())
-    )
-    return add_review_features(keep_valid(enriched))
-
-
 def test_full_warehouse_build(spark):
     raw = raw_reviews_df(spark)
     manifest_holder = {}
@@ -79,7 +42,7 @@ def test_full_warehouse_build(spark):
         return preflight_rowcount(raw, 100, "raw_reviews")
 
     def stage_silver(outputs):
-        silver = _enrich(raw)
+        silver = enrich_reviews(raw)
         silver.cache()
         outputs["silver_count"] = silver.count()
         return silver
@@ -191,3 +154,33 @@ def test_sentiment_ladder_overlap_semantics(spark):
     assert out[0.1] == keys["positive"]
     assert out[-0.1] == keys["negative"]
     assert out[0.0] == keys["neutral"]
+
+
+def test_build_warehouse_single_entry_point(spark):
+    """The DAG-replacement callable: one call → silver + star + marts +
+    quality + manifest + registered views (SURVEY §3.1-3.3)."""
+    from data_warehouse_morrocan_banks_spark.star.warehouse import build_warehouse
+
+    wh = build_warehouse(spark, raw_reviews_df(spark), min_rows=100)
+    assert wh.manifest.status == "ok"
+    assert wh.quality.passed, wh.quality.failures()
+    assert wh.dim_sentiment.count() == 5
+    assert wh.dim_date.count() == 4018
+    assert wh.fact_reviews.count() > 0
+    assert set(wh.marts) == {
+        "bank_performance", "comprehensive", "monthly_trends",
+        "geographic", "topic_analysis",
+    }
+    topic = wh.marts["topic_analysis"]
+    cats = {r["topic_category"] for r in topic.collect()}
+    assert cats <= {"service_quality", "operational_efficiency", "pricing",
+                    "digital_experience", "general"}
+
+    views = wh.register_views(spark)
+    assert "fact_reviews" in views
+    joined = spark.sql("""
+        SELECT db.bank_name, COUNT(*) AS n
+        FROM fact_reviews fr JOIN dim_bank db USING (bank_key)
+        GROUP BY db.bank_name
+    """)
+    assert joined.count() >= 6
