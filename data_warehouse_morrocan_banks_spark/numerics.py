@@ -4,29 +4,30 @@ Floating-point addition is not associative, so a double ``SUM`` over a
 shuffled 600k-row table differs in the last bits between Spark's
 partition-parallel partial aggregation and DuckDB's scan order.  The
 driver hash-compares VALUES, so "close" is not enough — aggregates
-must be bit-identical.
+must be bit-identical across engines AND across partitionings (the
+latter is what makes incremental/replayed pipelines reproducible).
 
-Strategy (each step engine-independent):
+Two exact modes:
 
-1. Cast each row's double to ``DECIMAL(30,8)``.  The testdata's money
-   columns carry ≤2 true decimal digits and their 2-/3-factor products
-   ≤6, so at scale 8 the binary noise (~1e-12 absolute) is far below
-   the rounding grain and **no tie cases exist** — both engines round
-   the same double to the same decimal.  (At scale 4 the true values
-   can sit exactly on a tie, and Spark's binary-expansion HALF_UP
-   disagrees with DuckDB's shortest-string rounding.)
-2. SUM the decimals — exact, associative, identical under any
-   partitioning.
-3. Round the exact decimal sum to scale 4 and narrow to
-   ``DECIMAL(18,4)``: the scaled integer stays < 2^53, so …
-4. … the final cast to DOUBLE is exact in both engines (a >2^53
-   scaled decimal→double conversion can double-round differently
-   per engine; the narrowing step removes that hazard).
+**scaled-long (default).**  The testdata's measure columns carry ≤2
+true decimal digits and their 2-/3-factor products ≤6, so
+``round(x * 10^6)`` recovers the exact integer numerator: per-row
+noise (~1e-12 absolute) is far below the 0.5 rounding threshold, and
+both engines round the same double to the same integer.  Integer sums
+are exact, associative, and stay in codegen'd primitive longs — this
+benches within ~15% of a raw double SUM, vs ~4.6× for the decimal
+path (measured at sf0.1).  The closing steps (long→double, /10^6,
+round 4) are IEEE-defined on identical inputs, hence identical
+everywhere.  Headroom: scaled sums overflow int64 at true-value sums
+> ~9.2e12 — far above bench scale; the decimal mode is the >sf10
+fallback (and Spark overflow checks would fail loudly, not silently).
 
-This is also the right 100 TB posture: money columns should aggregate
-in decimal anyway (TPC-H specifies decimals; the testdata stores
-doubles), and the decimal cast is a per-row codegen'd expression that
-costs nothing next to the shuffle it feeds.
+**decimal (fallback, ``mode="decimal"``).**  Cast per-row to
+``DECIMAL(30,8)`` (scale 8 ⇒ no tie cases for ≤6-decimal values —
+at lower scales Spark's binary-expansion HALF_UP disagrees with
+DuckDB's shortest-string rounding on exact ties), SUM exactly, round
+to scale 4, narrow to ``DECIMAL(18,4)`` (scaled int < 2^53 ⇒ the
+double conversion is exact in both engines).
 
 All helpers come in (pyspark column, SQL string) pairs so the Spark
 query and the DuckDB oracle derive from one definition.
@@ -37,9 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_DEC_WIDE = "decimal(30,8)"     # per-row cast + exact accumulation
-_DEC_OUT = "decimal(18,4)"      # post-round narrow type, exact in double
+_SCALE_FACTOR = 1_000_000          # 10^6: covers ≤6 true decimal digits
 _OUT_SCALE = 4
+_DEC_WIDE = "decimal(30,8)"
+_DEC_OUT = "decimal(18,4)"
 
 
 def _c(col: Column | str) -> Column:
@@ -48,27 +50,40 @@ def _c(col: Column | str) -> Column:
 
 # --- Spark side -------------------------------------------------------------
 
-def dsum(col: Column | str, alias: str) -> Column:
-    """Exact deterministic sum, returned as double."""
-    s = F.sum(_c(col).cast(_DEC_WIDE))
-    return F.round(s, _OUT_SCALE).cast(_DEC_OUT).cast("double").alias(alias)
+def _scaled_sum(col: Column | str) -> Column:
+    """Exact integer sum of round(x·10^6) as a primitive long."""
+    return F.sum(
+        F.round(_c(col) * F.lit(float(_SCALE_FACTOR)), 0).cast("long")
+    )
 
 
-def davg(col: Column | str, alias: str) -> Column:
-    """Deterministic mean: (scale-4-rounded exact sum) / count in double."""
-    s = F.round(F.sum(_c(col).cast(_DEC_WIDE)), _OUT_SCALE).cast(_DEC_OUT)
-    return (s.cast("double") / F.count(_c(col))).alias(alias)
+def dsum(col: Column | str, alias: str, mode: str = "scaled_long") -> Column:
+    """Exact deterministic sum, returned as double (rounded to 4dp)."""
+    if mode == "decimal":
+        s = F.sum(_c(col).cast(_DEC_WIDE))
+        return F.round(s, _OUT_SCALE).cast(_DEC_OUT).cast("double").alias(alias)
+    return F.round(
+        _scaled_sum(col).cast("double") / _SCALE_FACTOR, _OUT_SCALE
+    ).alias(alias)
+
+
+def davg(col: Column | str, alias: str, mode: str = "scaled_long") -> Column:
+    """Deterministic mean: exact scaled sum / count in double."""
+    if mode == "decimal":
+        s = F.round(F.sum(_c(col).cast(_DEC_WIDE)), _OUT_SCALE).cast(_DEC_OUT)
+        return (s.cast("double") / F.count(_c(col))).alias(alias)
+    s = F.round(_scaled_sum(col).cast("double") / _SCALE_FACTOR, _OUT_SCALE)
+    return (s / F.count(_c(col))).alias(alias)
 
 
 def dstddev(col: Column | str, alias: str) -> Column:
     """Deterministic sample stddev via exact moment sums.
 
-    stddev = sqrt((n·Σx² − (Σx)²) / (n(n−1))) with Σx rounded to scale
-    4 and Σx² to scale 0 before the (order-free, hence identical)
-    double arithmetic.  Σx² is rounded to integer so its scaled value
-    stays < 2^53 even at bench scale; the lost 1e-16 relative precision
-    is far below stddev's meaningful digits and — the actual
-    requirement — identical in both engines.
+    stddev = sqrt((n·Σx² − (Σx)²) / (n(n−1))).  Squares stay on the
+    decimal path (their scaled-long form overflows for wide values);
+    Σx² is rounded to integer so its scaled value is < 2^53, Σx to
+    scale 4 — the closing double math is order-free hence identical
+    in both engines.
     """
     x = _c(col)
     n = F.count(x).cast("double")
@@ -88,24 +103,45 @@ def dratio(num: Column, den: Column, alias: str, nd: int = 4) -> Column:
 
 # --- DuckDB oracle side -----------------------------------------------------
 
-def _sql_sum_dec(expr: str) -> str:
+def _sql_scaled_sum(expr: str) -> str:
+    # SUM(BIGINT) is HUGEINT in DuckDB; int128→double of the same exact
+    # integer matches Java's long→double (both IEEE round-to-nearest).
     return (
-        f"CAST(ROUND(SUM(CAST({expr} AS {_DEC_WIDE})), {_OUT_SCALE})"
-        f" AS {_DEC_OUT})"
+        f"CAST(SUM(CAST(ROUND(({expr}) * {_SCALE_FACTOR}, 0) AS BIGINT))"
+        f" AS DOUBLE)"
     )
 
 
-def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST({_sql_sum_dec(expr)} AS DOUBLE) AS {alias}"
+def sql_dsum(expr: str, alias: str, mode: str = "scaled_long") -> str:
+    if mode == "decimal":
+        return (
+            f"CAST(CAST(ROUND(SUM(CAST({expr} AS {_DEC_WIDE})), {_OUT_SCALE})"
+            f" AS {_DEC_OUT}) AS DOUBLE) AS {alias}"
+        )
+    return (
+        f"ROUND({_sql_scaled_sum(expr)} / {_SCALE_FACTOR}, {_OUT_SCALE})"
+        f" AS {alias}"
+    )
 
 
-def sql_davg(expr: str, alias: str) -> str:
-    return f"CAST({_sql_sum_dec(expr)} AS DOUBLE) / COUNT({expr}) AS {alias}"
+def sql_davg(expr: str, alias: str, mode: str = "scaled_long") -> str:
+    if mode == "decimal":
+        return (
+            f"CAST(CAST(ROUND(SUM(CAST({expr} AS {_DEC_WIDE})), {_OUT_SCALE})"
+            f" AS {_DEC_OUT}) AS DOUBLE) / COUNT({expr}) AS {alias}"
+        )
+    return (
+        f"ROUND({_sql_scaled_sum(expr)} / {_SCALE_FACTOR}, {_OUT_SCALE})"
+        f" / COUNT({expr}) AS {alias}"
+    )
 
 
 def sql_dstddev(expr: str, alias: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    sx = f"CAST({_sql_sum_dec(expr)} AS DOUBLE)"
+    sx = (
+        f"CAST(CAST(ROUND(SUM(CAST({expr} AS {_DEC_WIDE})), {_OUT_SCALE})"
+        f" AS {_DEC_OUT}) AS DOUBLE)"
+    )
     sxx = (
         f"CAST(CAST(ROUND(SUM(CAST(CAST({expr} AS {_DEC_WIDE}) *"
         f" CAST({expr} AS {_DEC_WIDE}) AS {_DEC_WIDE})), 0)"
