@@ -92,3 +92,23 @@ def test_date_key_roundtrips_and_flags(spark, dates):
         assert r["k"] == d.year * 10000 + d.month * 100 + d.day
         assert r["w"] == (d.weekday() >= 5)
         assert r["h"] == ((d.month, d.day) in MOROCCO_HOLIDAYS)
+
+
+@given(st.lists(
+    st.decimals(min_value=-99999, max_value=99999, places=6,
+                allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60,
+))
+@_SETTINGS
+def test_dsum_is_exact_for_6dp_values(spark, decs):
+    """numerics.dsum (scaled-long mode) must equal the EXACT decimal
+    sum rounded to 4dp — including negatives and cancellation-heavy
+    mixes a float sum would fuzz."""
+    from decimal import Decimal
+
+    from data_warehouse_morrocan_banks_spark.numerics import dsum
+
+    df = spark.createDataFrame([(float(d),) for d in decs], "x DOUBLE")
+    got = df.agg(dsum("x", "s")).collect()[0]["s"]
+    want = float(round(sum(Decimal(str(float(d))) for d in decs), 4))
+    assert got == want, (got, want)
