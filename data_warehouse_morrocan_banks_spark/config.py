@@ -65,24 +65,25 @@ TOPIC_LABELS: dict[int, str] = {
 }
 
 # --- language detection keyword lists (nlp_processor_simple.py:42-75; N1) ---
+# exact reference lists (nlp_processor_simple.py:53-56)
 FRENCH_INDICATORS: list[str] = [
-    "le", "la", "les", "un", "une", "des", "et", "ou", "est", "sont",
-    "avec", "pour", "dans", "sur", "par", "tres", "bien", "bon", "service",
+    "le", "la", "les", "de", "du", "des", "un", "une", "et", "est",
+    "avec", "pour", "dans", "sur", "très", "bien", "mal", "service", "banque",
 ]
 ARABIC_INDICATORS: list[str] = [
-    "في", "من", "على", "هذا", "هذه", "التي", "الذي", "جدا",
+    "في", "من", "إلى", "على", "هذا", "هذه", "التي", "الذي",
 ]
 
 # --- deterministic lexicon sentiment (test_phase2_simple.py:83-109; N2 variant) ---
 SENTIMENT_WORD_WEIGHT = 0.2
 SENTIMENT_SCORE_CAP = 0.8
+# exact reference lists (test_phase2_simple.py:87-89)
 POSITIVE_LEXICON: list[str] = [
-    "excellent", "bon", "bien", "super", "parfait", "rapide", "merci",
-    "professionnel", "accueillant", "satisfait", "recommande", "top",
+    "bon", "bien", "excellent", "parfait", "super", "merci", "rapide",
+    "professionnel",
 ]
 NEGATIVE_LEXICON: list[str] = [
-    "mauvais", "lent", "attente", "probleme", "nul", "horrible",
-    "décevant", "decevant", "jamais", "éviter", "eviter", "arnaque",
+    "mauvais", "terrible", "lent", "probleme", "attente", "nul", "horrible",
 ]
 
 # --- mention-flag keyword regexes (run_phase2_transformation.py:164-172; F6) ---

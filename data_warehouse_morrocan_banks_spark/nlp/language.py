@@ -1,13 +1,19 @@
 """N1: keyword-list language detection as pure column expressions.
 
-Reference algorithm (nlp_processor_simple.py:42-75): tokenize on
-whitespace, count occurrences of French/Arabic indicator words,
-confidence = hits/words capped at 1.0, fallbacks:
-len(text) < 3 → ('unknown', 0.0); no hits → ('unknown', 0.3).
+EXACT port of the reference algorithm (nlp_processor_simple.py:42-75):
 
-Exactly portable to expressions: ``filter(tokens, t -> array_contains
-(indicators, t))`` counts every occurrence (the reference counts per
-token, not per distinct word).  JVM-side, codegen'd, zero Python.
+- an indicator "hit" is SUBSTRING containment (``'le' in text_lower``)
+  — each indicator counts at most once, and it matches inside words
+  (the reference's behavior, e.g. 'le' matches "personnel");
+- French indicators are checked against the lowered text, Arabic
+  against the raw text (the reference lowers only for French);
+- precedence is French-first: any French hit → 'fr', regardless of
+  the Arabic count; else any Arabic hit → 'ar';
+- confidence = min(hits / max(total_words, 1), 1.0);
+- len(strip(text)) < 3 → ('unknown', 0.0); no hits → ('unknown', 0.3).
+
+All expressions, JVM-side, zero Python.  The golden test replays the
+reference's own demo corpus (tests/test_reference_golden.py).
 """
 
 from __future__ import annotations
@@ -18,9 +24,12 @@ from pyspark.sql import functions as F
 from ..config import ARABIC_INDICATORS, FRENCH_INDICATORS
 
 
-def _hit_count(tokens: Column, words: list[str]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+def contains_hits(text: Column, words: list[str]) -> Column:
+    """Distinct-indicator substring count: Σ contains(text, w)."""
+    hits = F.lit(0)
+    for w in words:
+        hits = hits + F.contains(text, F.lit(w)).cast("int")
+    return hits
 
 
 def language_detect_cols(
@@ -30,29 +39,30 @@ def language_detect_cols(
 ) -> dict[str, Column]:
     """Return {detected_language, language_confidence, n_words} exprs."""
     c = F.col(text) if isinstance(text, str) else text
-    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    lowered = F.lower(c)
+    tokens = F.split(lowered, r"\s+")
     n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens))
-    fr = _hit_count(tokens, french or FRENCH_INDICATORS)
-    ar = _hit_count(tokens, arabic or ARABIC_INDICATORS)
+    fr = contains_hits(lowered, french or FRENCH_INDICATORS)
+    ar = contains_hits(c, arabic or ARABIC_INDICATORS)
+    too_short = F.length(F.trim(c)) < 3
 
     lang = (
-        F.when(F.length(c) < 3, F.lit("unknown"))
-        .when((fr == 0) & (ar == 0), F.lit("unknown"))
-        .when(fr >= ar, F.lit("fr"))
-        .otherwise(F.lit("ar"))
+        F.when(too_short, F.lit("unknown"))
+        .when(fr > 0, F.lit("fr"))
+        .when(ar > 0, F.lit("ar"))
+        .otherwise(F.lit("unknown"))
     )
+    denom = F.greatest(n_words, F.lit(1)).cast("double")
     conf = (
-        F.when(F.length(c) < 3, F.lit(0.0))
-        .when((fr == 0) & (ar == 0), F.lit(0.3))
-        .otherwise(
-            F.least(
-                F.greatest(fr, ar).cast("double") / n_words.cast("double"),
-                F.lit(1.0),
-            )
-        )
+        F.when(too_short, F.lit(0.0))
+        .when(fr > 0, F.least(fr.cast("double") / denom, F.lit(1.0)))
+        .when(ar > 0, F.least(ar.cast("double") / denom, F.lit(1.0)))
+        .otherwise(F.lit(0.3))
     )
     return {
         "detected_language": lang,
         "language_confidence": F.round(conf, 6),
         "n_words": n_words,
+        "french_hits": fr,
+        "arabic_hits": ar,
     }

@@ -1,14 +1,20 @@
 """N2: sentiment analysis — deterministic lexicon default, optional
 TextBlob pandas-UDF mode.
 
-The reference has two implementations: TextBlob polarity
-(nlp_processor_simple.py:77-121, nondeterministic dependency) and the
-deterministic keyword-lexicon variant its own tests use
-(test_phase2_simple.py:83-109): ±0.2 per matched word, score capped
-at ±0.8, label thresholds ±0.1.  SURVEY §7 "hard parts" pins the
-lexicon mode as the engine default/test oracle; TextBlob mode is an
-Arrow-batched pandas UDF behind an import guard (the library is not
-in the runtime here).
+The lexicon mode is an EXACT port of the reference's own test oracle
+(test_phase2_simple.py:83-104):
+
+- hits are distinct-word SUBSTRING containment over the lowered text;
+- pos > neg → score =  min(0.8,  pos·0.2), label 'Positive';
+- neg > pos → score = max(−0.8, −neg·0.2), label 'Negative';
+- tie (incl. 0/0) → 0.0 / 'Neutral'.
+
+(The label comes from the count comparison, NOT from ±0.1 score
+thresholds — those belong to the TextBlob path and the M4 ladders.)
+
+TextBlob mode (the reference's production path,
+nlp_processor_simple.py:77-121) is an Arrow-batched pandas UDF behind
+an import guard — the library is not in this runtime.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ from ..config import (
     SENTIMENT_SCORE_CAP,
     SENTIMENT_WORD_WEIGHT,
 )
+from .language import contains_hits
 
 
 def lexicon_sentiment_cols(
@@ -33,24 +40,25 @@ def lexicon_sentiment_cols(
 ) -> dict[str, Column]:
     """Deterministic lexicon sentiment: score/label/confidence exprs."""
     c = F.col(text) if isinstance(text, str) else text
-    tokens = F.split(F.lower(F.trim(c)), r"\s+")
-    pos_arr = F.array(*[F.lit(w) for w in (positive or POSITIVE_LEXICON)])
-    neg_arr = F.array(*[F.lit(w) for w in (negative or NEGATIVE_LEXICON)])
-    pos = F.size(F.filter(tokens, lambda t: F.array_contains(pos_arr, t)))
-    neg = F.size(F.filter(tokens, lambda t: F.array_contains(neg_arr, t)))
+    lowered = F.lower(c)
+    pos = contains_hits(lowered, positive or POSITIVE_LEXICON)
+    neg = contains_hits(lowered, negative or NEGATIVE_LEXICON)
 
-    raw = (pos - neg).cast("double") * F.lit(SENTIMENT_WORD_WEIGHT)
-    score = F.least(
-        F.greatest(raw, F.lit(-SENTIMENT_SCORE_CAP)), F.lit(SENTIMENT_SCORE_CAP)
+    w = F.lit(SENTIMENT_WORD_WEIGHT)
+    cap = F.lit(SENTIMENT_SCORE_CAP)
+    score = (
+        F.when(pos > neg, F.least(cap, pos.cast("double") * w))
+        .when(neg > pos, F.greatest(-cap, -(neg.cast("double") * w)))
+        .otherwise(F.lit(0.0))
     )
     label = (
-        F.when(score >= SENTIMENT_POSITIVE, "Positive")
-        .when(score <= SENTIMENT_NEGATIVE, "Negative")
+        F.when(pos > neg, "Positive")
+        .when(neg > pos, "Negative")
         .otherwise("Neutral")
     )
-    confidence = F.least(
-        (pos + neg).cast("double") * F.lit(SENTIMENT_WORD_WEIGHT), F.lit(1.0)
-    )
+    # engine extension (the reference's lexicon oracle returns only
+    # score+label): evidence-mass confidence, capped at 1.
+    confidence = F.least((pos + neg).cast("double") * w, F.lit(1.0))
     return {
         "sentiment_score": F.round(score, 6),
         "sentiment_label": label,

@@ -36,35 +36,44 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _sql_contains_hits(expr: str, words: list[str]) -> str:
+    return " + ".join(
+        f"CAST(CONTAINS({expr}, '{w}') AS INT)" for w in words
+    )
+
+
 # --- N1: keyword language detection -----------------------------------------
 # Reference: detect_language_simple (nlp_processor_simple.py:42-75) —
-# hits/words confidence, <3 chars → unknown/0.0, no hits → unknown/0.3.
+# distinct-indicator SUBSTRING hits, group-A-first precedence,
+# confidence = min(hits/max(words,1), 1), <3 chars → unknown/0.0,
+# no hits → unknown/0.3.
 
 _N1_ORACLE = rf"""
 WITH base AS (
-  SELECT doc_id, text,
-    REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS tokens,
+  SELECT doc_id, text, LOWER(text) AS lt,
     CASE WHEN TRIM(text) = '' THEN 0
-         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS INT)
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+')) AS INT)
     END AS n_words
   FROM documents
 ),
 hits AS (
   SELECT doc_id, n_words,
-    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_LANG_A)}, t))) AS INT) AS hits_a,
-    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_LANG_B)}, t))) AS INT) AS hits_b,
-    LENGTH(text) AS n_chars
+    {_sql_contains_hits('lt', _LANG_A)} AS hits_a,
+    {_sql_contains_hits('text', _LANG_B)} AS hits_b,
+    LENGTH(TRIM(text)) AS n_chars
   FROM base
 )
 SELECT doc_id, n_words, hits_a, hits_b,
   CASE WHEN n_chars < 3 THEN 'unknown'
-       WHEN hits_a = 0 AND hits_b = 0 THEN 'unknown'
-       WHEN hits_a >= hits_b THEN 'lang_a'
-       ELSE 'lang_b' END AS detected_language,
+       WHEN hits_a > 0 THEN 'lang_a'
+       WHEN hits_b > 0 THEN 'lang_b'
+       ELSE 'unknown' END AS detected_language,
   CASE WHEN n_chars < 3 THEN 0.0
-       WHEN hits_a = 0 AND hits_b = 0 THEN 0.3
-       ELSE ROUND(LEAST(CAST(GREATEST(hits_a, hits_b) AS DOUBLE)
-                        / CAST(n_words AS DOUBLE), 1.0), 6)
+       WHEN hits_a > 0 THEN
+         ROUND(LEAST(CAST(hits_a AS DOUBLE) / GREATEST(n_words, 1), 1.0), 6)
+       WHEN hits_b > 0 THEN
+         ROUND(LEAST(CAST(hits_b AS DOUBLE) / GREATEST(n_words, 1), 1.0), 6)
+       ELSE 0.3
   END AS language_confidence
 FROM hits
 """
@@ -75,9 +84,6 @@ def q_n1_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     cols = language_detect_cols("text", french=_LANG_A, arabic=_LANG_B)
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    arr_a = F.array(*[F.lit(w) for w in _LANG_A])
-    arr_b = F.array(*[F.lit(w) for w in _LANG_B])
     lang = (
         F.when(cols["detected_language"] == "fr", "lang_a")
         .when(cols["detected_language"] == "ar", "lang_b")
@@ -86,43 +92,39 @@ def q_n1_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         cols["n_words"].alias("n_words"),
-        F.size(F.filter(tokens, lambda t: F.array_contains(arr_a, t))).alias("hits_a"),
-        F.size(F.filter(tokens, lambda t: F.array_contains(arr_b, t))).alias("hits_b"),
+        cols["french_hits"].alias("hits_a"),
+        cols["arabic_hits"].alias("hits_b"),
         lang.alias("detected_language"),
         cols["language_confidence"].alias("language_confidence"),
     )
 
 
 # --- N2: deterministic lexicon sentiment ------------------------------------
-# Reference: the test-oracle variant (test_phase2_simple.py:83-109):
-# ±0.2 per hit, cap ±0.8, labels at ±0.1.
+# Reference: the test-oracle variant (test_phase2_simple.py:83-104) —
+# distinct-word substring hits; pos>neg → min(0.8, pos·0.2) Positive;
+# neg>pos → max(−0.8, −neg·0.2) Negative; tie → 0.0 Neutral.
 
 _N2_ORACLE = rf"""
-WITH base AS (
+WITH hits AS (
   SELECT doc_id,
-    REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS tokens
+    {_sql_contains_hits('LOWER(text)', _POS_LEX)} AS positive_hits,
+    {_sql_contains_hits('LOWER(text)', _NEG_LEX)} AS negative_hits
   FROM documents
-),
-hits AS (
-  SELECT doc_id,
-    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_POS_LEX)}, t))) AS INT) AS positive_hits,
-    CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_sql_list(_NEG_LEX)}, t))) AS INT) AS negative_hits
-  FROM base
-),
-scored AS (
-  SELECT *,
-    LEAST(GREATEST(CAST(positive_hits - negative_hits AS DOUBLE) * 0.2,
-                   -0.8), 0.8) AS raw_score
-  FROM hits
 )
 SELECT doc_id, positive_hits, negative_hits,
-  ROUND(raw_score, 6) AS sentiment_score,
-  CASE WHEN raw_score >= 0.1 THEN 'Positive'
-       WHEN raw_score <= -0.1 THEN 'Negative'
-       ELSE 'Neutral' END AS sentiment_label,
+  ROUND(CASE
+    WHEN positive_hits > negative_hits
+      THEN LEAST(0.8, positive_hits * 0.2)
+    WHEN negative_hits > positive_hits
+      THEN GREATEST(-0.8, -(negative_hits * 0.2))
+    ELSE 0.0 END, 6) AS sentiment_score,
+  CASE
+    WHEN positive_hits > negative_hits THEN 'Positive'
+    WHEN negative_hits > positive_hits THEN 'Negative'
+    ELSE 'Neutral' END AS sentiment_label,
   ROUND(LEAST(CAST(positive_hits + negative_hits AS DOUBLE) * 0.2, 1.0), 6)
     AS sentiment_confidence
-FROM scored
+FROM hits
 """
 
 

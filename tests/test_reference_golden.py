@@ -1,0 +1,99 @@
+"""Golden parity with the reference's own demo corpus.
+
+The reference's NLP module ships a `main()` demo over 8 sample French
+reviews (nlp_processor_simple.py:319-328) — the closest thing it has
+to golden fixtures.  We replay those exact strings through the
+engine's expression ports and compare against an in-test Python
+transcription of the reference algorithms (detect_language_simple,
+nlp_processor_simple.py:42-75; simple_sentiment,
+test_phase2_simple.py:83-104), plus spot-assert the externally
+obvious expectations (every review is French; clearly positive /
+negative reviews label correctly).
+"""
+
+from __future__ import annotations
+
+from data_warehouse_morrocan_banks_spark.config import (
+    ARABIC_INDICATORS,
+    FRENCH_INDICATORS,
+    NEGATIVE_LEXICON,
+    POSITIVE_LEXICON,
+)
+from data_warehouse_morrocan_banks_spark.nlp.language import language_detect_cols
+from data_warehouse_morrocan_banks_spark.nlp.sentiment import lexicon_sentiment_cols
+
+# the reference demo corpus, verbatim (nlp_processor_simple.py:319-328)
+SAMPLE_REVIEWS = [
+    "Le service client est excellent et le personnel très accueillant",
+    "Temps d'attente très long et service décevant",
+    "Personnel non professionnel et aucune considération pour les clients",
+    "Très bonne expérience, service rapide et efficace",
+    "L'application mobile ne fonctionne pas bien",
+    "Les frais bancaires sont trop élevés et injustifiés",
+    "Agence propre et bien organisée, bon accueil",
+    "Impossible de joindre quelqu'un au téléphone",
+]
+
+
+def _ref_detect_language(text: str) -> tuple[str, float]:
+    if not text or len(text.strip()) < 3:
+        return "unknown", 0.0
+    text_lower = text.lower()
+    french_count = sum(1 for w in FRENCH_INDICATORS if w in text_lower)
+    arabic_count = sum(1 for w in ARABIC_INDICATORS if w in text)
+    total_words = len(text_lower.split())
+    if french_count > 0:
+        return "fr", min(french_count / max(total_words, 1), 1.0)
+    if arabic_count > 0:
+        return "ar", min(arabic_count / max(total_words, 1), 1.0)
+    return "unknown", 0.3
+
+
+def _ref_sentiment(text: str) -> tuple[float, str]:
+    text_lower = text.lower()
+    pos = sum(1 for w in POSITIVE_LEXICON if w in text_lower)
+    neg = sum(1 for w in NEGATIVE_LEXICON if w in text_lower)
+    if pos > neg:
+        return min(0.8, pos * 0.2), "Positive"
+    if neg > pos:
+        return max(-0.8, -neg * 0.2), "Negative"
+    return 0.0, "Neutral"
+
+
+def test_language_matches_reference_on_demo_corpus(spark):
+    df = spark.createDataFrame([(t,) for t in SAMPLE_REVIEWS], "text STRING")
+    cols = language_detect_cols("text")
+    rows = df.select(
+        "text",
+        cols["detected_language"].alias("lang"),
+        cols["language_confidence"].alias("conf"),
+    ).collect()
+    for r in rows:
+        want_lang, want_conf = _ref_detect_language(r["text"])
+        assert r["lang"] == want_lang, r["text"]
+        # engine rounds confidence to 6dp for oracle stability
+        assert abs(r["conf"] - want_conf) < 1e-6, r["text"]
+    # external expectation: the demo corpus is French throughout
+    assert all(r["lang"] == "fr" for r in rows)
+
+
+def test_sentiment_matches_reference_on_demo_corpus(spark):
+    df = spark.createDataFrame([(t,) for t in SAMPLE_REVIEWS], "text STRING")
+    cols = lexicon_sentiment_cols("text")
+    rows = df.select(
+        "text",
+        cols["sentiment_score"].alias("score"),
+        cols["sentiment_label"].alias("label"),
+    ).collect()
+    by_text = {r["text"]: r for r in rows}
+    for r in rows:
+        want_score, want_label = _ref_sentiment(r["text"])
+        assert r["label"] == want_label, r["text"]
+        assert abs(r["score"] - want_score) < 1e-9, r["text"]
+    # pinned reference quirks, reproduced faithfully:
+    # review 1 is a TIE — 'lent' substring-matches inside "excellent",
+    # so pos=1 ('excellent') vs neg=1 ('lent') → Neutral. The engine
+    # reproduces the reference's behavior, not an idealized one.
+    assert by_text[SAMPLE_REVIEWS[0]]["label"] == "Neutral"
+    assert by_text[SAMPLE_REVIEWS[1]]["label"] == "Negative"   # "attente"
+    assert by_text[SAMPLE_REVIEWS[3]]["label"] == "Positive"   # "bonne/rapide"
