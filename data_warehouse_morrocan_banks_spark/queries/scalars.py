@@ -316,3 +316,55 @@ def q_m_case_ladders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_coalesced"),
         safe_rate(price, price, nd=1).alias("self_rate_pct"),
     )
+
+
+# --- P1-P6: cleaning/quality-gate pipeline as a driver-visible query --------
+# Reference execution order (run_phase2_transformation.py:249-286):
+# null filter → impute → length filter → quality flag → keep valid.
+# The documents table plays the raw reviews; thresholds are the
+# reference's 10/5000 gates (config.MIN/MAX_REVIEW_LENGTH).
+
+_P_ORACLE = """
+WITH imputed AS (
+  SELECT doc_id,
+    COALESCE(text, '') AS text,
+    COALESCE(lang, 'Unknown') AS lang,
+    n_chars
+  FROM documents
+  WHERE doc_id IS NOT NULL
+),
+flagged AS (
+  SELECT *,
+    CASE
+      WHEN TRIM(text) = '' THEN 'empty_text'
+      WHEN LENGTH(text) < 10 THEN 'too_short'
+      WHEN LENGTH(text) > 5000 THEN 'too_long'
+      ELSE 'valid'
+    END AS data_quality_flag
+  FROM imputed
+)
+SELECT doc_id, lang, n_chars, data_quality_flag
+FROM flagged
+WHERE data_quality_flag = 'valid'
+  AND LENGTH(text) BETWEEN 10 AND 5000
+"""
+
+
+@register("q_p_cleaning_gate", oracle=_P_ORACLE)
+def q_p_cleaning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import (
+        data_quality_flag,
+        filter_required_keys,
+        filter_text_length,
+        keep_valid,
+    )
+
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    imputed = filter_required_keys(d, ["doc_id"]).na.fill(
+        {"text": "", "lang": "Unknown"}
+    )
+    flagged = imputed.withColumn("data_quality_flag", data_quality_flag("text"))
+    return filter_text_length(keep_valid(flagged), "text").select(
+        "doc_id", "lang", "n_chars", "data_quality_flag"
+    )
