@@ -401,3 +401,63 @@ def q_a12_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Engine extensions: pivot / unpivot -------------------------------------
+# Not in the reference (its rating histograms hand-roll conditional
+# counts, A2); exposed because BI consumers of the marts expect them.
+# Oracle expresses the identical semantics via conditional aggregation
+# (pivot) and UNPIVOT (melt).
+
+_PIVOT_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q_pivot_status_counts", oracle=_PIVOT_ORACLE)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    ).orderBy("o_orderpriority")
+
+
+_UNPIVOT_ORACLE = """
+WITH t AS (
+  SELECT o_orderpriority,
+    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status_col, n_orders
+FROM t UNPIVOT (n_orders FOR status_col IN (status_F, status_O, status_P))
+"""
+
+
+@register("q_unpivot_status_counts", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    wide = q_pivot_status_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["status_F", "status_O", "status_P"],
+        variableColumnName="status_col",
+        valueColumnName="n_orders",
+    )
