@@ -24,6 +24,86 @@ from pyspark.sql import functions as F
 from ..config import ARABIC_INDICATORS, FRENCH_INDICATORS
 
 
+def char_trigrams(text: Column) -> Column:
+    """Character trigram array (lowered); empty for texts < 3 chars
+    (guarded — Spark's sequence(1, n) DESCENDS when n < 1)."""
+    lt = F.lower(text)
+    n = F.length(lt)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2), lambda i: lt.substr(i, F.lit(3))
+    )
+    return F.when(n >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_langid(df, text_col: str, label_col: str, id_col: str,
+                 profile_size: int = 200):
+    """N-gram-heuristic language ID (the classic trigram-profile
+    classifier) as ONE lazy plan: train per-language frequency
+    profiles from the labeled corpus, then classify every document by
+    frequency-weighted profile match.
+
+    Distributed shape: profile fit is explode → two hash aggregates →
+    per-language top-k window; classification joins doc-trigram counts
+    to the (tiny → broadcast) profile table and argmaxes per doc.
+    Scoring routes through the deterministic-sum layer so ranking ties
+    break identically in any engine/partitioning.
+
+    Accuracy is corpus-limited here: the synthetic testdata languages
+    share one vocabulary and differ only in word frequencies (measured
+    ~33% vs 20% random at sf0.01); on natural text trigram profiles
+    are the standard strong baseline.
+    """
+    from pyspark.sql import Window
+
+    from ..numerics import dsum
+
+    grams = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_lang"),
+        F.explode(char_trigrams(F.col(text_col))).alias("g"),
+    )
+    lang_counts = (
+        grams.groupBy("true_lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumnRenamed("true_lang", "lang")
+    )
+    totals = lang_counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("g"))
+    profiles = (
+        lang_counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= profile_size)
+        .join(totals, "lang")
+        .select(
+            "lang", "g",
+            F.round(F.col("c").cast("double") / F.col("total"), 8).alias("w"),
+        )
+    )
+    doc_counts = grams.groupBy(id_col, "true_lang", "g").agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    scored = (
+        doc_counts.join(F.broadcast(profiles), "g", "inner")
+        .groupBy(id_col, "true_lang", F.col("lang").alias("cand_lang"))
+        .agg(dsum(F.col("dc") * F.col("w"), "score"))
+    )
+    w_best = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "true_lang",
+            F.col("cand_lang").alias("predicted_lang"),
+            "score",
+            (F.col("cand_lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
+
+
 def contains_hits(text: Column, words: list[str]) -> Column:
     """Distinct-indicator substring count: Σ contains(text, w)."""
     hits = F.lit(0)

@@ -216,3 +216,59 @@ def q_n6_topic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     model = fit_topics(d, "text", stopwords=_STOPWORDS)
     return topic_summary(model, 10)
+
+
+# --- n-gram-heuristic language ID (text-analysis extension) -----------------
+# Trigram frequency profiles trained from the labeled corpus, applied
+# back as a frequency-weighted classifier — train + predict as one
+# plan (nlp.language.ngram_langid). Scoring uses the deterministic-sum
+# layer so the argmax ranking is engine/partitioning-invariant.
+
+_NGRAM_ORACLE = r"""
+WITH grams AS (
+  SELECT doc_id, lang,
+    CASE WHEN LENGTH(LOWER(text)) >= 3 THEN
+      LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(LOWER(text)) - 2),
+                     i -> SUBSTR(LOWER(text), i, 3))
+    ELSE [] END AS tg
+  FROM documents
+),
+exploded AS (SELECT doc_id, lang AS true_lang, UNNEST(tg) AS g FROM grams),
+lang_counts AS (
+  SELECT true_lang AS lang, g, COUNT(*) AS c FROM exploded GROUP BY 1, 2
+),
+lang_totals AS (SELECT lang, SUM(c) AS total FROM lang_counts GROUP BY lang),
+profiles AS (
+  SELECT lc.lang, lc.g,
+    ROUND(CAST(lc.c AS DOUBLE) / lt.total, 8) AS w
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) rn
+        FROM lang_counts) lc
+  JOIN lang_totals lt USING (lang)
+  WHERE lc.rn <= 200
+),
+doc_counts AS (
+  SELECT doc_id, true_lang, g, COUNT(*) AS dc FROM exploded GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.doc_id, d.true_lang, p.lang AS cand_lang,
+    ROUND(CAST(SUM(CAST(ROUND((d.dc * p.w) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+          / 1000000, 4) AS score
+  FROM doc_counts d JOIN profiles p USING (g)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, true_lang, cand_lang AS predicted_lang, score,
+       cand_lang = true_lang AS is_correct
+FROM (SELECT s.*, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+      FROM scored s)
+WHERE rn = 1
+"""
+
+
+@register("q_ngram_langid", oracle=_NGRAM_ORACLE)
+def q_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..nlp.language import ngram_langid
+
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    return ngram_langid(d, "text", "lang", "doc_id", profile_size=200)

@@ -68,3 +68,21 @@ def test_lda_structural_invariants(spark):
     srows = summary.collect()
     assert len(srows) == LDA_K
     assert all(len(r["top_words"]) == 10 for r in srows)
+
+
+def test_ngram_langid_beats_random(spark):
+    """Trigram-profile classifier must beat the 5-class random floor on
+    the synthetic corpus (vocab is shared across langs — ~33% is the
+    measured data ceiling, 20% is random)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.nlp.language import ngram_langid
+
+    d = table(spark, SF_ORACLE, "documents")
+    pred = ngram_langid(d, "text", "lang", "doc_id")
+    row = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("is_correct"), 1)).alias("ok"),
+    ).collect()[0]
+    assert row["n"] == d.count()
+    assert row["ok"] / row["n"] > 0.25
