@@ -18,7 +18,6 @@ from ..operators.multimodal import decode_media, media_from_text
 from ..operators.similarity import (
     as_double_array,
     brute_force_topk,
-    cosine,
     ivf_assign,
     jaccard_token_sets,
     l2_norm,
