@@ -42,31 +42,35 @@ DECODED_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[float, int]:
-    """Deterministic stand-in for image/audio decoding: derives a
-    pseudo-feature from the payload bytes.  Replace with PIL/libav
-    kernels in a runtime that ships them."""
-    if not payload:
-        return 0.0, 0
-    acc = 0
-    for b in payload[:1024]:
-        acc = (acc * 31 + b) % 1_000_003
-    return round(acc / 1_000_003, 6), 8
-
-
 def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode stage: binary payload → feature columns.
 
     Arrow-batched; one python worker pass per partition, no shuffle.
+
+    The batch function is fully self-contained (no references to this
+    module's globals) so cloudpickle ships it BY VALUE — Python
+    workers need not have this package on their import path, which is
+    not guaranteed in an externally managed session.
     """
-    import hashlib
 
-    import pandas as pd
+    def decode_batches(batches: Iterator) -> Iterator:
+        import hashlib
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def fake_decode(payload: bytes) -> tuple[float, int]:
+            # deterministic stand-in for image/audio decoding; replace
+            # with PIL/libav kernels in a runtime that ships them
+            if not payload:
+                return 0.0, 0
+            acc = 0
+            for b in payload[:1024]:
+                acc = (acc * 31 + b) % 1_000_003
+            return round(acc / 1_000_003, 6), 8
+
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [_fake_decode(p if p is not None else b"") for p in payloads]
+            feats = [fake_decode(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
