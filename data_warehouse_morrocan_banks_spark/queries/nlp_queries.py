@@ -196,6 +196,18 @@ def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- N4/N5: LDA fit + topic assignment (rows-only: no SQL oracle) -----------
 
+# The fit is deterministic (seed=42) per corpus, so one model serves
+# both LDA queries — cache per sf_dir to avoid paying the iterative
+# fit twice in a driver run.
+_LDA_CACHE: dict[str, object] = {}
+
+
+def _lda_model(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _LDA_CACHE:
+        d = table(spark, sf_dir, "documents")
+        _LDA_CACHE[sf_dir] = fit_topics(d, "text", stopwords=_STOPWORDS)
+    return _LDA_CACHE[sf_dir]
+
 
 @register("q_n5_lda_topics")
 def q_n5_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +215,7 @@ def q_n5_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc its dominant topic + probability (SURVEY N4/N5)."""
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    model = fit_topics(d, "text", stopwords=_STOPWORDS)
+    model = _lda_model(spark, sf_dir)
     if model is None:  # corpus under the 10-doc gate
         return d.select("doc_id").withColumn("dominant_topic_id", F.lit(None))
     return transform_topics(model, d, ["doc_id"])
@@ -213,9 +225,7 @@ def q_n5_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_n6_topic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 words per topic from the fitted model (SURVEY N6)."""
     ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
-    model = fit_topics(d, "text", stopwords=_STOPWORDS)
-    return topic_summary(model, 10)
+    return topic_summary(_lda_model(spark, sf_dir), 10)
 
 
 # --- n-gram-heuristic language ID (text-analysis extension) -----------------
