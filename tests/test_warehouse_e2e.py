@@ -184,3 +184,36 @@ def test_build_warehouse_single_entry_point(spark):
         GROUP BY db.bank_name
     """)
     assert joined.count() >= 6
+
+
+def test_enriched_quality_flag_ladder_order(spark):
+    """P5 (stg_nlp_enriched_reviews.sql:59-66): first-match precedence
+    missing_id → invalid_rating → empty_text → invalid_sentiment → valid."""
+    from data_warehouse_morrocan_banks_spark.operators.cleaning import (
+        enriched_quality_flag,
+    )
+
+    rows = [
+        (None, 3, "texte", 0.5, "missing_id"),
+        ("r1", 9, "", 2.0, "invalid_rating"),      # rating beats empty/sentiment
+        ("r2", 3, "   ", 0.0, "empty_text"),
+        ("r3", 3, "texte", 1.5, "invalid_sentiment"),
+        ("r4", 3, "texte", -1.5, "invalid_sentiment"),
+        ("r5", 1, "texte", -1.0, "valid"),
+        ("r6", 5, "texte", None, "valid"),          # null sentiment allowed
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a, b, c, d, _ in rows],
+        "review_id STRING, rating INT, text STRING, sentiment_score DOUBLE",
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r["flag"]
+        for r in df.select(
+            enriched_quality_flag(
+                "review_id", "rating", "text", "sentiment_score"
+            ).alias("flag")
+        ).collect()
+    ]
+    assert got == [r[4] for r in rows]
