@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate the sf0.1 tables in-memory (union N copies
+with shifted keys) and time the flagship plan shapes at 1x vs 10x.
+Evidence for SCALE.md's "the plan survives a scale-up" claims —
+aggregation and broadcast-join wall time should grow ~linearly (same
+plan, more rows), not super-linearly (no global sorts, no state blowup).
+
+Usage: python scaling_probe.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def replicate(df, n, key_cols):
+    """n shifted copies — distinct keys per copy so joins/groups scale."""
+    parts = []
+    for i in range(n):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    from data_warehouse_morrocan_banks_spark.numerics import davg, dsum
+    from data_warehouse_morrocan_banks_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def q1(lineitem):
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity", "sq"), dsum(disc, "sd"),
+                 davg("l_extendedprice", "ap"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def argmax(lineitem):
+        from pyspark.sql import Window
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        per = (
+            lineitem.join(F.broadcast(supplier),
+                          lineitem["l_suppkey"] == supplier["s_suppkey"], "inner")
+            .groupBy("s_nationkey", "s_name").agg(dsum(rev, "revenue"))
+        )
+        w = Window.partitionBy("s_nationkey").orderBy(
+            F.col("revenue").desc(), F.col("s_name"))
+        return per.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+
+    results = {}
+    for scale in (1, 10):
+        li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
+        li_s = li_s.cache(); n_rows = li_s.count()
+        for name, fn in (("q1_agg", q1), ("argmax_join", argmax)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(li_s).count()
+                best = min(best, time.perf_counter() - t0)
+            results[f"{name}_{scale}x"] = round(best, 2)
+        results[f"rows_{scale}x"] = n_rows
+        li_s.unpersist()
+
+    for name in ("q1_agg", "argmax_join"):
+        results[f"{name}_scaling_ratio"] = round(
+            results[f"{name}_10x"] / results[f"{name}_1x"], 1
+        )
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
