@@ -61,6 +61,70 @@ def orphan_keys(fact: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     return fact.filter(F.col(key).isNotNull()).join(dim, key, "left_anti")
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              right_cols: list[str], tolerance_s: int | None = None) -> DataFrame:
+    """As-of join — for every left row, the latest right row of the
+    same key with right.ts <= left.ts (inclusive).
+
+    Spark has no native as-of join (SURVEY §2.4 note); the engine uses
+    the union+window form: tag sides, union, and carry the right
+    side's values forward with last_value(ignoreNulls) over
+    (key ORDER BY ts, side) — exactly ONE shuffle on the key, no
+    per-row Python (the applyInPandas/merge_asof alternative ships
+    every row through Arrow; this stays in Tungsten).  Right-side ties
+    on (key, ts) resolve to the greatest ordering of ``right_cols[0]``
+    — deduplicate the right side first for other policies.
+    ``tolerance_s`` drops matches older than the window (merge_asof
+    semantics).
+    """
+    from pyspark.sql import Window
+
+    l_tag = left.select(
+        F.col(key), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+        F.lit(None).cast("timestamp").alias("__r_ts"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(ts).alias("__r_ts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts → inclusive match;
+    # among right ties the last under (__r_<first col>) wins.
+    order = [F.col("__ts"), F.col("__side")]
+    if right_cols:
+        order.append(F.col(f"__r_{right_cols[0]}"))
+    w = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        key, "__ts", "__side", "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+          for c in right_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+    ).filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        in_window = (
+            F.col("__r_ts").isNotNull()
+            & ((F.unix_timestamp("__ts") - F.unix_timestamp("__r_ts"))
+               <= tolerance_s)
+        )
+        carried = carried.select(
+            key, "__ts", "__l",
+            *[F.when(in_window, F.col(f"__r_{c}")).alias(f"__r_{c}")
+              for c in right_cols],
+        )
+    return carried.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+
+
 def agg_back_join(detail: DataFrame, keys: list[str], aggs: list[Column],
                   how: str = "left") -> DataFrame:
     """J4: group the detail, join the aggregates back onto row grain.

@@ -252,3 +252,54 @@ def q_j4_agg_back_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acctbal_vs_nation"),
         "nation_customers",
     )
+
+
+# --- As-of join (engine extension; SURVEY §2.4 "not present" note) ----------
+# Spark lacks a native as-of join; operators.joins.asof_join is the
+# union+window form (one shuffle, no Python). DuckDB has native ASOF
+# JOIN — the oracle. Each purchase event joins to the user's latest
+# prior-or-equal click; right side deduped per (user, ts) keep-max so
+# tie policy is explicit in both engines.
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+  FROM (SELECT e.*, ROW_NUMBER() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events e WHERE event_type = 'click')
+  WHERE rn = 1
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_event_id AS asof_click_event_id,
+       c.click_value AS asof_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("q_asof_join_last_click", oracle=_ASOF_ORACLE)
+def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_keep_first
+    from ..operators.joins import asof_join
+
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = dedup_keep_first(
+        ev.filter(F.col("event_type") == "click"),
+        ["user_id", "ts"], [F.col("event_id").desc()],
+    ).select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["click_event_id", "click_value"],
+    )
