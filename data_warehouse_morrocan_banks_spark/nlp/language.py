@@ -77,7 +77,10 @@ def ngram_langid(df, text_col: str, label_col: str, id_col: str,
         .join(totals, "lang")
         .select(
             "lang", "g",
-            F.round(F.col("c").cast("double") / F.col("total"), 8).alias("w"),
+            F.round(
+                (F.col("c").cast("double") / F.col("total"))
+                .cast("decimal(28,12)"), 8
+            ).cast("double").alias("w"),
         )
     )
     doc_counts = grams.groupBy(id_col, "true_lang", "g").agg(

@@ -48,6 +48,28 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# --- deterministic rounding -------------------------------------------------
+# Spark's round(double, n) goes through the decimal STRING repr
+# (BigDecimal.valueOf), so a true value of x.xxxx50 is a tie and
+# rounds up; DuckDB's ROUND(double, n) works on the BINARY value,
+# where the same number sits slightly below the tie and rounds down.
+# (Measured: round(0.69605, 4) → 0.6961 in Spark, 0.696 in DuckDB.)
+# Values produced by the scaled-long layer are exact multiples of
+# 1e-6, so such ties occur at ~1% per value — a systematic hazard,
+# caught by the sf0.1 sweep.  The fix: round THROUGH a decimal cast
+# in both engines — double→decimal(24,8) is tie-free for ≤6-true-
+# decimal values (noise ≪ grain), and decimal rounding is HALF_UP /
+# away-from-zero in both engines.
+
+def round_det(col: Column, nd: int = _OUT_SCALE) -> Column:
+    """Engine-portable deterministic round for ≤6-true-decimal doubles."""
+    return F.round(col.cast("decimal(24,8)"), nd).cast("double")
+
+
+def sql_round_det(expr: str, nd: int = _OUT_SCALE) -> str:
+    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(24,8)), {nd}) AS DOUBLE)"
+
+
 # --- Spark side -------------------------------------------------------------
 
 def _scaled_sum(col: Column | str) -> Column:
@@ -62,8 +84,8 @@ def dsum(col: Column | str, alias: str, mode: str = "scaled_long") -> Column:
     if mode == "decimal":
         s = F.sum(_c(col).cast(_DEC_WIDE))
         return F.round(s, _OUT_SCALE).cast(_DEC_OUT).cast("double").alias(alias)
-    return F.round(
-        _scaled_sum(col).cast("double") / _SCALE_FACTOR, _OUT_SCALE
+    return round_det(
+        _scaled_sum(col).cast("double") / _SCALE_FACTOR
     ).alias(alias)
 
 
@@ -72,7 +94,7 @@ def davg(col: Column | str, alias: str, mode: str = "scaled_long") -> Column:
     if mode == "decimal":
         s = F.round(F.sum(_c(col).cast(_DEC_WIDE)), _OUT_SCALE).cast(_DEC_OUT)
         return (s.cast("double") / F.count(_c(col))).alias(alias)
-    s = F.round(_scaled_sum(col).cast("double") / _SCALE_FACTOR, _OUT_SCALE)
+    s = round_det(_scaled_sum(col).cast("double") / _SCALE_FACTOR)
     return (s / F.count(_c(col))).alias(alias)
 
 
@@ -119,7 +141,7 @@ def sql_dsum(expr: str, alias: str, mode: str = "scaled_long") -> str:
             f" AS {_DEC_OUT}) AS DOUBLE) AS {alias}"
         )
     return (
-        f"ROUND({_sql_scaled_sum(expr)} / {_SCALE_FACTOR}, {_OUT_SCALE})"
+        f"{sql_round_det(f'{_sql_scaled_sum(expr)} / {_SCALE_FACTOR}')}"
         f" AS {alias}"
     )
 
@@ -131,7 +153,7 @@ def sql_davg(expr: str, alias: str, mode: str = "scaled_long") -> str:
             f" AS {_DEC_OUT}) AS DOUBLE) / COUNT({expr}) AS {alias}"
         )
     return (
-        f"ROUND({_sql_scaled_sum(expr)} / {_SCALE_FACTOR}, {_OUT_SCALE})"
+        f"{sql_round_det(f'{_sql_scaled_sum(expr)} / {_SCALE_FACTOR}')}"
         f" / COUNT({expr}) AS {alias}"
     )
 

@@ -250,7 +250,8 @@ lang_counts AS (
 lang_totals AS (SELECT lang, SUM(c) AS total FROM lang_counts GROUP BY lang),
 profiles AS (
   SELECT lc.lang, lc.g,
-    ROUND(CAST(lc.c AS DOUBLE) / lt.total, 8) AS w
+    CAST(ROUND(CAST(CAST(lc.c AS DOUBLE) / lt.total AS DECIMAL(28,12)), 8)
+         AS DOUBLE) AS w
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) rn
         FROM lang_counts) lc
   JOIN lang_totals lt USING (lang)
@@ -261,8 +262,9 @@ doc_counts AS (
 ),
 scored AS (
   SELECT d.doc_id, d.true_lang, p.lang AS cand_lang,
-    ROUND(CAST(SUM(CAST(ROUND((d.dc * p.w) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-          / 1000000, 4) AS score
+    CAST(ROUND(CAST(
+      CAST(SUM(CAST(ROUND((d.dc * p.w) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+      / 1000000 AS DECIMAL(24,8)), 4) AS DOUBLE) AS score
   FROM doc_counts d JOIN profiles p USING (g)
   GROUP BY 1, 2, 3
 )

@@ -164,10 +164,10 @@ SELECT
   o_orderstatus,
   order_month,
   revenue,
-  ROUND(AVG(revenue) OVER (
+  CAST(ROUND(CAST(AVG(revenue) OVER (
     PARTITION BY o_orderstatus ORDER BY order_month
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-  ), 4) AS rolling_3m_revenue
+  ) AS DECIMAL(24,8)), 4) AS DOUBLE) AS rolling_3m_revenue
 FROM monthly
 """
 
@@ -184,9 +184,11 @@ def q_w4_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly, "revenue", "rolling_3m_revenue",
         ["o_orderstatus"], [F.col("order_month")], preceding=2, agg="avg",
     )
+    from ..numerics import round_det
+
     return rolled.select(
         "o_orderstatus",
         "order_month",
         "revenue",
-        F.round("rolling_3m_revenue", 4).alias("rolling_3m_revenue"),
+        round_det(F.col("rolling_3m_revenue"), 4).alias("rolling_3m_revenue"),
     )
