@@ -72,7 +72,10 @@ def sentiment_from_rating(rating: Column | str) -> Column:
 
 
 def safe_rate(num: Column, den: Column, nd: int = 1) -> Column:
-    """M1+M6+A5: ROUND(num::DECIMAL/den*100, nd) with divide-by-zero → NULL."""
-    return F.round(
+    """M1+M6+A5: ROUND(num::DECIMAL/den*100, nd) with divide-by-zero → NULL.
+    Deterministic rounding (see numerics.round_det)."""
+    from ..numerics import round_det
+
+    return round_det(
         F.when(den != 0, num.cast("double") * 100 / den.cast("double")), nd
     )

@@ -119,8 +119,12 @@ def dstddev(col: Column | str, alias: str) -> Column:
 
 
 def dratio(num: Column, den: Column, alias: str, nd: int = 4) -> Column:
-    """Rounded ratio of two already-deterministic aggregates."""
-    return F.round(num.cast("double") / den.cast("double"), nd).alias(alias)
+    """Rounded ratio of two already-deterministic aggregates.
+
+    Routed through round_det: count ratios CAN terminate exactly on a
+    rounding tie (509/2000·100 = 25.45 → tie at 1dp), hitting the
+    string-vs-binary divergence."""
+    return round_det(num.cast("double") / den.cast("double"), nd).alias(alias)
 
 
 # --- DuckDB oracle side -----------------------------------------------------

@@ -185,10 +185,10 @@ _A5_ORACLE = """
 SELECT
   o_orderpriority,
   COUNT(*) AS total_orders,
-  ROUND(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0 AS DOUBLE)
-        / COUNT(*), 4) AS finished_rate_pct,
-  ROUND(CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) * 100.0 AS DOUBLE)
-        / COUNT(*), 4) AS high_value_rate_pct
+  CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0
+    AS DOUBLE) / COUNT(*) AS DECIMAL(24,8)), 4) AS DOUBLE) AS finished_rate_pct,
+  CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) * 100.0
+    AS DOUBLE) / COUNT(*) AS DECIMAL(24,8)), 4) AS DOUBLE) AS high_value_rate_pct
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

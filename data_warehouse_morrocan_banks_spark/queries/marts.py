@@ -33,8 +33,8 @@ SELECT
   COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS returned_items,
   COUNT(CASE WHEN l.l_returnflag = 'A' THEN 1 END) AS accepted_items,
   COUNT(CASE WHEN l.l_returnflag = 'N' THEN 1 END) AS neutral_items,
-  ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 100.0 AS DOUBLE)
-        / COUNT(*), 1) AS return_rate_pct
+  CAST(ROUND(CAST(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) * 100.0
+    AS DOUBLE) / COUNT(*) AS DECIMAL(24,8)), 1) AS DOUBLE) AS return_rate_pct
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
