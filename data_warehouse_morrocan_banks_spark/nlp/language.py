@@ -144,7 +144,8 @@ def language_detect_cols(
     )
     return {
         "detected_language": lang,
-        "language_confidence": F.round(conf, 6),
+        "language_confidence": F.round(conf.cast("decimal(24,12)"), 6)
+        .cast("double"),
         "n_words": n_words,
         "french_hits": fr,
         "arabic_hits": ar,

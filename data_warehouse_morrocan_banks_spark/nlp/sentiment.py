@@ -60,9 +60,11 @@ def lexicon_sentiment_cols(
     # score+label): evidence-mass confidence, capped at 1.
     confidence = F.least((pos + neg).cast("double") * w, F.lit(1.0))
     return {
-        "sentiment_score": F.round(score, 6),
+        "sentiment_score": F.round(score.cast("decimal(24,12)"), 6)
+        .cast("double"),
         "sentiment_label": label,
-        "sentiment_confidence": F.round(confidence, 6),
+        "sentiment_confidence": F.round(confidence.cast("decimal(24,12)"), 6)
+        .cast("double"),
         "positive_hits": pos,
         "negative_hits": neg,
     }

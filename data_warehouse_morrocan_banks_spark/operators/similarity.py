@@ -231,7 +231,10 @@ def jaccard_token_sets(a_tokens: Column, b_tokens: Column, nd: int = 6) -> Colum
     da, db = F.array_distinct(a_tokens), F.array_distinct(b_tokens)
     inter = F.size(F.array_intersect(da, db))
     union = F.size(da) + F.size(db) - inter
-    return F.round(inter.cast("double") / union.cast("double"), nd)
+    # deterministic round: set-size ratios can land exactly on ties
+    return F.round(
+        (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
+    ).cast("double")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

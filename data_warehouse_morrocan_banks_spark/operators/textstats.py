@@ -31,11 +31,17 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+def _round6_det(x: Column) -> Column:
+    # deterministic 6dp round — rational ratios can terminate exactly on
+    # a tie digit (1/128 = 0.0078125); see numerics.round_det
+    return F.round(x.cast("decimal(24,12)"), 6).cast("double")
+
+
 def punct_ratio(col: Column | str) -> Column:
     c = _c(col)
     punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
     return F.when(F.length(c) > 0,
-                  F.round(punct.cast("double") / F.length(c), 6)).otherwise(0.0)
+                  _round6_det(punct.cast("double") / F.length(c))).otherwise(0.0)
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
@@ -43,7 +49,7 @@ def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in stopwords])
     hits = F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
     n = F.size(tokens)
-    return F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), 6)) \
+    return F.when(n > 0, _round6_det(hits.cast("double") / n.cast("double"))) \
             .otherwise(0.0)
 
 
@@ -51,7 +57,7 @@ def mean_word_length(col: Column | str) -> Column:
     tokens = F.split(F.trim(_c(col)), r"\s+")
     total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
     n = F.size(tokens)
-    return F.when(n > 0, F.round(total.cast("double") / n.cast("double"), 6)) \
+    return F.when(n > 0, _round6_det(total.cast("double") / n.cast("double"))) \
             .otherwise(0.0)
 
 

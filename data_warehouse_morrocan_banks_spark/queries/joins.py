@@ -223,7 +223,7 @@ SELECT
   c.c_custkey,
   c.c_name,
   c.c_nationkey,
-  ROUND(CAST(c.c_acctbal AS DOUBLE) - nm.nation_avg_acctbal, 4) AS acctbal_vs_nation,
+  CAST(ROUND(CAST(CAST(c.c_acctbal AS DOUBLE) - nm.nation_avg_acctbal AS DECIMAL(24,12)), 4) AS DOUBLE) AS acctbal_vs_nation,
   nm.nation_customers
 FROM customer c
 JOIN nation_metrics nm USING (c_nationkey)
@@ -248,8 +248,9 @@ def q_j4_agg_back_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_nationkey",
         F.round(
-            F.col("c_acctbal").cast("double") - F.col("nation_avg_acctbal"), 4
-        ).alias("acctbal_vs_nation"),
+            (F.col("c_acctbal").cast("double") - F.col("nation_avg_acctbal"))
+            .cast("decimal(24,12)"), 4
+        ).cast("double").alias("acctbal_vs_nation"),
         "nation_customers",
     )
 

@@ -73,8 +73,9 @@ WITH toks AS (
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  ROUND(CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
-    (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))), 6) AS jaccard_sim
+  CAST(ROUND(CAST(CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
+    (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))
+    AS DECIMAL(24,12)), 6) AS DOUBLE) AS jaccard_sim
 FROM toks a
 JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
@@ -277,18 +278,23 @@ WITH stats AS (
            '[ \t\n\r]+')) AS INT)
     END AS n_words,
     CASE WHEN LENGTH(text) > 0 THEN
-      ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE)
-            / LENGTH(text), 6) ELSE 0.0 END AS punct_ratio,
+      CAST(ROUND(CAST(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE)
+            / LENGTH(text) AS DECIMAL(24,12)), 6) AS DOUBLE)
+      ELSE 0.0 END AS punct_ratio,
     CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) > 0 THEN
-      ROUND(CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
-                     t -> LIST_CONTAINS(['the', 'a'], t))) AS DOUBLE)
-            / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')), 6)
+      CAST(ROUND(CAST(
+        CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                 t -> LIST_CONTAINS(['the', 'a'], t))) AS DOUBLE)
+        / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
+        AS DECIMAL(24,12)), 6) AS DOUBLE)
       ELSE 0.0 END AS stopword_ratio,
     CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) > 0 THEN
-      ROUND(CAST(LIST_REDUCE(
-              LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
-                             t -> LENGTH(t)), (x, y) -> x + y) AS DOUBLE)
-            / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')), 6)
+      CAST(ROUND(CAST(
+        CAST(LIST_REDUCE(
+          LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                         t -> LENGTH(t)), (x, y) -> x + y) AS DOUBLE)
+        / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+        AS DECIMAL(24,12)), 6) AS DOUBLE)
       ELSE 0.0 END AS mean_word_len
   FROM documents
 )

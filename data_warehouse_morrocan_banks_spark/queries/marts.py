@@ -173,10 +173,10 @@ SELECT
   revenue,
   avg_order_value,
   LAG(revenue) OVER (ORDER BY order_year, order_month) AS prev_month_revenue,
-  ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY order_year, order_month) != 0
+  CAST(ROUND(CAST(CASE WHEN LAG(revenue) OVER (ORDER BY order_year, order_month) != 0
     THEN (revenue - LAG(revenue) OVER (ORDER BY order_year, order_month)) * 100.0
          / LAG(revenue) OVER (ORDER BY order_year, order_month)
-    END, 2) AS revenue_growth_pct
+    END AS DECIMAL(24,12)), 2) AS DOUBLE) AS revenue_growth_pct
 FROM monthly
 """
 
@@ -203,8 +203,9 @@ def q_mart_monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_order_value",
         prev.alias("prev_month_revenue"),
         F.round(
-            F.when(prev != 0, (F.col("revenue") - prev) * 100.0 / prev), 2
-        ).alias("revenue_growth_pct"),
+            F.when(prev != 0, (F.col("revenue") - prev) * 100.0 / prev)
+            .cast("decimal(24,12)"), 2
+        ).cast("double").alias("revenue_growth_pct"),
     )
 
 

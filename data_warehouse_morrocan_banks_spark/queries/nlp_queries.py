@@ -70,9 +70,11 @@ SELECT doc_id, n_words, hits_a, hits_b,
        ELSE 'unknown' END AS detected_language,
   CASE WHEN n_chars < 3 THEN 0.0
        WHEN hits_a > 0 THEN
-         ROUND(LEAST(CAST(hits_a AS DOUBLE) / GREATEST(n_words, 1), 1.0), 6)
+         CAST(ROUND(CAST(LEAST(CAST(hits_a AS DOUBLE) / GREATEST(n_words, 1),
+           1.0) AS DECIMAL(24,12)), 6) AS DOUBLE)
        WHEN hits_b > 0 THEN
-         ROUND(LEAST(CAST(hits_b AS DOUBLE) / GREATEST(n_words, 1), 1.0), 6)
+         CAST(ROUND(CAST(LEAST(CAST(hits_b AS DOUBLE) / GREATEST(n_words, 1),
+           1.0) AS DECIMAL(24,12)), 6) AS DOUBLE)
        ELSE 0.3
   END AS language_confidence
 FROM hits
@@ -112,18 +114,18 @@ WITH hits AS (
   FROM documents
 )
 SELECT doc_id, positive_hits, negative_hits,
-  ROUND(CASE
+  CAST(ROUND(CAST(CASE
     WHEN positive_hits > negative_hits
       THEN LEAST(0.8, positive_hits * 0.2)
     WHEN negative_hits > positive_hits
       THEN GREATEST(-0.8, -(negative_hits * 0.2))
-    ELSE 0.0 END, 6) AS sentiment_score,
+    ELSE 0.0 END AS DECIMAL(24,12)), 6) AS DOUBLE) AS sentiment_score,
   CASE
     WHEN positive_hits > negative_hits THEN 'Positive'
     WHEN negative_hits > positive_hits THEN 'Negative'
     ELSE 'Neutral' END AS sentiment_label,
-  ROUND(LEAST(CAST(positive_hits + negative_hits AS DOUBLE) * 0.2, 1.0), 6)
-    AS sentiment_confidence
+  CAST(ROUND(CAST(LEAST(CAST(positive_hits + negative_hits AS DOUBLE) * 0.2,
+    1.0) AS DECIMAL(24,12)), 6) AS DOUBLE) AS sentiment_confidence
 FROM hits
 """
 
