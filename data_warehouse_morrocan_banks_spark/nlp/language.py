@@ -121,10 +121,14 @@ def language_detect_cols(
     arabic: list[str] | None = None,
 ) -> dict[str, Column]:
     """Return {detected_language, language_confidence, n_words} exprs."""
+    from ..functions.text import word_count
+
     c = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(c)
-    tokens = F.split(lowered, r"\s+")
-    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens))
+    # Reference text_lower.split() drops leading/trailing empties —
+    # word_count strips first (a bare split('\s+') would count padded
+    # text high and skew the confidence denominator).
+    n_words = word_count(c)
     fr = contains_hits(lowered, french or FRENCH_INDICATORS)
     ar = contains_hits(c, arabic or ARABIC_INDICATORS)
     too_short = F.length(F.trim(c)) < 3

@@ -115,7 +115,10 @@ def dstddev(col: Column | str, alias: str) -> Column:
         .cast("decimal(18,0)")
         .cast("double")
     )
-    return F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias(alias)
+    sd = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    # STDDEV_SAMP is NULL for n<2 (PG/DuckDB); without the guard the
+    # closing math yields 0/0 = NaN.
+    return F.when(n >= 2, sd).alias(alias)
 
 
 def dratio(num: Column, den: Column, alias: str, nd: int = 4) -> Column:
@@ -173,4 +176,5 @@ def sql_dstddev(expr: str, alias: str) -> str:
         f" CAST({expr} AS {_DEC_WIDE}) AS {_DEC_WIDE})), 0)"
         f" AS DECIMAL(18,0)) AS DOUBLE)"
     )
-    return f"SQRT(({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1.0))) AS {alias}"
+    sd = f"SQRT(({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1.0)))"
+    return f"CASE WHEN {n} >= 2 THEN {sd} END AS {alias}"

@@ -68,60 +68,59 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Spark has no native as-of join (SURVEY §2.4 note); the engine uses
     the union+window form: tag sides, union, and carry the right
-    side's values forward with last_value(ignoreNulls) over
+    side's row forward as ONE struct with last_value(ignoreNulls) over
     (key ORDER BY ts, side) — exactly ONE shuffle on the key, no
     per-row Python (the applyInPandas/merge_asof alternative ships
-    every row through Arrow; this stays in Tungsten).  Right-side ties
-    on (key, ts) resolve to the greatest ordering of ``right_cols[0]``
-    — deduplicate the right side first for other policies.
-    ``tolerance_s`` drops matches older than the window (merge_asof
-    semantics).
+    every row through Arrow; this stays in Tungsten).  Carrying a
+    single struct (not each column independently) pins DuckDB ASOF
+    semantics: a matched right row with a NULL field yields that NULL
+    — it never backfills from an older right row.  Right-side ties on
+    (key, ts) resolve to the greatest struct ordering of
+    ``(right_cols…)`` — deduplicate the right side first for other
+    policies.  ``tolerance_s`` drops matches older than the window
+    (merge_asof semantics).
     """
     from pyspark.sql import Window
 
+    r_tag = right.select(
+        F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
+        F.struct(
+            F.col(ts).alias("__r_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__r"),
+    )
     l_tag = left.select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_cols],
-        F.lit(None).cast("timestamp").alias("__r_ts"),
+        F.lit(None).cast(r_tag.schema["__r"].dataType).alias("__r"),
     )
-    r_tag = right.select(
-        F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
-        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(ts).alias("__r_ts"),
+    r_tag = r_tag.withColumn(
+        "__l", F.lit(None).cast(l_tag.schema["__l"].dataType)
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts → inclusive match;
-    # among right ties the last under (__r_<first col>) wins.
-    order = [F.col("__ts"), F.col("__side")]
-    if right_cols:
-        order.append(F.col(f"__r_{right_cols[0]}"))
+    # among right ties the greatest (__r_ts, *right_cols) struct wins.
     w = (
-        Window.partitionBy(key).orderBy(*order)
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         key, "__ts", "__side", "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-          for c in right_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     ).filter(F.col("__side") == 1)
     if tolerance_s is not None:
         in_window = (
-            F.col("__r_ts").isNotNull()
-            & ((F.unix_timestamp("__ts") - F.unix_timestamp("__r_ts"))
+            F.col("__r").isNotNull()
+            & ((F.unix_timestamp("__ts") - F.unix_timestamp("__r.__r_ts"))
                <= tolerance_s)
         )
-        carried = carried.select(
-            key, "__ts", "__l",
-            *[F.when(in_window, F.col(f"__r_{c}")).alias(f"__r_{c}")
-              for c in right_cols],
+        carried = carried.withColumn(
+            "__r", F.when(in_window, F.col("__r"))
         )
     return carried.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in right_cols],
+        *[F.col(f"__r.{c}").alias(f"asof_{c}") for c in right_cols],
     )
 
 

@@ -28,7 +28,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     big gains a uniform ``__salt`` per row; small is replicated once
     per salt value; the join key becomes (key, __salt), splitting a
     hot key across ``salt_buckets`` tasks.
+
+    Only ``inner``/``left`` (big side preserved) are legal: under
+    ``right``/``full`` every unmatched small-side row would surface
+    once per salt value — ``salt_buckets``× duplication.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "right/full would emit unmatched small-side rows once per salt"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

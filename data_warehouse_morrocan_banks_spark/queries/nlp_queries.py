@@ -51,8 +51,11 @@ def _sql_contains_hits(expr: str, words: list[str]) -> str:
 _N1_ORACLE = rf"""
 WITH base AS (
   SELECT doc_id, text, LOWER(text) AS lt,
-    CASE WHEN TRIM(text) = '' THEN 0
-         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+')) AS INT)
+    CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = ''
+           THEN 0
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
+           REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+           '[ \t\n\r]+')) AS INT)
     END AS n_words
   FROM documents
 ),

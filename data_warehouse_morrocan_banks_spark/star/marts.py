@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.conditional import safe_rate
-from ..numerics import davg, dsum
+from ..numerics import davg, dstddev, dsum
 
 
 def bank_performance_mart(reviews: DataFrame) -> DataFrame:
@@ -149,10 +149,10 @@ def comprehensive_mart(reviews: DataFrame) -> DataFrame:
             total.alias("total_reviews"),
             davg("rating", "avg_rating"),
             davg("sentiment_score", "avg_sentiment"),
-            F.expr(
-                "sqrt(greatest(0.0, avg(sentiment_score * sentiment_score) "
-                "- avg(sentiment_score) * avg(sentiment_score)))"
-            ).alias("sentiment_volatility"),
+            # Reference STDDEV(sentiment_score) is STDDEV_SAMP
+            # (mart_comprehensive_bank_analysis.sql:16) — the n−1 form,
+            # via the deterministic moment-sum layer.
+            dstddev("sentiment_score", "sentiment_volatility"),
             negative.alias("negative_reviews"),
             complaints.alias("wait_complaints"),
             safe_rate(negative, total).alias("negative_rate_pct"),

@@ -52,8 +52,13 @@ def stream_daily_rollup(spark: SparkSession, parquet_path: str,
     """The same rollup via Structured Streaming with AvailableNow.
 
     readStream(parquet) → 1-day watermark → tumbling window → complete
-    mode into an in-memory sink. Late rows beyond the watermark drop —
-    the semantics a daily batch rebuild can't express.
+    mode into an in-memory sink.  Under ``complete`` output mode Spark
+    retains all window state and the watermark does NOT drop late data
+    (that is what makes the batch≡streaming equality test exact); the
+    watermark here documents the state-bound a production ``update``/
+    ``append`` deployment of the same plan would get, where rows later
+    than 1 day ARE dropped and state stays bounded at ~2 days of
+    windows per key.
     """
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
