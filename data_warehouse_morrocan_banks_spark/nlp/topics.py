@@ -99,14 +99,24 @@ def transform_topics(model, df: DataFrame, id_cols: list[str]) -> DataFrame:
 
 def topic_summary(model, n_words: int = 10) -> DataFrame:
     """N6: top-n words + weights per topic (describeTopics joined to
-    the CountVectorizer vocabulary)."""
+    the CountVectorizer vocabulary).
+
+    The vocabulary lookup is an array-literal ``transform`` (indices
+    are 0-based, ``element_at`` 1-based) — no Python UDF.  Output
+    columns are scalars (space-joined words, json weights): the
+    driver's canonicalizer cannot hash array cells.
+    """
     vocab = model.stages[2].vocabulary
     lda_model = model.stages[3]
     topics = lda_model.describeTopics(n_words)
-    to_words = F.udf(lambda idxs: [vocab[i] for i in idxs], "array<string>")
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    top_words = F.transform(
+        "termIndices", lambda i: F.element_at(vocab_arr, i.cast("int") + 1)
+    )
+    weights = F.transform("termWeights", lambda w: F.round(w, 6))
     return topics.select(
         F.col("topic").alias("topic_id"),
         _label_map_expr()[F.col("topic")].alias("topic_label"),
-        to_words("termIndices").alias("top_words"),
-        F.col("termWeights").alias("weights"),
+        F.concat_ws(" ", top_words).alias("top_words"),
+        F.to_json(weights).alias("weights_json"),
     )

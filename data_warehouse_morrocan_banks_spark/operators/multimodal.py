@@ -2,11 +2,12 @@
 
 Design per BASELINE.json: opaque ``binary`` payload columns + typed
 metadata struct, with decode / feature-extract / resize /
-frame-sample as Arrow-batched ``mapInPandas`` stages.  The actual
-codec libraries are NOT in this runtime, so the decode kernel is
-stubbed (deterministic fake keyed on payload bytes) behind
-``DECODERS`` — the Spark-side contract (schema, batching, partition
-behavior) is real and tested.
+frame-sample as Arrow-batched ``mapInPandas`` stages.  Formats with
+stdlib-parsable containers decode for real — BMP and PPM image
+headers, canonical RIFF/WAVE audio — while payloads without a known
+magic fall back to a deterministic byte-fold feature stand-in (the
+runtime ships no codec libraries for JPEG/PNG/MP4; the fold keeps the
+stage total and oracle-checkable).
 
 Scale: payloads never shuffle — every stage is map-only; metadata
 extraction projects the struct so downstream filters prune the
@@ -38,14 +39,66 @@ MEDIA_SCHEMA = StructType([
 
 DECODED_SCHEMA = (
     "media_id string, media_type string, n_bytes int, "
-    "payload_md5 string, feat_mean double, feat_dim int"
+    "payload_md5 string, feat_mean double, feat_dim int, "
+    "width int, height int, duration_ms int"
 )
+
+
+def synthetic_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Craft a minimal uncompressed 24-bit BMP (BITMAPINFOHEADER) —
+    a real, spec-valid payload for exercising the decode path without
+    codec libraries."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_bytes = (row_bytes + pad) * height
+    header = (
+        b"BM"
+        + (54 + pixel_bytes).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    px = bytearray()
+    v = seed & 0xFF
+    for _ in range(height):
+        for _ in range(width):
+            px += bytes(((v := (v * 31 + 7) % 256),) * 3)
+        px += b"\x00" * pad
+    return header + bytes(px)
+
+
+def synthetic_wav(n_samples: int, sample_rate: int = 8000,
+                  seed: int = 0) -> bytes:
+    """Craft a canonical 16-bit mono PCM RIFF/WAVE payload via the
+    stdlib ``wave`` module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        v = seed & 0x7FFF
+        frames = bytearray()
+        for _ in range(n_samples):
+            v = (v * 31 + 7) % 32768
+            frames += int(v - 16384).to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
 
 
 def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode stage: binary payload → feature columns.
 
     Arrow-batched; one python worker pass per partition, no shuffle.
+    BMP/PPM/WAV containers parse for real (width/height/duration_ms);
+    anything else keeps NULL dimensions and the byte-fold features.
 
     The batch function is fully self-contained (no references to this
     module's globals) so cloudpickle ships it BY VALUE — Python
@@ -58,9 +111,9 @@ def decode_media(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def fake_decode(payload: bytes) -> tuple[float, int]:
-            # deterministic stand-in for image/audio decoding; replace
-            # with PIL/libav kernels in a runtime that ships them
+        def fold_features(payload: bytes) -> tuple[float, int]:
+            # deterministic byte-fold feature stand-in (same recurrence
+            # as the engine's rolling_hash; oracle-reproducible)
             if not payload:
                 return 0.0, 0
             acc = 0
@@ -68,34 +121,104 @@ def decode_media(df: DataFrame) -> DataFrame:
                 acc = (acc * 31 + b) % 1_000_003
             return round(acc / 1_000_003, 6), 8
 
+        def parse_dims(payload: bytes):
+            # (width, height, duration_ms) from stdlib-parsable headers
+            try:
+                if payload[:2] == b"BM" and len(payload) >= 26:
+                    w = int.from_bytes(payload[18:22], "little", signed=True)
+                    h = int.from_bytes(payload[22:26], "little", signed=True)
+                    return w, abs(h), None
+                if payload[:2] == b"P6":
+                    head = payload[2:64].split()
+                    return int(head[0]), int(head[1]), None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    import io
+                    import wave
+
+                    with wave.open(io.BytesIO(payload), "rb") as wv:
+                        rate = wv.getframerate()
+                        n = wv.getnframes()
+                        return None, None, int(n * 1000 // rate) if rate else None
+            except Exception:
+                pass
+            return None, None, None
+
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats = [fake_decode(p if p is not None else b"") for p in payloads]
+            payloads = [
+                p if p is not None else b"" for p in pdf["payload"]
+            ]
+            feats = [fold_features(p) for p in payloads]
+            dims = [parse_dims(p) for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                "payload_md5": [
-                    hashlib.md5(p if p is not None else b"").hexdigest()
-                    for p in payloads
-                ],
+                "n_bytes": [len(p) for p in payloads],
+                "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
                 "feat_mean": [f[0] for f in feats],
                 "feat_dim": [f[1] for f in feats],
+                "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                "duration_ms": pd.array([d[2] for d in dims], dtype="Int32"),
             })
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB: no imaging library in this runtime.
+    """Image resize stage: map-only payload→payload for uncompressed
+    24-bit BMPs (nearest-neighbor, pure stdlib); other formats raise
+    inside the worker — no codec libraries ship in this runtime.
 
-    The contract (map-only, payload→payload, metadata update) is what
-    the engine guarantees; the kernel raises until a codec is present.
+    Same by-value mapInPandas contract as ``decode_media``; metadata
+    columns update to the target dimensions.
     """
-    raise NotImplementedError(
-        "image codec not available in this runtime; decode_media shows "
-        "the mapInPandas plumbing this stage plugs into"
-    )
+    target_w, target_h = int(width), int(height)
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
+            if payload[:2] != b"BM":
+                raise NotImplementedError(
+                    "resize_images supports uncompressed 24-bit BMP only "
+                    "in this runtime (no codec libraries present)"
+                )
+            sw = int.from_bytes(payload[18:22], "little", signed=True)
+            sh = int.from_bytes(payload[22:26], "little", signed=True)
+            bpp = int.from_bytes(payload[28:30], "little")
+            comp = int.from_bytes(payload[30:34], "little")
+            if bpp != 24 or comp != 0 or sh <= 0:
+                raise NotImplementedError("only top-down-free 24bpp BMPs")
+            off = int.from_bytes(payload[10:14], "little")
+            s_stride = (sw * 3 + 3) & ~3
+            t_stride = (tw * 3 + 3) & ~3
+            out = bytearray()
+            for ty in range(th):
+                sy = ty * sh // th
+                row = payload[off + sy * s_stride:]
+                for tx in range(tw):
+                    sx = tx * sw // tw
+                    out += row[sx * 3:sx * 3 + 3]
+                out += b"\x00" * (t_stride - tw * 3)
+            header = bytearray(payload[:54])
+            header[2:6] = (54 + len(out)).to_bytes(4, "little")
+            header[10:14] = (54).to_bytes(4, "little")
+            header[18:22] = tw.to_bytes(4, "little", signed=True)
+            header[22:26] = th.to_bytes(4, "little", signed=True)
+            header[34:38] = len(out).to_bytes(4, "little")
+            return bytes(header[:54]) + bytes(out)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                resize_bmp(p, target_w, target_h) if p else p
+                for p in pdf["payload"]
+            ]
+            pdf["width"] = pd.array([target_w] * len(pdf), dtype="Int32")
+            pdf["height"] = pd.array([target_h] * len(pdf), dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(resize_batches, df.schema)
 
 
 def media_from_text(df: DataFrame, id_col: str, text_col: str,

@@ -95,17 +95,23 @@ def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
 
     At 100 TB this is a map-only stage; the subsequent ANN search
     shuffles once on bucket_id instead of comparing to everything.
+
+    The argmax compares 6dp-ROUNDED sims in centroid-list order
+    (strict ``>`` ⇒ first centroid wins rounded ties): raw-double
+    comparisons could flip between engines on ~1-ulp differences,
+    rounded+first-wins is reproducible anywhere (the DuckDB oracle is
+    ``ORDER BY ROUND(sim, 6) DESC, cid ASC``).
     """
     v = as_double_array(vec_col)
     best_id, best_sim = F.lit(-1), F.lit(-2.0)
-    for cid, cvec in centroids:
+    for cid, cvec in sorted(centroids):
         arr = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = dot(v, arr) / (l2_norm(v) * l2_norm(arr))
+        sim = F.round(dot(v, arr) / (l2_norm(v) * l2_norm(arr)), 6)
         is_better = sim > best_sim
         best_id = F.when(is_better, F.lit(cid)).otherwise(best_id)
         best_sim = F.when(is_better, sim).otherwise(best_sim)
     return corpus.withColumn("bucket_id", best_id).withColumn(
-        "bucket_sim", F.round(best_sim, 6)
+        "bucket_sim", best_sim
     )
 
 
@@ -165,12 +171,17 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("__qvec")
     )
+    # probe ranking sorts (rounded sim, bucket_id) struct DESC — ties
+    # at 6dp resolve to the higher bucket_id, mirrored by the oracle's
+    # ORDER BY ROUND(sim, 6) DESC, cid DESC.
     scores = []
-    for cid, cvec in centroids:
+    for cid, cvec in sorted(centroids):
         arr = F.array(*[F.lit(float(x)) for x in cvec])
         scores.append(F.struct(
-            (dot(F.col("__qvec"), arr)
-             / (l2_norm(F.col("__qvec")) * l2_norm(arr))).alias("sim"),
+            F.round(
+                dot(F.col("__qvec"), arr)
+                / (l2_norm(F.col("__qvec")) * l2_norm(arr)), 6
+            ).alias("sim"),
             F.lit(cid).alias("bucket_id"),
         ))
     probes = (
@@ -235,6 +246,107 @@ def jaccard_token_sets(a_tokens: Column, b_tokens: Column, nd: int = 6) -> Colum
     return F.round(
         (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
     ).cast("double")
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                                group_col: str, threshold: float = 0.9,
+                                nd: int = 6) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard ≥ threshold without an
+    all-pairs join — prefix filtering (Chaudhuri/Bayardo AllPairs).
+
+    Guarantee: order each document's distinct tokens by (corpus
+    document-frequency ASC, token) — a global total order with the
+    rarest tokens first — and keep only the first
+    ``n − ⌈t·n⌉ + 1`` tokens (the *prefix*).  Any pair with
+    J ≥ t must overlap in ≥ ⌈t·max(|a|,|b|)⌉ tokens, and two sets
+    whose prefixes under a common total order don't intersect overlap
+    in at most min(n_a, n_b) − prefix − … < that bound — so every
+    qualifying pair shares ≥1 *prefix* token.  Candidates are
+    therefore the prefix-token equi-join (shuffle keys: rare tokens —
+    small postings by construction), then exact Jaccard verifies each
+    candidate once.  Recall is exactly 1.0 — unlike MinHash-LSH this
+    hash-matches the quadratic oracle — while the plan does no
+    all-pairs comparison: the 100 TB-safe form of the same answer.
+
+    A size filter (t·n_a ≤ n_b ≤ n_a/t) prunes candidates before the
+    array intersection.  ⌈t·n⌉ computes on a 6dp-rounded product so
+    binary float noise (0.9·10 = 9.000000000000002) can't shrink a
+    prefix and break the recall guarantee.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+
+    def alpha(n: Column) -> Column:
+        return F.ceil(F.round(F.lit(threshold) * n, 6))
+
+    exploded = toks.select("__id", "__grp", "__n", F.explode("__t").alias("__tok"))
+    freq = exploded.groupBy("__grp", "__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    prefix = (
+        exploded.join(freq, ["__grp", "__tok"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
+        .select("__grp", "__tok", "__id", "__n")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.__grp") == F.col("pb.__grp"))
+            & (F.col("pa.__tok") == F.col("pb.__tok"))
+            & (F.col("pa.__id") < F.col("pb.__id")),
+            "inner",
+        )
+        .filter(
+            (F.col("pb.__n") >= alpha(F.col("pa.__n")))
+            & (F.col("pa.__n") >= alpha(F.col("pb.__n")))
+        )
+        .select(F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb"))
+        .distinct()
+    )
+    ta = toks.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
+    tb = toks.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
+    sim = jaccard_token_sets(F.col("__ta"), F.col("__tb"), nd)
+    return (
+        cands.join(ta, "__ida", "inner")
+        .join(tb, "__idb", "inner")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            sim.alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def kmeans_centroids(corpus: DataFrame, k: int = 8, seed: int = 42,
+                     vec_col: str = "embedding",
+                     max_iter: int = 20) -> list[tuple[int, list[float]]]:
+    """Fit IVF centroids with Spark ML k-means (seeded → reproducible).
+
+    Returns the same ``[(cid, vector), …]`` shape ``ivf_assign`` /
+    ``ivf_search`` take, so the fitted centroids drop in for the
+    seeded-sample ones.  The fit is one Spark job over the corpus (at
+    100 TB: fit on a sample, assign the full corpus map-only); k
+    centroid vectors collect to the driver — kilobytes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(as_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -80,9 +80,12 @@ def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A2: conditional counts (rating-histogram pattern) ----------------------
+# --- A2 + A5: conditional counts + ratio-of-aggregates ----------------------
 # Reference: rating_1..5 histograms / sentiment buckets via
-# COUNT(CASE WHEN ...) (mart_comprehensive_bank_analysis.sql:18-47).
+# COUNT(CASE WHEN ...) (mart_comprehensive_bank_analysis.sql:18-47)
+# and positive_reviews::DECIMAL / total_reviews * 100 rounded rates
+# (phase2_transformation_pipeline.py:450-451) — one grain, one query
+# (the driver checks at most 50 queries, so same-grain ops share one).
 
 _A2_ORACLE = """
 SELECT
@@ -91,100 +94,7 @@ SELECT
   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
   COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_orders,
-  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value_orders
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-@register("q_a2_conditional_counts", oracle=_A2_ORACLE)
-def q_a2_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("total_orders"),
-            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
-            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
-            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("pending_orders"),
-            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("high_value_orders"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# --- A3: COUNT(DISTINCT) ----------------------------------------------------
-# Reference: COUNT(DISTINCT place_id) branches per bank
-# (complete_data_pipeline_fixed.py:190; dim_bank.sql:79-86).
-
-_A3_ORACLE = """
-SELECT
-  c_nationkey,
-  COUNT(*) AS total_customers,
-  COUNT(DISTINCT c_mktsegment) AS distinct_segments
-FROM customer
-GROUP BY c_nationkey
-ORDER BY c_nationkey
-"""
-
-
-@register("q_a3_distinct_counts", oracle=_A3_ORACLE)
-def q_a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    c = table(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("total_customers"),
-            F.countDistinct("c_mktsegment").alias("distinct_segments"),
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-# --- A4: stddev volatility --------------------------------------------------
-# Reference: stddev(sentiment_score) AS sentiment_volatility
-# (mart_comprehensive_bank_analysis.sql:16). Deterministic moment-sum
-# form so Spark and DuckDB agree bitwise (see numerics).
-
-_A4_ORACLE = f"""
-SELECT
-  event_type,
-  COUNT(*) AS n_events,
-  {sql_davg('value', 'avg_value')},
-  {sql_dstddev('value', 'value_volatility')}
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-@register("q_a4_stddev_volatility", oracle=_A4_ORACLE)
-def q_a4_stddev_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            davg("value", "avg_value"),
-            dstddev("value", "value_volatility"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# --- A5: ratio-of-aggregates (% rates) --------------------------------------
-# Reference: positive_reviews::DECIMAL / total_reviews * 100 rounded
-# (phase2_transformation_pipeline.py:450-451). Integer-count ratios
-# divide exactly the same in both engines; round(…,4) is cosmetic.
-
-_A5_ORACLE = """
-SELECT
-  o_orderpriority,
-  COUNT(*) AS total_orders,
+  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value_orders,
   CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0
     AS DOUBLE) / COUNT(*) AS DECIMAL(24,8)), 4) AS DOUBLE) AS finished_rate_pct,
   CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) * 100.0
@@ -195,8 +105,8 @@ ORDER BY o_orderpriority
 """
 
 
-@register("q_a5_ratio_rates", oracle=_A5_ORACLE)
-def q_a5_ratio_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_a2_conditional_counts", oracle=_A2_ORACLE)
+def q_a2_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     o = table(spark, sf_dir, "orders")
     total = F.count(F.lit(1))
@@ -206,10 +116,67 @@ def q_a5_ratio_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .agg(
             total.alias("total_orders"),
+            finished.alias("finished_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("pending_orders"),
+            high.alias("high_value_orders"),
             dratio(finished * 100.0, total, "finished_rate_pct"),
             dratio(high * 100.0, total, "high_value_rate_pct"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# A3 COUNT(DISTINCT): driver coverage rides q_w12_nation_windows
+# (queries.windows — exact mode; the HLL dual mode is
+# operators.scale.distinct_count, pytest-checked).
+
+# --- A4 + A10b: stddev volatility + exact quantile profile ------------------
+# Reference: stddev(sentiment_score) AS sentiment_volatility
+# (mart_comprehensive_bank_analysis.sql:16), deterministic moment-sum
+# form so Spark and DuckDB agree bitwise (see numerics), plus the
+# engine's exact-interpolated-percentile extension of the pandas
+# median/profile block — Spark percentile(array(…)) computes all four
+# in one pass, projected to scalar columns (the driver canonicalizer
+# cannot hash array cells).
+
+_A4_ORACLE = f"""
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_davg('value', 'avg_value')},
+  {sql_dstddev('value', 'value_volatility')},
+  CAST(QUANTILE_CONT(value, 0.25) AS DOUBLE) AS p25_value,
+  CAST(QUANTILE_CONT(value, 0.5) AS DOUBLE) AS p50_value,
+  CAST(QUANTILE_CONT(value, 0.75) AS DOUBLE) AS p75_value,
+  CAST(QUANTILE_CONT(value, 0.95) AS DOUBLE) AS p95_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_a4_stddev_volatility", oracle=_A4_ORACLE)
+def q_a4_stddev_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
+    qarr = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value", "avg_value"),
+            dstddev("value", "value_volatility"),
+            qarr.alias("__q"),
+        )
+        .select(
+            "event_type", "n_events", "avg_value", "value_volatility",
+            F.element_at("__q", 1).alias("p25_value"),
+            F.element_at("__q", 2).alias("p50_value"),
+            F.element_at("__q", 3).alias("p75_value"),
+            F.element_at("__q", 4).alias("p95_value"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -373,55 +340,12 @@ def q_a10_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A10b: exact quantile profile (engine extension of the pandas
-# median/profile block) — interpolated percentiles, not approx, so the
-# DuckDB quantile_cont oracle matches element-for-element.
-
-_A12_ORACLE = """
-SELECT
-  event_type,
-  QUANTILE_CONT(value, [0.25, 0.5, 0.75]) AS value_quartiles,
-  CAST(QUANTILE_CONT(value, 0.95) AS DOUBLE) AS p95_value
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-@register("q_a12_quantiles", oracle=_A12_ORACLE)
-def q_a12_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
-            .alias("value_quartiles"),
-            F.expr("CAST(percentile(value, 0.95D) AS DOUBLE)").alias("p95_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
 # --- Engine extensions: pivot / unpivot -------------------------------------
 # Not in the reference (its rating histograms hand-roll conditional
 # counts, A2); exposed because BI consumers of the marts expect them.
-# Oracle expresses the identical semantics via conditional aggregation
-# (pivot) and UNPIVOT (melt).
+# One registered query: the unpivot runs ON the pivot output, so the
+# melt round-trip checks both against the conditional-agg oracle.
 
-_PIVOT_ORACLE = """
-SELECT
-  o_orderpriority,
-  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
-  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
-  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-@register("q_pivot_status_counts", oracle=_PIVOT_ORACLE)
 def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     o = table(spark, sf_dir, "orders")

@@ -1,10 +1,21 @@
-"""Dedup operator queries (SURVEY.md §2.3, D1-D5)."""
+"""Dedup operator queries (SURVEY.md §2.3, D1-D5).
+
+Consolidated to two driver queries (the driver checks at most 50
+queries, so same-grain ops share one):
+
+- ``q_d1_dedup_keep_first`` — D1 keep-first dedup over events, whose
+  survivors also carry the D5/F9 synthetic composite key (epoch
+  round-trip = T1 both directions) and the T9 business-hours bucket.
+- ``q_d23_distinct_suite`` — D2 full-row DISTINCT over a projection
+  and D3 distinct-subquery dim build, as one labeled union.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.datetime import business_hours_bucket
 from ..operators.dedup import (
     dedup_distinct,
     dedup_keep_first,
@@ -14,14 +25,26 @@ from ..registry import register
 from ..session import ensure_query_confs
 from ..sources.readers import table
 
-# --- D1: key-based dedup, keep-first under an order -------------------------
+# --- D1 + D5 + T9: key-based dedup keep-first, synthetic business key -------
 # Reference: drop_duplicates(subset=['review_id'], keep='first') on a
 # frame ordered collected_at DESC (run_phase2_transformation.py:70-74)
 # → deterministic window form: survivor = latest ts, tiebreak highest
-# event_id.
+# event_id.  Survivors gain the reference's synthetic composite id
+# review_id = f"{place_id}_{time}_{author_name}"
+# (google_maps_collector.py:283; epoch seconds via unix_timestamp /
+# floor(epoch()) — identical after the µs truncation both engines
+# apply) and the business-hours bucket of the enhanced staging view.
 
 _D1_ORACLE = """
-SELECT event_id, user_id, event_type, ts, value
+SELECT event_id, user_id, event_type, ts, value,
+  CAST(user_id AS VARCHAR) || '_' ||
+    CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS VARCHAR) || '_' ||
+    event_type AS synthetic_id,
+  CASE
+    WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 17 THEN 'business_hours'
+    WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
+    ELSE 'off_hours'
+  END AS hours_bucket
 FROM (
   SELECT e.*,
          ROW_NUMBER() OVER (
@@ -43,71 +66,61 @@ def q_d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id", "event_type"],
         order_by=[F.col("ts").desc(), F.col("event_id").desc()],
     )
-    return kept.select("event_id", "user_id", "event_type", "ts", "value")
-
-
-# --- D2: full-row SELECT DISTINCT ------------------------------------------
-# Reference: dedup CTE over the staging projection (stg_raw_reviews.sql:49-69).
-
-_D2_ORACLE = """
-SELECT DISTINCT
-  o_orderstatus,
-  o_orderpriority,
-  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year
-FROM orders
-"""
-
-
-@register("q_d2_distinct_projection", oracle=_D2_ORACLE)
-def q_d2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    proj = o.select(
-        "o_orderstatus",
-        "o_orderpriority",
-        F.year("o_orderdate").alias("order_year"),
-    )
-    return dedup_distinct(proj)
-
-
-# --- D3: distinct-subquery dim build ---------------------------------------
-# Reference: SELECT DISTINCT place_id, branch_name, bank_name for
-# dim_branch (complete_data_pipeline_fixed.py:209-213).
-
-_D3_ORACLE = """
-SELECT DISTINCT p_brand, p_type FROM part
-"""
-
-
-@register("q_d3_distinct_dim_source", oracle=_D3_ORACLE)
-def q_d3_distinct_dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    p = table(spark, sf_dir, "part")
-    return dedup_distinct(p, ["p_brand", "p_type"])
-
-
-# --- D5: synthetic composite business key ----------------------------------
-# Reference: review_id = f"{place_id}_{time}_{author_name}"
-# (google_maps_collector.py:283). Epoch seconds via unix_timestamp /
-# floor(epoch()) — identical after the µs truncation both engines apply.
-
-_D5_ORACLE = """
-SELECT
-  event_id,
-  CAST(user_id AS VARCHAR) || '_' ||
-    CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS VARCHAR) || '_' ||
-    event_type AS synthetic_id
-FROM events
-"""
-
-
-@register("q_d5_synthetic_key", oracle=_D5_ORACLE)
-def q_d5_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
+    return kept.select(
+        "event_id", "user_id", "event_type", "ts", "value",
         synthetic_key(
             ["user_id", F.unix_timestamp("ts"), "event_type"]
         ).alias("synthetic_id"),
+        business_hours_bucket("ts").alias("hours_bucket"),
     )
+
+
+# --- D2 + D3: full-row SELECT DISTINCT + distinct-subquery dim build --------
+# Reference: dedup CTE over the staging projection
+# (stg_raw_reviews.sql:49-69) and SELECT DISTINCT place_id,
+# branch_name, bank_name for dim_branch
+# (complete_data_pipeline_fixed.py:209-213).  Two projections, one
+# labeled union — each branch is its own DISTINCT (shuffle keyed on
+# the branch's columns; the union is append-only, no extra shuffle).
+
+_D23_ORACLE = """
+SELECT DISTINCT
+  'orders_projection' AS src,
+  o_orderstatus AS k1,
+  o_orderpriority AS k2,
+  CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS k3
+FROM orders
+UNION ALL
+SELECT DISTINCT
+  'part_dim' AS src,
+  p_brand AS k1,
+  p_type AS k2,
+  CAST(NULL AS VARCHAR) AS k3
+FROM part
+"""
+
+
+@register("q_d23_distinct_suite", oracle=_D23_ORACLE)
+def q_d23_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    proj = dedup_distinct(
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.year("o_orderdate").cast("string").alias("order_year"),
+        )
+    ).select(
+        F.lit("orders_projection").alias("src"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.col("order_year").alias("k3"),
+    )
+    dim = dedup_distinct(p, ["p_brand", "p_type"]).select(
+        F.lit("part_dim").alias("src"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_type").alias("k2"),
+        F.lit(None).cast("string").alias("k3"),
+    )
+    return proj.unionByName(dim)

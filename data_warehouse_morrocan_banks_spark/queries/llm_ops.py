@@ -18,10 +18,8 @@ from ..operators.multimodal import decode_media, media_from_text
 from ..operators.similarity import (
     as_double_array,
     brute_force_topk,
-    ivf_assign,
-    jaccard_token_sets,
     l2_norm,
-    minhash_lsh_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_agg,
 )
 from ..operators.textstats import (
@@ -61,10 +59,15 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_content(d, "text", "doc_id")
 
 
-# --- n-gram Jaccard near-dup pairs ------------------------------------------
-# Token-set Jaccard ≥ 0.9 within language partitions.  The lang
-# equi-key bounds the self-join (the 100 TB version swaps this key
-# for LSH buckets — see minhash below); list ops are codegen'd.
+# --- n-gram Jaccard near-dup pairs (prefix-filter plan) ---------------------
+# Token-set Jaccard ≥ 0.9 within language partitions.  The ORACLE is
+# the quadratic all-pairs self-join (fine for DuckDB at sf0.01); the
+# Spark plan is prefix filtering — rare-token candidate generation
+# with guaranteed recall 1.0, then exact verification per candidate —
+# so the checked query contains NO all-pairs join and is the same
+# plan that runs at 100 TB (operators.similarity.
+# prefix_filter_jaccard_pairs; MinHash-LSH remains the probabilistic
+# alternative, pytest-checked against this exact form).
 
 _JACCARD_ORACLE = r"""
 WITH toks AS (
@@ -87,27 +90,8 @@ WHERE CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
-    )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    sim = jaccard_token_sets(F.col("a.t"), F.col("b.t"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            sim.alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= 0.9)
+    return prefix_filter_jaccard_pairs(
+        d, "text", "doc_id", group_col="lang", threshold=0.9
     )
 
 
@@ -159,22 +143,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MinHash-LSH near-dup (rows-only: Spark ML hash family) -----------------
-
-
-@register("q_dedup_minhash_lsh")
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle→minhash→band→bucket-join near-dup pairs at Jaccard ≥0.9
-    (approx; seed=42). The 100 TB fuzzy-dedup plan: candidate
-    generation never compares documents outside shared LSH buckets.
-
-    Threshold note: this synthetic corpus is pathologically
-    self-similar (≈25% of same-language pairs exceed 0.6 Jaccard), so
-    a 0.6 cut degenerates into an all-pairs join — 0.9 keeps the
-    candidate set the size LSH is designed to produce."""
-    ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
+# MinHash-LSH near-dup (operators.similarity.minhash_lsh_pairs):
+# shingle→minhash→band→bucket-join, seed=42 — the probabilistic
+# candidate generator.  Not a registered driver query (the Spark ML
+# hash family isn't oracle-portable and the driver checks at most 50
+# queries); tests/test_similarity.py checks its candidate recall
+# against the exact prefix-filter pairs above.
 
 
 # --- similarity search: brute-force cosine top-k ----------------------------
@@ -212,29 +186,78 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, probes, k=10)
 
 
-# --- similarity search: IVF-bucketed scale path (rows-only) -----------------
+# --- similarity search: IVF-bucketed scale path (oracle-backed) --------------
+# Full IVF search: assign every corpus vector to its nearest of 8
+# seeded centroids (the first 8 corpus vectors — deterministic, so
+# the DuckDB oracle reproduces the whole path), probe the 3 nearest
+# buckets per query, exact top-10 within candidates.  Assignment
+# argmax = rounded sim DESC, centroid id ASC (first-wins ties); probe
+# ranking = rounded sim DESC, centroid id DESC (struct sort order) —
+# both mirrored in SQL.  A k-means fit (similarity.kmeans_centroids,
+# seed=42) is the drop-in quality upgrade, recall-checked in
+# tests/test_similarity.py.
+
+_IVF_COS = ("LIST_DOT_PRODUCT({a}, {b}) / (SQRT(LIST_DOT_PRODUCT({a}, {a}))"
+            " * SQRT(LIST_DOT_PRODUCT({b}, {b})))")
+
+_IVF_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
+assigned AS (
+  SELECT c.vec_id, c.v, t.cid,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY ROUND({_IVF_COS.format(a='c.v', b='t.cv')}, 6) DESC, t.cid ASC
+    ) AS rn
+  FROM corpus c CROSS JOIN cents t
+),
+bucketed AS (SELECT vec_id, v, cid AS bucket_id FROM assigned WHERE rn = 1),
+probes0 AS (
+  SELECT p.vec_id AS query_id, p.v AS q, t.cid,
+    ROW_NUMBER() OVER (
+      PARTITION BY p.vec_id
+      ORDER BY ROUND({_IVF_COS.format(a='p.v', b='t.cv')}, 6) DESC, t.cid DESC
+    ) AS rn
+  FROM corpus p CROSS JOIN cents t
+  WHERE p.vec_id < 5
+),
+probes AS (SELECT query_id, q, cid AS bucket_id FROM probes0 WHERE rn <= 3),
+scored AS (
+  SELECT pr.query_id, b.vec_id,
+    ROUND({_IVF_COS.format(a='pr.q', b='b.v')}, 6) AS cosine_sim
+  FROM bucketed b JOIN probes pr ON b.bucket_id = pr.bucket_id
+  WHERE b.vec_id != pr.query_id
+)
+SELECT query_id, vec_id, cosine_sim
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored s
+)
+WHERE rn <= 10
+"""
 
 
-@register("q_ann_ivf_bucketed")
-def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF bucket assignment with 8 seeded centroids (first 8 corpus
-    vectors) + per-bucket population/centroid-affinity stats — the
-    map-only stage that makes 100 TB ANN tractable."""
+@register("q_ann_ivf_search", oracle=_IVF_ORACLE)
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: map-only bucket assign, broadcast probe list,
+    bucket equi-join instead of a cross join — the candidate set
+    shrinks from N to ~N·nprobe/K before any scoring.  Recall vs
+    brute force is asserted in tests/test_similarity.py (seeded
+    centroids ≥0.5, k-means centroids higher) — the speed/recall
+    trade of the 100 TB plan, explicit rather than silent."""
+    from ..operators.similarity import ivf_search
+
     ensure_query_confs(spark)
     emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 8).collect()
     ]
-    assigned = ivf_assign(emb, centroids)
-    return (
-        assigned.groupBy("bucket_id")
-        .agg(
-            F.count(F.lit(1)).alias("bucket_size"),
-            davg("bucket_sim", "avg_affinity"),
-        )
-        .orderBy("bucket_id")
-    )
+    return ivf_search(emb, probes, centroids, k=10, nprobe=3)
 
 
 # --- embedding column statistics --------------------------------------------
@@ -267,11 +290,15 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- text quality scoring ----------------------------------------------------
+# --- text metrics: quality scoring + token counting + fingerprint ------------
+# One documents scan at doc grain covers quality ratios, whitespace /
+# BPE-ish token counts, and the rolling-hash fingerprint (the driver
+# checks at most 50 queries, so the two former per-doc text queries
+# share one).
 
 _QUALITY_ORACLE = rf"""
 WITH stats AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
     CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
          ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
            REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
@@ -304,7 +331,11 @@ SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
     + CAST(stopword_ratio BETWEEN 0.01 AND 0.6 AS INT) * 0.25
     + CAST(punct_ratio <= 0.2 AS INT) * 0.25
     + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS INT) * 0.25 AS DOUBLE), 2)
-    AS quality_score
+    AS quality_score,
+  CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
+  CAST(LIST_REDUCE(
+    LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ''), c -> CAST(ASCII(c) AS BIGINT)),
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_hash_fp
 FROM stats
 """
 
@@ -320,66 +351,49 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio("text", _STOPWORDS).alias("stopword_ratio"),
         mean_word_length("text").alias("mean_word_len"),
         quality_score("text", _STOPWORDS).alias("quality_score"),
-    )
-
-
-# --- token counting ----------------------------------------------------------
-
-_TOKENS_ORACLE = rf"""
-SELECT doc_id,
-  CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
-       ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
-         REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
-         '[ \t\n\r]+')) AS INT)
-  END AS ws_tokens,
-  CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
-  CAST(LIST_REDUCE(
-    LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ''), c -> CAST(ASCII(c) AS BIGINT)),
-    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_hash_fp
-FROM documents
-"""
-
-
-@register("q_token_counts", oracle=_TOKENS_ORACLE)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        whitespace_token_count("text").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
         rolling_hash("text").alias("rolling_hash_fp"),
     )
 
 
-# --- multimodal plumbing (rows-only: mapInPandas stage) ---------------------
+# --- multimodal plumbing (oracle-backed mapInPandas stage) -------------------
+# Payloads fabricated from documents text (utf-8 bytes — the runtime
+# ships no codecs; real BMP/PPM/WAV parsing is pytest-covered with
+# crafted payloads).  The oracle recomputes the whole
+# fabricate→decode contract in SQL: md5 over the same bytes, byte
+# count, and the deterministic byte-fold features (ASCII corpus ⇒
+# code points ≡ bytes, as the rolling-hash oracle already relies on).
+
+_MM_ORACLE = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, COALESCE(text, '') AS t
+  FROM documents
+)
+SELECT
+  media_id,
+  'image' AS media_type,
+  CAST(OCTET_LENGTH(ENCODE(t)) AS INT) AS n_bytes,
+  MD5(t) AS payload_md5,
+  CASE WHEN t = '' THEN 0.0 ELSE
+    ROUND(CAST(LIST_REDUCE(
+      LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(SUBSTR(t, 1, 1024), ''),
+                     c -> CAST(ASCII(c) AS BIGINT)),
+      (a, b) -> (a * 31 + b) % 1000003) AS DOUBLE) / 1000003, 6)
+  END AS feat_mean,
+  CASE WHEN t = '' THEN 0 ELSE 8 END AS feat_dim,
+  CAST(NULL AS INT) AS width,
+  CAST(NULL AS INT) AS height,
+  CAST(NULL AS INT) AS duration_ms
+FROM base
+"""
 
 
-@register("q_multimodal_decode")
+@register("q_multimodal_decode", oracle=_MM_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media pipeline: fabricate payloads from documents (the
-    runtime ships no codecs), then run the Arrow-batched mapInPandas
-    decode stage — schema/batching/partition contract is the real
-    deliverable (operators.multimodal)."""
+    """Binary media pipeline: fabricate payloads from documents, then
+    run the Arrow-batched mapInPandas decode stage — schema/batching/
+    partition contract plus the byte-exact md5/fold feature math."""
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     media = media_from_text(d, "doc_id", "text")
     return decode_media(media)
-
-
-@register("q_ann_ivf_search")
-def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF search path (rows-only): probe the 3 nearest of 8
-    buckets per query, top-10 within candidates. Recall vs brute force
-    is asserted ≥0.5 in tests/test_similarity.py — the explicit
-    speed/recall trade of the 100 TB plan."""
-    from ..operators.similarity import ivf_search
-
-    ensure_query_confs(spark)
-    emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 5)
-    centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 8).collect()
-    ]
-    return ivf_search(emb, probes, centroids, k=10, nprobe=3)

@@ -42,13 +42,17 @@ def _sql_contains_hits(expr: str, words: list[str]) -> str:
     )
 
 
-# --- N1: keyword language detection -----------------------------------------
+# --- N1 + N2: keyword language detection + lexicon sentiment ----------------
 # Reference: detect_language_simple (nlp_processor_simple.py:42-75) —
 # distinct-indicator SUBSTRING hits, group-A-first precedence,
 # confidence = min(hits/max(words,1), 1), <3 chars → unknown/0.0,
-# no hits → unknown/0.3.
+# no hits → unknown/0.3 — and the sentiment test-oracle variant
+# (test_phase2_simple.py:83-104): distinct-word substring hits;
+# pos>neg → min(0.8, pos·0.2) Positive; neg>pos → max(−0.8, −neg·0.2)
+# Negative; tie → 0.0 Neutral.  Both run per document over one scan,
+# so they share one driver query (the driver checks at most 50).
 
-_N1_ORACLE = rf"""
+_N12_ORACLE = rf"""
 WITH base AS (
   SELECT doc_id, text, LOWER(text) AS lt,
     CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = ''
@@ -63,6 +67,8 @@ hits AS (
   SELECT doc_id, n_words,
     {_sql_contains_hits('lt', _LANG_A)} AS hits_a,
     {_sql_contains_hits('text', _LANG_B)} AS hits_b,
+    {_sql_contains_hits('lt', _POS_LEX)} AS positive_hits,
+    {_sql_contains_hits('lt', _NEG_LEX)} AS negative_hits,
     LENGTH(TRIM(text)) AS n_chars
   FROM base
 )
@@ -79,44 +85,8 @@ SELECT doc_id, n_words, hits_a, hits_b,
          CAST(ROUND(CAST(LEAST(CAST(hits_b AS DOUBLE) / GREATEST(n_words, 1),
            1.0) AS DECIMAL(24,12)), 6) AS DOUBLE)
        ELSE 0.3
-  END AS language_confidence
-FROM hits
-"""
-
-
-@register("q_n1_language_detect", oracle=_N1_ORACLE)
-def q_n1_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
-    cols = language_detect_cols("text", french=_LANG_A, arabic=_LANG_B)
-    lang = (
-        F.when(cols["detected_language"] == "fr", "lang_a")
-        .when(cols["detected_language"] == "ar", "lang_b")
-        .otherwise(cols["detected_language"])
-    )
-    return d.select(
-        "doc_id",
-        cols["n_words"].alias("n_words"),
-        cols["french_hits"].alias("hits_a"),
-        cols["arabic_hits"].alias("hits_b"),
-        lang.alias("detected_language"),
-        cols["language_confidence"].alias("language_confidence"),
-    )
-
-
-# --- N2: deterministic lexicon sentiment ------------------------------------
-# Reference: the test-oracle variant (test_phase2_simple.py:83-104) —
-# distinct-word substring hits; pos>neg → min(0.8, pos·0.2) Positive;
-# neg>pos → max(−0.8, −neg·0.2) Negative; tie → 0.0 Neutral.
-
-_N2_ORACLE = rf"""
-WITH hits AS (
-  SELECT doc_id,
-    {_sql_contains_hits('LOWER(text)', _POS_LEX)} AS positive_hits,
-    {_sql_contains_hits('LOWER(text)', _NEG_LEX)} AS negative_hits
-  FROM documents
-)
-SELECT doc_id, positive_hits, negative_hits,
+  END AS language_confidence,
+  positive_hits, negative_hits,
   CAST(ROUND(CAST(CASE
     WHEN positive_hits > negative_hits
       THEN LEAST(0.8, positive_hits * 0.2)
@@ -133,18 +103,29 @@ FROM hits
 """
 
 
-@register("q_n2_lexicon_sentiment", oracle=_N2_ORACLE)
-def q_n2_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_n12_lang_sentiment", oracle=_N12_ORACLE)
+def q_n12_lang_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    cols = lexicon_sentiment_cols("text", positive=_POS_LEX, negative=_NEG_LEX)
+    lang_cols = language_detect_cols("text", french=_LANG_A, arabic=_LANG_B)
+    sent_cols = lexicon_sentiment_cols("text", positive=_POS_LEX, negative=_NEG_LEX)
+    lang = (
+        F.when(lang_cols["detected_language"] == "fr", "lang_a")
+        .when(lang_cols["detected_language"] == "ar", "lang_b")
+        .otherwise(lang_cols["detected_language"])
+    )
     return d.select(
         "doc_id",
-        cols["positive_hits"].alias("positive_hits"),
-        cols["negative_hits"].alias("negative_hits"),
-        cols["sentiment_score"].alias("sentiment_score"),
-        cols["sentiment_label"].alias("sentiment_label"),
-        cols["sentiment_confidence"].alias("sentiment_confidence"),
+        lang_cols["n_words"].alias("n_words"),
+        lang_cols["french_hits"].alias("hits_a"),
+        lang_cols["arabic_hits"].alias("hits_b"),
+        lang.alias("detected_language"),
+        lang_cols["language_confidence"].alias("language_confidence"),
+        sent_cols["positive_hits"].alias("positive_hits"),
+        sent_cols["negative_hits"].alias("negative_hits"),
+        sent_cols["sentiment_score"].alias("sentiment_score"),
+        sent_cols["sentiment_label"].alias("sentiment_label"),
+        sent_cols["sentiment_confidence"].alias("sentiment_confidence"),
     )
 
 
@@ -166,7 +147,7 @@ WITH cleaned AS (
   FROM documents
 )
 SELECT doc_id,
-  lda_tokens,
+  ARRAY_TO_STRING(lda_tokens, ' ') AS lda_tokens_str,
   CAST(LEN(lda_tokens) AS INT) AS n_lda_tokens,
   MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(lda_tokens)), ' '))
     AS doc_fingerprint
@@ -190,9 +171,12 @@ def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(cleaned, r"\s+"),
         lambda t: (F.length(t) > 2) & ~F.array_contains(stop_arr, t),
     )
+    # tokens project as a space-joined string (tokens are whitelist-
+    # cleaned, so the join is lossless) — the driver canonicalizer
+    # cannot hash array cells.
     return d.select(
         "doc_id",
-        tokens.alias("lda_tokens"),
+        F.concat_ws(" ", tokens).alias("lda_tokens_str"),
         F.size(tokens).alias("n_lda_tokens"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens))))
         .alias("doc_fingerprint"),

@@ -2,6 +2,13 @@
 families).  Row-level expression suites — each query exercises one
 family end-to-end through the parquet scan so pushdown/codegen are
 real, with the DuckDB oracle computing the identical expressions.
+
+Consolidated to four driver queries (the driver checks at most 50
+queries): the string suite (F1-F3/F5/F8/F9 over part), the clean+flag
+suite (F4/F6/F7/F10/M5 over documents), the orders scalar suite
+(T2-T8 + M1-M6 over orders), and the cleaning gate (P1-P6).  T1/T9
+ride with the events dedup query (queries.dedup); F7 also appears in
+the NLP/text-metrics paths.
 """
 
 from __future__ import annotations
@@ -11,7 +18,6 @@ from pyspark.sql import functions as F
 
 from ..functions.conditional import safe_rate, threshold_ladder
 from ..functions.datetime import (
-    business_hours_bucket,
     date_key,
     day_name,
     dow_pg,
@@ -34,10 +40,19 @@ from ..registry import register
 from ..session import ensure_query_confs
 from ..sources.readers import table
 
-# --- F1/F2/F3/F8/F9: core string suite --------------------------------------
+# --- F1/F2/F3/F5/F8/F9: core string suite ------------------------------------
 # Reference: trim/lower/upper normalization, REPLACE-chain id slugs
 # (dim_bank.sql:19), LENGTH gates, HASHTEXT reviewer keys
-# (fact_reviews.sql:100) — here over part/supplier names.
+# (fact_reviews.sql:100), and the 33-pattern LIKE city-extraction
+# ladder (dim_branch.sql:23-68) as the per-row first-match-wins
+# classification it is in the reference — here over part names/types.
+
+_F5_LADDER = [
+    ("ECONOMY", "Value Tier"),
+    ("SMALL", "Compact Tier"),
+    ("LARGE", "Bulk Tier"),
+    ("STANDARD", "Standard Tier"),
+]
 
 _F_STRING_ORACLE = """
 SELECT
@@ -47,7 +62,14 @@ SELECT
   CAST(LENGTH(p_name) AS INT) AS name_chars,
   MD5(COALESCE(p_brand, '') || COALESCE(CAST(p_size AS VARCHAR), ''))
     AS part_hash_key,
-  CAST(p_partkey AS VARCHAR) || '_' || p_brand AS synthetic_id
+  CAST(p_partkey AS VARCHAR) || '_' || p_brand AS synthetic_id,
+  CASE
+    WHEN UPPER(p_type) LIKE '%ECONOMY%' THEN 'Value Tier'
+    WHEN UPPER(p_type) LIKE '%SMALL%' THEN 'Compact Tier'
+    WHEN UPPER(p_type) LIKE '%LARGE%' THEN 'Bulk Tier'
+    WHEN UPPER(p_type) LIKE '%STANDARD%' THEN 'Standard Tier'
+    ELSE 'Other'
+  END AS type_category
 FROM part
 """
 
@@ -64,54 +86,19 @@ def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_hash_key("p_brand", "p_size").alias("part_hash_key"),
         F.concat_ws("_", F.col("p_partkey").cast("string"), F.col("p_brand"))
         .alias("synthetic_id"),
+        like_ladder("p_type", _F5_LADDER, "Other").alias("type_category"),
     )
 
 
-# --- F5: LIKE/ILIKE classification ladder -----------------------------------
-# Reference: the 33-pattern city-extraction ladder (dim_branch.sql:23-68).
-# First-match-wins containment over p_type tokens.
-
-_F5_ORACLE = """
-SELECT
-  CASE
-    WHEN UPPER(p_type) LIKE '%ECONOMY%' THEN 'Value Tier'
-    WHEN UPPER(p_type) LIKE '%SMALL%' THEN 'Compact Tier'
-    WHEN UPPER(p_type) LIKE '%LARGE%' THEN 'Bulk Tier'
-    WHEN UPPER(p_type) LIKE '%STANDARD%' THEN 'Standard Tier'
-    ELSE 'Other'
-  END AS type_category,
-  COUNT(*) AS n_parts
-FROM part
-GROUP BY 1
-ORDER BY 1
-"""
-
-_F5_LADDER = [
-    ("ECONOMY", "Value Tier"),
-    ("SMALL", "Compact Tier"),
-    ("LARGE", "Bulk Tier"),
-    ("STANDARD", "Standard Tier"),
-]
-
-
-@register("q_f5_like_ladder", oracle=_F5_ORACLE)
-def q_f5_like_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    p = table(spark, sf_dir, "part")
-    return (
-        p.select(like_ladder("p_type", _F5_LADDER, "Other").alias("type_category"))
-        .groupBy("type_category")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy("type_category")
-    )
-
-
-# --- F4/F10/F7: text cleaning + word count ----------------------------------
+# --- F4/F6/F7/F10/M5: text cleaning + word count + keyword flags -------------
 # Reference: accent-whitelist regexp_replace (stg_raw_reviews.sql:36),
 # whitespace normalization UDF→expr (run_phase2_transformation.py:101-117),
-# split word count with pinned blank→0 semantics (SURVEY F7).
+# split word count with pinned blank→0 semantics (SURVEY F7), and the
+# mentions_service/waiting/fees regex contains flags + boolean-algebra
+# composite (run_phase2_transformation.py:164-172) — one documents
+# scan.
 
-_F4_ORACLE = r"""
+_F46_ORACLE = r"""
 SELECT
   doc_id,
   TRIM(LOWER(REGEXP_REPLACE(text,
@@ -122,32 +109,7 @@ SELECT
          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
          '[ \t\n\r]+')) AS INT)
   END AS n_words,
-  CAST(LENGTH(text) AS INT) AS n_chars_computed
-FROM documents
-"""
-
-
-@register("q_f4_clean_and_count", oracle=_F4_ORACLE)
-def q_f4_clean_and_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        clean_text_whitelist("text").alias("cleaned_text"),
-        normalize_whitespace("text").alias("normalized_text"),
-        word_count("text").alias("n_words"),
-        char_count("text").alias("n_chars_computed"),
-    )
-
-
-# --- F6: keyword-mention flags ----------------------------------------------
-# Reference: mentions_service/waiting/fees/... regex contains flags
-# (run_phase2_transformation.py:164-172). Patterns adapted to the
-# documents vocabulary; boolean algebra composite (M5) included.
-
-_F6_ORACLE = """
-SELECT
-  doc_id,
+  CAST(LENGTH(text) AS INT) AS n_chars_computed,
   REGEXP_MATCHES(text, '(?i)fast|quick') AS mentions_fast,
   REGEXP_MATCHES(text, '(?i)slow|wait') AS mentions_slow,
   REGEXP_MATCHES(text, '(?i)spark|stream') AS mentions_engine,
@@ -156,13 +118,17 @@ FROM documents
 """
 
 
-@register("q_f6_keyword_flags", oracle=_F6_ORACLE)
-def q_f6_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_f46_clean_flags", oracle=_F46_ORACLE)
+def q_f46_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     slow = keyword_flag("text", "(?i)slow|wait")
     return d.select(
         "doc_id",
+        clean_text_whitelist("text").alias("cleaned_text"),
+        normalize_whitespace("text").alias("normalized_text"),
+        word_count("text").alias("n_words"),
+        char_count("text").alias("n_chars_computed"),
         keyword_flag("text", "(?i)fast|quick").alias("mentions_fast"),
         slow.alias("mentions_slow"),
         keyword_flag("text", "(?i)spark|stream").alias("mentions_engine"),
@@ -170,12 +136,16 @@ def q_f6_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- T2/T3/T5/T6/T7/T8: date-part suite -------------------------------------
+# --- T2-T8 + M1-M6: date-part + math/CASE-ladder suite -----------------------
 # Reference: EXTRACT family + TO_CHAR names + composite date_key +
-# weekend/season/holiday flags (dim_date.sql:30-81). PG DOW shim
-# applied (Spark dayofweek−1 ≡ DuckDB dayofweek ≡ PG EXTRACT(dow)).
+# weekend/season/holiday flags (dim_date.sql:30-81; PG DOW shim:
+# Spark dayofweek−1 ≡ DuckDB dayofweek ≡ PG EXTRACT(dow)) plus the
+# signature threshold ladders (tier / risk,
+# mart_comprehensive_bank_analysis.sql:135-148) and
+# ROUND/ABS/COALESCE/ratio-cast — one orders scan covers both
+# families at the same grain.
 
-_T_ORACLE = """
+_TM_ORACLE = """
 SELECT
   o_orderkey,
   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -198,79 +168,7 @@ SELECT
   END AS order_season,
   (EXTRACT(month FROM o_orderdate), EXTRACT(day FROM o_orderdate)) IN
     ((1,1),(1,11),(5,1),(7,30),(8,14),(8,20),(8,21),(11,6),(11,18))
-    AS is_morocco_holiday
-FROM orders
-"""
-
-
-@register("q_t_date_parts", oracle=_T_ORACLE)
-def q_t_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.year(d).alias("order_year"),
-        F.quarter(d).alias("order_quarter"),
-        F.month(d).alias("order_month"),
-        F.dayofmonth(d).alias("order_day"),
-        F.weekofyear(d).alias("order_week"),
-        dow_pg(d).alias("dow_pg"),
-        month_name(d).alias("order_month_name"),
-        day_name(d).alias("order_day_name"),
-        date_key(d).alias("date_key"),
-        is_weekend(d).alias("is_weekend"),
-        season(d).alias("order_season"),
-        is_morocco_holiday(d).alias("is_morocco_holiday"),
-    )
-
-
-# --- T9 + T1: business-hours bucket over epoch-derived timestamps -----------
-# Reference: hour bucketing in the enhanced staging view (pyc
-# enhanced). Round-trips ts → epoch seconds → timestamp to cover T1
-# in both directions.
-
-_T9_ORACLE = """
-SELECT
-  CASE
-    WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 17 THEN 'business_hours'
-    WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
-    ELSE 'off_hours'
-  END AS hours_bucket,
-  COUNT(*) AS n_events,
-  CAST(MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS BIGINT) AS first_epoch_s
-FROM events
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("q_t9_business_hours", oracle=_T9_ORACLE)
-def q_t9_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.select(
-            business_hours_bucket("ts").alias("hours_bucket"),
-            F.unix_timestamp("ts").alias("epoch_s"),
-        )
-        .groupBy("hours_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("epoch_s").alias("first_epoch_s"),
-        )
-        .orderBy("hours_bucket")
-    )
-
-
-# --- M1-M6: math + CASE-ladder suite ----------------------------------------
-# Reference: the signature threshold ladders (tier / risk /
-# satisfaction, mart_comprehensive_bank_analysis.sql:135-148) plus
-# ROUND/ABS/COALESCE/ratio-cast — over order prices and event values.
-
-_M_ORACLE = """
-SELECT
-  o_orderkey,
+    AS is_morocco_holiday,
   ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price_2dp,
   ABS(CAST(o_totalprice AS DOUBLE) - 150000.0) AS dist_from_150k,
   CASE
@@ -292,13 +190,26 @@ FROM orders
 """
 
 
-@register("q_m_case_ladders", oracle=_M_ORACLE)
-def q_m_case_ladders(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_tm_scalar_suite", oracle=_TM_ORACLE)
+def q_tm_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
     price = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.weekofyear(d).alias("order_week"),
+        dow_pg(d).alias("dow_pg"),
+        month_name(d).alias("order_month_name"),
+        day_name(d).alias("order_day_name"),
+        date_key(d).alias("date_key"),
+        is_weekend(d).alias("is_weekend"),
+        season(d).alias("order_season"),
+        is_morocco_holiday(d).alias("is_morocco_holiday"),
         F.round(price.cast("double"), 2).alias("price_2dp"),
         F.abs(price.cast("double") - 150000.0).alias("dist_from_150k"),
         threshold_ladder(

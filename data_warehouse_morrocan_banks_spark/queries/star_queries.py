@@ -95,34 +95,14 @@ def q_u3_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_dim(spark)
 
 
-# --- U1/U4: UNION ALL accumulation ------------------------------------------
+# --- U1/U4 + set operators --------------------------------------------------
 # Reference: `select 1 union all select null` example model; loop
-# accumulation via list.extend → per-batch DataFrame union (SURVEY U4).
-
-_U1_ORACLE = """
-SELECT 'first_half' AS batch, o_orderkey, o_totalprice
-FROM orders WHERE o_orderkey % 2 = 0
-UNION ALL
-SELECT 'second_half' AS batch, o_orderkey, o_totalprice
-FROM orders WHERE o_orderkey % 2 = 1
-"""
-
-
-@register("q_u1_union_all", oracle=_U1_ORACLE)
-def q_u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    even = o.filter(F.col("o_orderkey") % 2 == 0).select(
-        F.lit("first_half").alias("batch"), "o_orderkey", "o_totalprice"
-    )
-    odd = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        F.lit("second_half").alias("batch"), "o_orderkey", "o_totalprice"
-    )
-    return even.unionByName(odd)
-
-
-# --- Set operators beyond the reference (SURVEY §2.8 note: exposed
-# as engine built-ins at zero cost): INTERSECT / EXCEPT ----------------------
+# accumulation via list.extend → per-batch DataFrame union (SURVEY
+# U4).  Driver coverage: the cohort query below closes with exactly
+# that labeled UNION ALL (retained ∪ churned); the per-batch
+# accumulation loop is pytest-checked in the collector
+# (tests/test_sources.py).  INTERSECT/EXCEPT are the engine's
+# beyond-reference set ops (SURVEY §2.8 note).
 
 _USET_ORACLE = """
 WITH w1 AS (

@@ -1,78 +1,97 @@
-"""Window & top-k operator queries (SURVEY.md §2.6 W1-W3, §2.7 O1-O3)."""
+"""Window & top-k operator queries (SURVEY.md §2.6 W1-W3, §2.7 O1-O3).
+
+Consolidated to two driver queries (the driver checks at most 50
+queries): the nation-grain suite (W1 surrogate keys + W2 multi-key
+rank + A3 exact COUNT(DISTINCT)) and the monthly-trend suite (W3 LAG
+over an aggregated series + the rowsBetween frame extension).  O2
+top-k is plan-asserted on ``q_mart_drill_topk``
+(TakeOrderedAndProject, tests/test_plans.py); ``operators.windows``
+keeps the standalone ``top_k`` helper.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..numerics import davg, dsum, sql_davg, sql_dsum
-from ..operators.windows import lag_over, rank_by, rolling, surrogate_key, top_k
+from ..numerics import davg, dsum, round_det, sql_davg, sql_dsum
+from ..operators.windows import lag_over, rank_by, rolling, surrogate_key
 from ..registry import register
 from ..session import ensure_query_confs
 from ..sources.readers import table
 
-# --- W1: ROW_NUMBER surrogate keys (dim scale) ------------------------------
+# --- W1 + W2 + A3: nation-grain window suite --------------------------------
 # Reference: bank_key = ROW_NUMBER() OVER (ORDER BY bank_name)
-# (dim_bank.sql:89). Ordered-window mode is for dims only; fact keys
-# use monotonically_increasing_id (see operators.windows docstring).
+# (dim_bank.sql:89 — ordered-window mode is for dims only; fact keys
+# use monotonically_increasing_id, see operators.windows docstring),
+# RANK() OVER (ORDER BY avg_rating DESC, …)
+# (phase2_transformation_pipeline.py:462) with a key tiebreak for
+# determinism, and COUNT(DISTINCT place_id)
+# (complete_data_pipeline_fixed.py:190) — all at the 25-row nation
+# grain: one aggregate of customer + one broadcast-side dim pass.
 
-_W1_ORACLE = """
-SELECT
-  CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS nation_key,
-  n_name,
-  n_nationkey AS nation_id
-FROM nation
-"""
-
-
-@register("q_w1_surrogate_keys", oracle=_W1_ORACLE)
-def q_w1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    n = table(spark, sf_dir, "nation")
-    keyed = surrogate_key(n, "nation_key", [F.col("n_name")], scale="dim")
-    return keyed.select("nation_key", "n_name", F.col("n_nationkey").alias("nation_id"))
-
-
-# --- W2: RANK with multi-key tie-break --------------------------------------
-# Reference: RANK() OVER (ORDER BY avg_rating DESC, avg_sentiment DESC)
-# (phase2_transformation_pipeline.py:462). Nations ranked by avg
-# customer balance; the nationkey tiebreak makes ties deterministic.
-
-_W2_ORACLE = f"""
+_W12_ORACLE = f"""
 WITH nation_stats AS (
   SELECT
     c_nationkey,
     COUNT(*) AS n_customers,
+    COUNT(DISTINCT c_mktsegment) AS distinct_segments,
     {sql_davg('c_acctbal', 'avg_acctbal')}
   FROM customer
   GROUP BY c_nationkey
 )
 SELECT
-  c_nationkey,
-  n_customers,
-  avg_acctbal,
-  CAST(RANK() OVER (ORDER BY avg_acctbal DESC, c_nationkey) AS INT) AS balance_rank
-FROM nation_stats
+  CAST(ROW_NUMBER() OVER (ORDER BY n.n_name) AS INT) AS nation_key,
+  n.n_name,
+  n.n_nationkey AS nation_id,
+  s.n_customers,
+  s.distinct_segments,
+  s.avg_acctbal,
+  CAST(RANK() OVER (ORDER BY s.avg_acctbal DESC, n.n_nationkey) AS INT)
+    AS balance_rank
+FROM nation n
+JOIN nation_stats s ON s.c_nationkey = n.n_nationkey
 """
 
 
-@register("q_w2_rank_multikey", oracle=_W2_ORACLE)
-def q_w2_rank_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_w12_nation_windows", oracle=_W12_ORACLE)
+def q_w12_nation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
+    n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
     stats = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
         davg("c_acctbal", "avg_acctbal"),
     )
-    return rank_by(
-        stats, "balance_rank", [F.col("avg_acctbal").desc(), F.col("c_nationkey")]
+    keyed = surrogate_key(n, "nation_key", [F.col("n_name")], scale="dim")
+    joined = keyed.join(
+        F.broadcast(stats),
+        keyed["n_nationkey"] == stats["c_nationkey"],
+        "inner",
+    )
+    ranked = rank_by(
+        joined, "balance_rank",
+        [F.col("avg_acctbal").desc(), F.col("n_nationkey")],
+    )
+    return ranked.select(
+        "nation_key",
+        "n_name",
+        F.col("n_nationkey").alias("nation_id"),
+        "n_customers",
+        "distinct_segments",
+        "avg_acctbal",
+        "balance_rank",
     )
 
 
-# --- W3: LAG over aggregated time series ------------------------------------
+# --- W3 + frames: LAG over aggregated time series + trailing window ---------
 # Reference: LAG(avg sentiment) OVER (PARTITION BY bank ORDER BY
 # year, quarter) — window over groupBy output
-# (mart_comprehensive_bank_analysis.sql:101-102).
+# (mart_comprehensive_bank_analysis.sql:101-102).  The reference uses
+# default frames only (SURVEY §2.6 note); the engine adds rowsBetween
+# (3-month trailing average) on the same monthly series — one
+# aggregate, one window shuffle, both window ops.
 
 _W3_ORACLE = f"""
 WITH monthly AS (
@@ -92,7 +111,11 @@ SELECT
   LAG(revenue) OVER (PARTITION BY o_orderstatus ORDER BY order_month)
     AS prev_revenue,
   ROUND(revenue - COALESCE(LAG(revenue) OVER (
-    PARTITION BY o_orderstatus ORDER BY order_month), 0.0), 4) AS revenue_delta
+    PARTITION BY o_orderstatus ORDER BY order_month), 0.0), 4) AS revenue_delta,
+  CAST(ROUND(CAST(AVG(revenue) OVER (
+    PARTITION BY o_orderstatus ORDER BY order_month
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ) AS DECIMAL(24,8)), 4) AS DOUBLE) AS rolling_3m_revenue
 FROM monthly
 """
 
@@ -111,7 +134,11 @@ def q_w3_lag_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_lag = lag_over(
         monthly, "revenue", ["o_orderstatus"], [F.col("order_month")]
     )
-    return with_lag.select(
+    rolled = rolling(
+        with_lag, "revenue", "rolling_3m_revenue",
+        ["o_orderstatus"], [F.col("order_month")], preceding=2, agg="avg",
+    )
+    return rolled.select(
         "o_orderstatus",
         "order_month",
         "n_orders",
@@ -120,75 +147,5 @@ def q_w3_lag_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("revenue") - F.coalesce(F.col("prev_revenue"), F.lit(0.0)), 4
         ).alias("revenue_delta"),
-    )
-
-
-# --- O2: top-k (TakeOrderedAndProject) --------------------------------------
-# Reference: ORDER BY … DESC LIMIT 3 top banks (pyc phase3
-# generate_summary_report). o_orderkey tiebreak for determinism.
-
-_O2_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 10
-"""
-
-
-@register("q_o2_topk_orders", oracle=_O2_ORACLE)
-def q_o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    return top_k(
-        o.select("o_orderkey", "o_custkey", "o_totalprice"),
-        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        10,
-    )
-
-
-# --- Frame-spec extension: trailing rolling average -------------------------
-# The reference uses default frames only (SURVEY §2.6 note); the
-# engine exposes rowsBetween. 3-month trailing average revenue per
-# order status.
-
-_WR_ORACLE = f"""
-WITH monthly AS (
-  SELECT
-    o_orderstatus,
-    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-    {sql_dsum('o_totalprice', 'revenue')}
-  FROM orders
-  GROUP BY 1, 2
-)
-SELECT
-  o_orderstatus,
-  order_month,
-  revenue,
-  CAST(ROUND(CAST(AVG(revenue) OVER (
-    PARTITION BY o_orderstatus ORDER BY order_month
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-  ) AS DECIMAL(24,8)), 4) AS DOUBLE) AS rolling_3m_revenue
-FROM monthly
-"""
-
-
-@register("q_w4_rolling_frame", oracle=_WR_ORACLE)
-def q_w4_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        "o_orderstatus",
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-    ).agg(dsum("o_totalprice", "revenue"))
-    rolled = rolling(
-        monthly, "revenue", "rolling_3m_revenue",
-        ["o_orderstatus"], [F.col("order_month")], preceding=2, agg="avg",
-    )
-    from ..numerics import round_det
-
-    return rolled.select(
-        "o_orderstatus",
-        "order_month",
-        "revenue",
         round_det(F.col("rolling_3m_revenue"), 4).alias("rolling_3m_revenue"),
     )

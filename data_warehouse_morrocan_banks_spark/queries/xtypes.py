@@ -28,13 +28,13 @@ _X_ORACLE = """
 SELECT
   event_id,
   event_type,
-  CASE event_type
+  ARRAY_TO_STRING(CASE event_type
     WHEN 'purchase' THEN ['Checkout', 'Payment']
     WHEN 'view' THEN ['Browse']
     WHEN 'click' THEN ['Browse', 'Interact']
     WHEN 'signup' THEN ['Account', 'Onboarding']
     ELSE ['Support']
-  END AS services_offered,
+  END, ',') AS services_offered,
   CAST(LEN(CASE event_type
     WHEN 'purchase' THEN ['Checkout', 'Payment']
     WHEN 'view' THEN ['Browse']
@@ -76,10 +76,13 @@ def q_x_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("topic_1"), F.lit(0.25),
         F.lit("topic_2"), F.lit(0.25),
     )
+    # the array itself projects as a joined string — the driver
+    # canonicalizer cannot hash array cells; X1 array ops (size /
+    # contains) still run on the real array below.
     return ev.select(
         "event_id",
         "event_type",
-        services.alias("services_offered"),
+        F.concat_ws(",", services).alias("services_offered"),
         F.size(services).alias("n_services"),
         F.array_contains(services, "Browse").alias("offers_browse"),
         F.to_json(topic_map).alias("topic_distribution_json"),

@@ -54,7 +54,8 @@ def test_column_pruning(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    plan = _plan(spark, "q_o2_topk_orders")
+    # O2 coverage moved to the drill query when q_o2 was folded into it
+    plan = _plan(spark, "q_mart_drill_topk")
     assert "TakeOrderedAndProject" in plan  # never a global sort
 
 

@@ -67,7 +67,7 @@ def test_lda_structural_invariants(spark):
     summary = topic_summary(model, 10)
     srows = summary.collect()
     assert len(srows) == LDA_K
-    assert all(len(r["top_words"]) == 10 for r in srows)
+    assert all(len(r["top_words"].split(" ")) == 10 for r in srows)
 
 
 def test_ngram_langid_beats_random(spark):
