@@ -31,9 +31,12 @@ HEADLINE = [
     "q_mart_comprehensive",
     "q_dedup_simhash",
     "q_dedup_exact_content",
+    "q_dedup_jaccard_pairs",
     "q_ann_cosine_topk",
+    "q_ann_ivf_search",
     "q_mart_drill_topk",
     "q_stream_daily_rollup",
+    "q_stream_sessionize",
 ]
 
 
@@ -55,12 +58,14 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).count()
 
-    # min of 2 runs: the first run pays Catalyst plan compilation and
-    # codegen; steady-state throughput is the engine metric.
+    # min of 3 runs: the first run pays Catalyst plan compilation and
+    # codegen; steady-state throughput is the engine metric, and the
+    # min makes round-over-round regressions attributable rather than
+    # scheduler noise.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.count()  # materialize fully without driver collect

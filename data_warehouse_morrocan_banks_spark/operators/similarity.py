@@ -61,21 +61,31 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     per-query top-k via window (shuffle keyed on query_id, k rows per
     query survive).  Self-matches excluded by id inequality when the
     query set is drawn from the corpus.
+
+    Norms are materialized once per row before pairing (Spark has no
+    common-subexpression elimination for higher-order functions, so an
+    inline ``cosine()`` would re-fold each 64-dim norm per PAIR — 3
+    folds/pair instead of 1).
     """
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_array(vec_col).alias("__qvec"),
-    )
-    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__cvec"))
+    ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    c = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__cvec")
+    ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -97,21 +107,40 @@ def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     shuffles once on bucket_id instead of comparing to everything.
 
     The argmax compares 6dp-ROUNDED sims in centroid-list order
-    (strict ``>`` ⇒ first centroid wins rounded ties): raw-double
-    comparisons could flip between engines on ~1-ulp differences,
-    rounded+first-wins is reproducible anywhere (the DuckDB oracle is
-    ``ORDER BY ROUND(sim, 6) DESC, cid ASC``).
+    (``array_position`` returns the FIRST max ⇒ first centroid wins
+    rounded ties): raw-double comparisons could flip between engines
+    on ~1-ulp differences, rounded+first-wins is reproducible anywhere
+    (the DuckDB oracle is ``ORDER BY ROUND(sim, 6) DESC, cid ASC``).
+
+    Implementation note: the sims materialize as ONE array column and
+    the argmax reads that column — an earlier fold of nested
+    ``F.when``s embedded the running best twice per centroid, doubling
+    the expression tree per step (2^K copies of the 64-dim dot folds
+    for K centroids; ~20 s of codegen at K=8).  Centroid norms are
+    Python-computed literals: same IEEE-double left-fold the JVM would
+    run, so results are bit-identical.
     """
+    import math
+
+    ordered = sorted(centroids)
     v = as_double_array(vec_col)
-    best_id, best_sim = F.lit(-1), F.lit(-2.0)
-    for cid, cvec in sorted(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = F.round(dot(v, arr) / (l2_norm(v) * l2_norm(arr)), 6)
-        is_better = sim > best_sim
-        best_id = F.when(is_better, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(is_better, sim).otherwise(best_sim)
-    return corpus.withColumn("bucket_id", best_id).withColumn(
-        "bucket_sim", best_sim
+    tagged = corpus.withColumn("__v", v).withColumn("__vnorm", l2_norm(F.col("__v")))
+    sims = F.array(*[
+        F.round(
+            dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec]))
+            / (F.col("__vnorm")
+               * F.lit(math.sqrt(sum(float(x) * float(x) for x in cvec)))), 6
+        )
+        for _cid, cvec in ordered
+    ])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    tagged = tagged.withColumn("__sims", sims)
+    best_sim = F.array_max("__sims")
+    best_idx = F.array_position("__sims", best_sim).cast("int")
+    return (
+        tagged.withColumn("bucket_id", F.element_at(cid_arr, best_idx))
+        .withColumn("bucket_sim", best_sim)
+        .drop("__v", "__vnorm", "__sims")
     )
 
 
@@ -161,33 +190,38 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
     """
     from pyspark.sql import Window
 
+    import math
+
     bucketed = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col), as_double_array(vec_col).alias("__cvec"), "bucket_id"
-    )
+    ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
 
     # per-query nprobe nearest centroids, computed driver-side is wrong
     # at scale — instead reuse ivf_assign on the (small) query set per
     # probe rank: rank centroids per query via posexplode of scores.
+    # The query norm materializes once (no HOF subexpression reuse) and
+    # centroid norms are Python literals (bit-identical left-folds).
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("__qvec")
-    )
+    ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
     # probe ranking sorts (rounded sim, bucket_id) struct DESC — ties
     # at 6dp resolve to the higher bucket_id, mirrored by the oracle's
     # ORDER BY ROUND(sim, 6) DESC, cid DESC.
     scores = []
     for cid, cvec in sorted(centroids):
         arr = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
         scores.append(F.struct(
             F.round(
-                dot(F.col("__qvec"), arr)
-                / (l2_norm(F.col("__qvec")) * l2_norm(arr)), 6
+                dot(F.col("__qvec"), arr) / (F.col("__qnorm") * F.lit(cnorm)), 6
             ).alias("sim"),
             F.lit(cid).alias("bucket_id"),
         ))
     probes = (
         q.withColumn("__cand", F.explode(F.slice(
             F.sort_array(F.array(*scores), asc=False), 1, nprobe)))
-        .select(query_id_col, "__qvec", F.col("__cand.bucket_id").alias("bucket_id"))
+        .select(query_id_col, "__qvec", "__qnorm",
+                F.col("__cand.bucket_id").alias("bucket_id"))
     )
 
     scored = (
@@ -195,7 +229,10 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("cosine_sim"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -268,10 +305,30 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     hash-matches the quadratic oracle — while the plan does no
     all-pairs comparison: the 100 TB-safe form of the same answer.
 
-    A size filter (t·n_a ≤ n_b ≤ n_a/t) prunes candidates before the
-    array intersection.  ⌈t·n⌉ computes on a 6dp-rounded product so
-    binary float noise (0.9·10 = 9.000000000000002) can't shrink a
-    prefix and break the recall guarantee.
+    Two refinements keep the candidate stage lean (measured 26 s →
+    8 s at sf0.1 on the degenerate synthetic vocab, identical output):
+
+    - **Positional filter** (PPJoin): a raw candidate row carries each
+      side's position ``rn`` within its prefix; if even perfect
+      overlap of the remaining tokens (``1 + min(n_a−rn_a,
+      n_b−rn_b)``) cannot reach the required overlap
+      ``⌈t/(1+t)·(n_a+n_b)⌉``, the row drops.  Pair-level recall
+      holds because the bound is exact at the pair's FIRST shared
+      prefix token and that row always survives for a qualifying
+      pair.
+    - **Bitmap verification**: tokens dictionary-encode to dense bit
+      positions per group (the df-ordered rank), each document's set
+      becomes ⌈V/64⌉ longs, and the exact intersection is
+      popcount(AND) per chunk — O(vocab/64) per candidate instead of
+      an O(n) string-array intersect.  Mask rows are one row per
+      document (id, n, chunk→mask map); the candidate→mask joins are
+      plain equi-joins AQE auto-broadcasts while the table is small
+      and shuffles once it isn't.
+
+    A size filter (t·n_a ≤ n_b ≤ n_a/t) also prunes before
+    verification.  ⌈t·n⌉ computes on a 6dp-rounded product so binary
+    float noise (0.9·10 = 9.000000000000002) can't shrink a prefix
+    and break the recall guarantee.
     """
     from pyspark.sql import Window
 
@@ -288,14 +345,41 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     exploded = toks.select("__id", "__grp", "__n", F.explode("__t").alias("__tok"))
     freq = exploded.groupBy("__grp", "__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # dictionary-encode: rank within group under the same (df, token)
+    # total order the prefix uses → rank IS the bitmap bit position
+    wg = Window.partitionBy("__grp").orderBy("__df", "__tok")
+    vocab = freq.withColumn("__r", F.row_number().over(wg) - 1)
+    enc = exploded.join(vocab, ["__grp", "__tok"])
+
+    chunked = (
+        enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
+        .withColumn("__bit", F.expr("shiftleft(CAST(1 AS BIGINT), __r % 64)"))
+        .groupBy("__id", "__n", "__chunk")
+        .agg(F.expr("bit_or(__bit)").alias("__mask"))
+    )
+    masks = chunked.groupBy("__id", "__n").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
+        ).alias("__mm")
+    )
+
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
     prefix = (
-        exploded.join(freq, ["__grp", "__tok"])
-        .withColumn("__rn", F.row_number().over(w))
+        enc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
-        .select("__grp", "__tok", "__id", "__n")
+        .select("__grp", "__tok", "__id", "__n", "__rn")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    required_overlap = F.ceil(F.round(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("pa.__n") + F.col("pb.__n")), 6
+    ))
+    positional_ok = (
+        F.lit(1) + F.least(
+            F.col("pa.__n") - F.col("pa.__rn"),
+            F.col("pb.__n") - F.col("pb.__rn"),
+        )
+    ) >= required_overlap
     cands = (
         pa.join(
             pb,
@@ -308,15 +392,30 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             (F.col("pb.__n") >= alpha(F.col("pa.__n")))
             & (F.col("pa.__n") >= alpha(F.col("pb.__n")))
         )
+        .filter(positional_ok)
         .select(F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb"))
         .distinct()
     )
-    ta = toks.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
-    tb = toks.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
-    sim = jaccard_token_sets(F.col("__ta"), F.col("__tb"), nd)
+    ma = masks.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na"),
+                      F.col("__mm").alias("__ma"))
+    mb = masks.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb"),
+                      F.col("__mm").alias("__mb"))
+    inter = F.aggregate(
+        F.map_values(F.map_zip_with(
+            F.col("__ma"), F.col("__mb"),
+            lambda _k, a, b: F.bit_count(
+                F.coalesce(a, F.lit(0)).bitwiseAND(F.coalesce(b, F.lit(0)))
+            ),
+        )),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    union = F.col("__na") + F.col("__nb") - inter
+    sim = F.round(
+        (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
+    ).cast("double")
     return (
-        cands.join(ta, "__ida", "inner")
-        .join(tb, "__idb", "inner")
+        cands.join(ma, "__ida", "inner")
+        .join(mb, "__idb", "inner")
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),

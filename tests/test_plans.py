@@ -67,3 +67,29 @@ def test_range_join_is_broadcast_nested_loop(spark):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_nation_windows_single_shuffle(spark):
+    """W1/W2 suite: rank ladders over one partition key must plan ONE
+    window-exchange on that key — stacking rank/dense_rank/row_number
+    over the same (partition, order) spec reuses the sort, it must not
+    add exchanges per function."""
+    plan = _plan(spark, "q_w12_nation_windows")
+    assert "Window" in plan
+    # every hash exchange in the plan is keyed (no round-robin repartition)
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_lag_trend_window_over_agg(spark):
+    """W3: LAG over the aggregated monthly series — the window input is
+    the post-aggregation frame (tiny), so the plan must aggregate FIRST
+    (partial+final HashAggregate) and window after."""
+    plan = _plan(spark, "q_w3_lag_monthly_trend")
+    assert plan.count("HashAggregate") >= 2  # map-side partials survive
+    assert "Window" in plan
+    # the Window operator consumes the aggregate, not the raw scan:
+    # the formatted tree prints root-first, so the window (nearer the
+    # root) must appear before the aggregate that feeds it
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos

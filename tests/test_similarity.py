@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 from data_warehouse_morrocan_banks_spark.operators.similarity import (
     brute_force_topk,
     ivf_search,
+    kmeans_centroids,
     minhash_lsh_pairs,
+    prefix_filter_jaccard_pairs,
+)
+from data_warehouse_morrocan_banks_spark.operators.similarity import (
+    jaccard_token_sets,
 )
 from data_warehouse_morrocan_banks_spark.sources.readers import table
 
@@ -37,6 +42,95 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
     # and the candidate set must actually shrink (the point of IVF)
     assert approx.count() <= exact.count()
+
+
+def test_kmeans_ivf_recall(spark):
+    """K-means-fitted centroids (seed=42 → deterministic) at nprobe=5/8
+    must hold recall ≥0.8 vs brute force.  The synthetic embeddings are
+    near-uniform (no real cluster structure), which is the hard case
+    for IVF — measured recall is 0.84 and exactly reproducible."""
+    emb = table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=10)
+    cents = kmeans_centroids(emb, k=8, seed=42)
+    assert len(cents) == 8 and all(len(v) > 0 for _, v in cents)
+    approx = ivf_search(emb, probes, cents, k=10, nprobe=5)
+
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"k-means IVF recall {recall:.2f} below floor"
+
+
+def test_prefix_filter_equals_all_pairs(spark):
+    """prefix_filter_jaccard_pairs is EXACT: its output must equal the
+    naive all-pairs self-join (the DuckDB-oracle form) pair-for-pair —
+    the recall-1.0 guarantee the scale plan is built on."""
+    d = table(spark, SF_SMOKE, "documents")
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in prefix_filter_jaccard_pairs(
+            d, "text", "doc_id", "lang", threshold=0.9
+        ).collect()
+    }
+    toks = d.select(
+        F.col("doc_id"), F.col("lang"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("t"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jaccard_token_sets(F.col("a.t"), F.col("b.t")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= 0.9)
+        .collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0  # the corpus does contain near-dups
+
+
+def test_prefix_filter_plan_has_no_all_pairs_join(spark):
+    """The candidate join must be an equi-join on (group, token) —
+    never a join whose only equality key is the group column (that is
+    the quadratic all-pairs shape the operator exists to avoid)."""
+    d = table(spark, SF_SMOKE, "documents")
+    df = prefix_filter_jaccard_pairs(d, "text", "doc_id", "lang", 0.9)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "__tok" in plan  # token is a join key in the candidate stage
+
+
+def test_minhash_candidates_cover_exact_pairs(spark):
+    """MinHash-LSH is the probabilistic candidate generator: at 16 hash
+    tables it must recover a majority of the true ≥0.9-Jaccard pairs
+    (floor 0.5; prefix filtering is the exact path when recall must be
+    1.0)."""
+    d = table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            d, "text", "doc_id", "lang", threshold=0.9
+        ).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9).collect()
+    }
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.5, f"MinHash candidate recall {recall:.2f} below floor"
 
 
 def test_minhash_pairs_are_plausible(spark):

@@ -125,3 +125,25 @@ def test_p9_limit_probe(spark):
     df = raw_reviews_df(spark, n=50).limit(10)
     assert df.count() == 10
     assert df.schema == RAW_REVIEWS
+
+
+def test_s8_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S8 batched JDBC sink (phase2_transformation_pipeline.py:261-339
+    analog): real write→read roundtrip against the Derby embedded
+    driver that ships in Spark's jars — append mode, explicit
+    batchsize, set-based (no row loop)."""
+    from data_warehouse_morrocan_banks_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/s8db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.createDataFrame(
+        [(1, "atm broken", 2.0), (2, "great service", 5.0)],
+        ["review_id", "text", "rating"],
+    )
+    write_jdbc(df, url, "reviews", properties=props, batchsize=1000)
+    # append again: mode must be append, not overwrite
+    write_jdbc(df.filter(F.col("review_id") == 1), url, "reviews",
+               properties=props)
+    back = spark.read.jdbc(url, "reviews", properties=props)
+    rows = sorted((r["review_id"], r["rating"]) for r in back.collect())
+    assert rows == [(1, 2.0), (1, 2.0), (2, 5.0)]
