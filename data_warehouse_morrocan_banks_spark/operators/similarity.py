@@ -480,3 +480,146 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
+                          bits: int = 16, max_hamming: int = 3,
+                          bands: int | None = None) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
+    SimHash fingerprints — banded candidates, EXACT recall.
+
+    Guarantee (pigeonhole): split the ``bits``-bit fingerprint into
+    ``bands`` contiguous bands with ``bands > max_hamming``.  A pair
+    within the Hamming budget differs in ≤ ``max_hamming`` bit
+    positions, which can corrupt at most ``max_hamming`` bands — so at
+    least one band is IDENTICAL on both sides, and the band-value
+    equi-join finds every qualifying pair.  Verification is
+    ``bit_count(a XOR b) ≤ max_hamming`` on the candidates — one
+    popcount per candidate, no token data.
+
+    Scale: fingerprints come from ``simhash_agg`` (one shuffle);
+    candidates shuffle on (band_idx, band_value) — 2·bands ints per
+    document, never text; the verify is map-side after a join keyed on
+    small band buckets.  This is the dedup form of SimHash (the
+    ``q_dedup_simhash`` query buckets exact-equal fingerprints; this
+    operator recovers pairs that differ in a few bits — typos,
+    punctuation churn — with a provable-recall plan).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    if bands > bits:
+        raise ValueError(f"bands ({bands}) cannot exceed bits ({bits})")
+
+    fp = simhash_agg(df, id_col, tokens, bits=bits)
+
+    # band b covers bit positions [b*bits//bands, (b+1)*bits//bands)
+    band_cols = []
+    for b in range(bands):
+        lo = b * bits // bands
+        hi = (b + 1) * bits // bands
+        width = hi - lo
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), lo)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+        ))
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("__band"),
+    ).select(
+        id_col, "simhash",
+        F.col("__band.band_idx").alias("__bidx"),
+        F.col("__band.band_val").alias("__bval"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.__bidx") == F.col("bb.__bidx"))
+            & (F.col("ba.__bval") == F.col("bb.__bval"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+            F.col("ba.simhash").alias("__ha"),
+            F.col("bb.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cands.withColumn("hamming_dist", hamming)
+        .filter(F.col("hamming_dist") <= max_hamming)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
+def cosine_near_dup_pairs(corpus: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          threshold: float = 0.95, nprobe: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-probe IVF
+    buckets — the semantic-dedup stage of an LLM data pipeline.
+
+    Each vector lands in its ``nprobe`` nearest buckets (map-only
+    scoring against the broadcast-literal centroid list, same rounded
+    argsort as ``ivf_search``); candidates are pairs sharing ANY
+    bucket, verified with the exact rounded cosine.  Probabilistic
+    recall (two high-sim vectors straddling a bucket boundary both
+    probe the neighboring bucket — measured in tests vs the
+    brute-force pairs, not assumed): the trade is candidates
+    ~N²·nprobe/K per bucket-sphere instead of the N² cross join.
+
+    Scale: shuffle keys are bucket ids; vectors ride the candidate
+    join once, there is no all-pairs comparison and no Python.
+    """
+    import math
+
+    v = as_double_array(vec_col)
+    tagged = corpus.select(
+        F.col(id_col), v.alias("__v")
+    ).withColumn("__vnorm", l2_norm(F.col("__v")))
+    scores = []
+    for cid, cvec in sorted(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        scores.append(F.struct(
+            F.round(
+                dot(F.col("__v"), arr) / (F.col("__vnorm") * F.lit(cnorm)), 6
+            ).alias("sim"),
+            F.lit(cid).alias("bucket_id"),
+        ))
+    probed = (
+        tagged.withColumn("__cand", F.explode(F.slice(
+            F.sort_array(F.array(*scores), asc=False), 1, nprobe)))
+        .select(id_col, "__v", "__vnorm",
+                F.col("__cand.bucket_id").alias("__bucket"))
+    )
+    pa, pb = probed.alias("pa"), probed.alias("pb")
+    sim = F.round(
+        dot(F.col("pa.__v"), F.col("pb.__v"))
+        / (F.col("pa.__vnorm") * F.col("pb.__vnorm")), 6
+    )
+    return (
+        pa.join(
+            pb,
+            (F.col("pa.__bucket") == F.col("pb.__bucket"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .distinct()
+        .filter(F.col("cosine_sim") >= threshold)
+    )

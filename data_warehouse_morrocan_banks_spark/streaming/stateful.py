@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: per-user event quota via
+``applyInPandasWithState`` (SURVEY §2.14 extension — the
+arbitrary-state API the built-in windowed aggregations can't express).
+
+The operator admits at most ``quota`` events per user, earliest
+first — the streaming form of a rate cap / per-author contribution
+limit in an LLM-data ingestion pipeline (keep N documents per source,
+drop the flood).  The batch form is a window ``row_number`` and is
+the semantics oracle; tests assert streaming ≡ batch under
+``Trigger.AvailableNow``.
+
+Scale: state per key is ONE integer (events admitted so far) plus
+Spark's key overhead, so 10⁹ users hold a few GB across a cluster;
+the shuffle is the groupBy(user_id) every stateful op pays.  A
+processing-time timeout is deliberately not set — quota state is
+meant to persist for the life of the stream; a production deployment
+bounding state adds ``GroupStateTimeout.ProcessingTimeTimeout`` and
+an expiry in the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUOTA_OUTPUT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+QUOTA_STATE_SCHEMA = "taken bigint"
+
+
+def user_quota_batch(events: DataFrame, quota: int) -> DataFrame:
+    """Batch oracle: the ``quota`` earliest events per user
+    (deterministic (ts, event_id) order), via one window shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def apply_user_quota(grouped, quota: int):
+    """Attach the stateful quota function to a GroupedData over
+    user_id.  Factored out so batch-ish tests and the streaming query
+    share one definition.
+
+    The state function is fully self-contained (imports and helpers
+    inside) so cloudpickle ships it by value — Python workers never
+    import this module (see operators/multimodal.py for the hazard).
+    """
+    q = int(quota)
+
+    def admit(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        taken = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic admission order within the micro-batch
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        room = q - taken
+        if room > 0:
+            out = batch.head(room)
+            state.update((taken + len(out),))
+            yield out[["event_id", "ts", "user_id", "event_type", "value"]]
+        else:
+            state.update((taken,))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grouped.applyInPandasWithState(
+        admit,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_user_quota(spark: SparkSession, parquet_path: str,
+                      checkpoint_dir: str, quota: int,
+                      out_table: str = "stream_quota",
+                      schema=None) -> None:
+    """Streaming per-user quota: readStream → groupBy(user_id) →
+    applyInPandasWithState → AvailableNow into an in-memory sink.
+
+    Under AvailableNow with a single landing directory all rows arrive
+    in one micro-batch, so admission order is the in-batch
+    (ts, event_id) sort and the result equals ``user_quota_batch``
+    exactly (asserted in tests/test_streaming.py); across multiple
+    micro-batches the quota still holds globally — admission order
+    becomes arrival order, the streaming-native semantics.
+    """
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    out = apply_user_quota(stream.groupBy("user_id"), quota)
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
+    q.awaitTermination()

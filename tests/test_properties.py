@@ -112,3 +112,50 @@ def test_dsum_is_exact_for_6dp_values(spark, decs):
     got = df.agg(dsum("x", "s")).collect()[0]["s"]
     want = float(round(sum(Decimal(str(float(d))) for d in decs), 4))
     assert got == want, (got, want)
+
+
+_VOCAB = ["atm", "bank", "wait", "slow", "great", "fee"]
+_DOC = st.lists(
+    st.sampled_from(_VOCAB), min_size=1, max_size=8
+).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=10)
+
+
+@given(st.lists(_CORPUS, min_size=1, max_size=25))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_jaccard_property(spark, corpora):
+    """prefix_filter_jaccard_pairs == exact all-pairs Jaccard on
+    arbitrary corpora (each generated corpus is one group, so a whole
+    example costs ONE Spark job).  A tiny vocab forces heavy token
+    collisions — the worst case for prefix filtering — and duplicate
+    texts exercise sim == 1.0 ties."""
+    from fractions import Fraction
+
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows, expected = [], set()
+    for g, corpus in enumerate(corpora):
+        sets = []
+        for i, text in enumerate(corpus):
+            doc_id = g * 1000 + i
+            rows.append((doc_id, f"g{g}", text))
+            sets.append((doc_id, frozenset(text.split())))
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                (ida, sa), (idb, sb) = sets[i], sets[j]
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if union and Fraction(inter, union) >= Fraction(9, 10):
+                    expected.add((min(ida, idb), max(ida, idb)))
+
+    df = spark.createDataFrame(rows, "doc_id INT, grp STRING, text STRING")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", "grp", threshold=0.9
+        ).collect()
+    }
+    assert got == expected

@@ -7,10 +7,13 @@ from pyspark.sql import functions as F
 
 from data_warehouse_morrocan_banks_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_dup_pairs,
     ivf_search,
     kmeans_centroids,
     minhash_lsh_pairs,
     prefix_filter_jaccard_pairs,
+    simhash_agg,
+    simhash_hamming_pairs,
 )
 from data_warehouse_morrocan_banks_spark.operators.similarity import (
     jaccard_token_sets,
@@ -140,6 +143,73 @@ def test_minhash_pairs_are_plausible(spark):
     for r in rows[:20]:
         assert 0.9 <= r["jaccard_sim"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+def test_simhash_hamming_pairs_exact(spark):
+    """Banded Hamming pairs must equal the brute-force popcount answer
+    EXACTLY — the pigeonhole guarantee (bands > max_hamming ⇒ every
+    qualifying pair shares an intact band) is a recall proof, so this
+    is set equality, not a floor."""
+    d = table(spark, SF_SMOKE, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in simhash_hamming_pairs(
+            d, "doc_id", toks, bits=16, max_hamming=3
+        ).collect()
+    }
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_agg(d, "doc_id", toks, bits=16).collect()
+    }
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_cosine_near_dup_recall_and_precision(spark):
+    """Multi-probe IVF cosine near-dup vs the exact pair set: k-means
+    centroids at nprobe=3/8 recover every ≥0.4 pair on the test corpus
+    (deterministic — seeded fit on fixed data) and emit no pair below
+    the threshold (verification is exact by construction)."""
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, k=8, seed=42)
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        cosine_near_dup_pairs(emb, cents, threshold=0.4, nprobe=3).collect()
+    }
+    # exact reference: brute-force pairs from the cross join baseline
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+    v = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("__v")
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(
+        dot(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")), 6
+    )
+    true = {
+        (r["id_a"], r["id_b"]) for r in
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
+        .filter(F.col("s") >= 0.4)
+        .collect()
+    }
+    assert len(true) > 0
+    assert got <= true            # precision 1.0: exact verify
+    recall = len(got & true) / len(true)
+    assert recall >= 0.95, f"cosine near-dup recall {recall:.2f}"
 
 
 def test_lda_structural_invariants(spark):

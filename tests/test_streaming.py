@@ -35,3 +35,33 @@ def test_stream_rollup_equals_batch(spark):
         b_rows = sorted([tuple(r) for r in batch.collect()], key=repr)
         assert len(s_rows) > 0
         assert s_rows == b_rows
+
+
+def test_stateful_user_quota_equals_batch(spark):
+    """applyInPandasWithState quota ≡ the batch row_number form when
+    the stream lands in one AvailableNow micro-batch."""
+    from data_warehouse_morrocan_banks_spark.streaming.stateful import (
+        stream_user_quota,
+        user_quota_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/events"
+        checkpoint = f"{tmp}/ckpt_quota"
+        ev = table(spark, SF_SMOKE, "events")
+        ev.write.parquet(landing)
+
+        stream_user_quota(spark, landing, checkpoint, quota=3,
+                          out_table="t_quota")
+        streamed = spark.table("t_quota")
+        batch = user_quota_batch(spark.read.parquet(landing), quota=3)
+
+        s_rows = sorted([tuple(r) for r in streamed.collect()], key=repr)
+        b_rows = sorted([tuple(r) for r in batch.collect()], key=repr)
+        assert len(s_rows) > 0
+        assert s_rows == b_rows
+        # quota actually binds: no user exceeds 3, some user hits 3
+        from pyspark.sql import functions as F
+        per_user = streamed.groupBy("user_id").count()
+        mx = per_user.agg(F.max("count")).collect()[0][0]
+        assert mx == 3
