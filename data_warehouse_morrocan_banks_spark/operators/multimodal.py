@@ -233,3 +233,85 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str,
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
+
+
+def synthetic_video(frames: list[bytes]) -> bytes:
+    """Craft a VID0 container: magic + uint32 frame count + length-
+    prefixed frames (intended for BMP payloads).  A minimal but REAL
+    multi-frame format so frame sampling is parse-tested without any
+    video codec in the runtime."""
+    out = bytearray(b"VID0")
+    out += len(frames).to_bytes(4, "little")
+    for f in frames:
+        out += len(f).to_bytes(4, "little")
+        out += f
+    return bytes(out)
+
+
+FRAME_SCHEMA = (
+    "media_id string, frame_idx int, frame_payload binary, "
+    "width int, height int"
+)
+
+
+def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
+    """Frame-sampling stage: video payload → one row per every_n-th
+    frame (a one-to-many mapInPandas — the Arrow-batched analog of
+    the frame extraction an ML-ingest pipeline runs before image
+    encoders).  VID0 containers parse for real; unknown containers
+    yield no rows (a count mismatch downstream is the quality
+    signal, not a worker crash mid-pipeline).
+
+    Scale: map-only like every payload stage — a video never
+    shuffles; the fan-out happens inside the partition, and the
+    sampled frames are what continue down the DAG (decode_media /
+    resize_images accept the exploded frames as image payloads).
+    """
+    step = int(every_n)
+    if step < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def frames_of(payload: bytes):
+            if not payload or payload[:4] != b"VID0" or len(payload) < 8:
+                return
+            n = int.from_bytes(payload[4:8], "little")
+            off = 8
+            for idx in range(n):
+                if off + 4 > len(payload):
+                    return
+                flen = int.from_bytes(payload[off:off + 4], "little")
+                off += 4
+                frame = payload[off:off + flen]
+                off += flen
+                if idx % step == 0:
+                    w = h = None
+                    if frame[:2] == b"BM" and len(frame) >= 26:
+                        w = int.from_bytes(frame[18:22], "little", signed=True)
+                        h = abs(int.from_bytes(frame[22:26], "little",
+                                               signed=True))
+                    yield idx, frame, w, h
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_payload": [],
+                   "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, frame, w, h in frames_of(
+                    payload if payload is not None else b""
+                ):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(frame)
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                "frame_payload": out["frame_payload"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+            })
+
+    return df.mapInPandas(sample_batches, FRAME_SCHEMA)

@@ -1,0 +1,71 @@
+"""Connected components / dedup-family resolution (the pairs→decisions
+step of near-dup dedup) vs a Python union-find reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.dedup import (
+    connected_components,
+    dedup_families,
+)
+from data_warehouse_morrocan_banks_spark.operators.similarity import (
+    prefix_filter_jaccard_pairs,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_SMOKE
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_on_crafted_graph(spark):
+    """Chain of 40 (worst diameter for plain propagation — pointer
+    jumping must converge it within max_iter), plus a cycle, a star,
+    and an isolated edge."""
+    edges = [(i, i + 1) for i in range(100, 140)]           # chain
+    edges += [(200, 201), (201, 202), (202, 200)]           # cycle
+    edges += [(300, j) for j in range(301, 306)]            # star
+    edges += [(400, 401)]                                   # pair
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, max_iter=15).collect()
+    }
+    assert got == _union_find(edges)
+    # chain collapses to its minimum
+    assert got[139] == 100
+
+
+def test_dedup_families_from_jaccard_pairs(spark):
+    d = table(spark, SF_SMOKE, "documents")
+    pairs = prefix_filter_jaccard_pairs(d, "text", "doc_id", "lang", 0.9)
+    fams = dedup_families(d, pairs, "doc_id")
+
+    expected = _union_find(
+        [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    )
+    rows = fams.collect()
+    assert len(rows) == d.count()                 # every doc classified
+    for r in rows:
+        exp = expected.get(r["doc_id"], r["doc_id"])
+        assert r["family_id"] == exp, r
+        assert r["is_canonical"] == (r["doc_id"] == exp)
+    # the corpus genuinely shrinks: there are non-canonical docs
+    n_canon = sum(r["is_canonical"] for r in rows)
+    assert 0 < n_canon < len(rows)

@@ -21,7 +21,9 @@ from data_warehouse_morrocan_banks_spark.operators.multimodal import (
     decode_media,
     media_from_text,
     resize_images,
+    sample_frames,
     synthetic_bmp,
+    synthetic_video,
     synthetic_wav,
 )
 
@@ -110,6 +112,38 @@ def test_media_from_text_fabricates_binary_payloads(spark):
     out = {r["media_id"]: r for r in decoded.collect()}
     assert out["a"]["n_bytes"] == 5
     assert out["a"]["payload_md5"] == hashlib.md5(b"alpha").hexdigest()
+
+
+def test_sample_frames_every_nth(spark):
+    """VID0 container → every 3rd frame, with parsed BMP dims; the
+    sampled frames feed straight back into decode_media (pipeline
+    composition, not just a one-off parse)."""
+    frames = [synthetic_bmp(4 + i, 3, seed=i) for i in range(7)]
+    vid = synthetic_video(frames)
+    junk = b"not a video"
+    df = _media_df(spark, [
+        ("v1", "video", vid, None, None, None),
+        ("junk", "video", junk, None, None, None),
+    ])
+    out = sorted(
+        (r["media_id"], r["frame_idx"], r["width"], r["height"])
+        for r in sample_frames(df, every_n=3).collect()
+    )
+    # frames 0, 3, 6 of v1; the junk container yields nothing
+    assert out == [("v1", 0, 4, 3), ("v1", 3, 7, 3), ("v1", 6, 10, 3)]
+
+    # composition: sampled frames decode as images byte-for-byte
+    sampled = sample_frames(df, every_n=3).select(
+        F.concat_ws("#", "media_id", F.col("frame_idx").cast("string"))
+        .alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("frame_payload").alias("payload"),
+        "width", "height",
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    decoded = {r["media_id"]: r for r in decode_media(sampled).collect()}
+    assert decoded["v1#0"]["payload_md5"] == hashlib.md5(frames[0]).hexdigest()
+    assert decoded["v1#6"]["width"] == 10
 
 
 def test_decode_is_map_only(spark):
