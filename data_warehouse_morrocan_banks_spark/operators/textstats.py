@@ -87,3 +87,67 @@ def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Co
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of non-blank lines that
+    are duplicates of another line (1 − distinct/total).  Boilerplate,
+    scraped navigation, and template spam score high."""
+    lines = F.filter(F.split(_c(col), "\n"), lambda t: F.trim(t) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        _round6_det(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / n.cast("double")
+        ),
+    ).otherwise(0.0)
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Type-token ratio (distinct words / words): the cheap lexical-
+    diversity signal — keyword-stuffed or looping text scores low."""
+    tokens = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    n = F.size(tokens)
+    return F.when(
+        n > 0,
+        _round6_det(F.size(F.array_distinct(tokens)).cast("double")
+                    / n.cast("double")),
+    ).otherwise(0.0)
+
+
+def top_bigram_share(df, text_col: str, id_col: str,
+                     out_col: str = "top_bigram_share"):
+    """Gopher's top-2-gram fraction: the share of all word-bigram
+    occurrences taken by the single most frequent bigram — repetitive
+    generation loops and SEO spam concentrate mass in one bigram.
+
+    DataFrame-level (explode → count → max/total → join back): the
+    per-doc mode of an array is not expressible portably in both
+    engines' expression languages, and the exploded form is the scale
+    plan anyway — the shuffle is keyed on doc_id, carrying one long
+    per (doc, bigram).  Docs with < 2 tokens get 0.0.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(tokens)
+    bigrams = F.zip_with(
+        F.slice(tokens, 1, n - 1),
+        F.slice(tokens, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__tbs_id"), F.explode(bigrams).alias("__bg")
+    )
+    counts = exploded.groupBy("__tbs_id", "__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    shares = counts.groupBy("__tbs_id").agg(
+        _round6_det(
+            F.max("__c").cast("double") / F.sum("__c").cast("double")
+        ).alias(out_col)
+    )
+    return (
+        df.join(shares, df[id_col] == shares["__tbs_id"], "left")
+        .drop("__tbs_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+    )

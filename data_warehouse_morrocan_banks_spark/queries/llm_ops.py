@@ -324,8 +324,29 @@ WITH stats AS (
         AS DECIMAL(24,12)), 6) AS DOUBLE)
       ELSE 0.0 END AS mean_word_len
   FROM documents
+),
+bigram_share AS (
+  SELECT doc_id,
+    CAST(ROUND(CAST(CAST(MAX(c) AS DOUBLE) / SUM(c) AS DECIMAL(24,12)), 6)
+         AS DOUBLE) AS top_bigram_share
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (
+      SELECT doc_id,
+        UNNEST(LIST_TRANSFORM(
+          LIST_ZIP(toks[1:LEN(toks)-1], toks[2:LEN(toks)]),
+          p -> p[1] || ' ' || p[2])) AS bg
+      FROM (
+        SELECT doc_id,
+          REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
+        FROM documents
+      )
+    )
+    GROUP BY doc_id, bg
+  )
+  GROUP BY doc_id
 )
-SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
+SELECT s.doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
   ROUND(CAST(
     CAST(n_words BETWEEN 10 AND 2000 AS INT) * 0.25
     + CAST(stopword_ratio BETWEEN 0.01 AND 0.6 AS INT) * 0.25
@@ -335,16 +356,38 @@ SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
   CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
   CAST(LIST_REDUCE(
     LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ''), c -> CAST(ASCII(c) AS BIGINT)),
-    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_hash_fp
-FROM stats
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_hash_fp,
+  CASE WHEN LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'),
+                            t -> TRIM(t) != '')) > 0 THEN
+    CAST(ROUND(CAST(1.0
+      - CAST(LEN(LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'),
+                                           t -> TRIM(t) != ''))) AS DOUBLE)
+      / LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'),
+                        t -> TRIM(t) != '')) AS DECIMAL(24,12)), 6) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_fraction,
+  CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) > 0 THEN
+    CAST(ROUND(CAST(
+      CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')))
+        AS DOUBLE)
+      / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
+      AS DECIMAL(24,12)), 6) AS DOUBLE)
+    ELSE 0.0 END AS distinct_token_ratio,
+  COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share
+FROM stats s LEFT JOIN bigram_share b ON s.doc_id = b.doc_id
 """
 
 
 @register("q_text_quality", oracle=_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import (
+        distinct_token_ratio,
+        dup_line_fraction,
+        top_bigram_share,
+    )
+
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
         whitespace_token_count("text").alias("n_words"),
         punct_ratio("text").alias("punct_ratio"),
@@ -353,7 +396,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text", _STOPWORDS).alias("quality_score"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
         rolling_hash("text").alias("rolling_hash_fp"),
+        dup_line_fraction("text").alias("dup_line_fraction"),
+        distinct_token_ratio("text").alias("distinct_token_ratio"),
+        F.col("text").alias("__text"),
     )
+    return top_bigram_share(base, "__text", "doc_id").drop("__text")
 
 
 # --- multimodal plumbing (oracle-backed mapInPandas stage) -------------------

@@ -55,3 +55,43 @@ def test_approx_distinct_tolerance(spark):
         distinct_count("user_id").alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_repetition_metrics_crafted_inputs(spark):
+    """Gopher-style curation signals on crafted texts (the synthetic
+    corpus has no newlines, so dup_line_fraction's non-trivial path
+    only runs here)."""
+    from data_warehouse_morrocan_banks_spark.operators.textstats import (
+        distinct_token_ratio,
+        dup_line_fraction,
+        top_bigram_share,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 4 non-blank lines, 2 distinct → dup fraction 0.5
+        (1, "nav\nnav\n\nbody text\nbody text"),
+        # all-unique lines and tokens
+        (2, "alpha beta gamma"),
+        # one token repeated: ttr 1/4; bigram "spam spam" = 3/3
+        (3, "spam spam spam spam"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in top_bigram_share(
+            df.select(
+                "doc_id", "text",
+                dup_line_fraction("text").alias("dlf"),
+                distinct_token_ratio("text").alias("ttr"),
+            ),
+            "text", "doc_id",
+        ).collect()
+    }
+    assert out[1]["dlf"] == 0.5
+    assert out[2]["dlf"] == 0.0 and out[2]["ttr"] == 1.0
+    assert out[3]["ttr"] == 0.25
+    assert out[3]["top_bigram_share"] == 1.0     # "spam spam" ×3 of 3
+    assert out[2]["top_bigram_share"] == 0.5     # 2 bigrams, each ×1
+    assert out[4]["dlf"] == 0.0 and out[4]["top_bigram_share"] == 0.0
