@@ -329,6 +329,16 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     verification.  ⌈t·n⌉ computes on a 6dp-rounded product so binary
     float noise (0.9·10 = 9.000000000000002) can't shrink a prefix
     and break the recall guarantee.
+
+    The shared frames (``enc``, ``masks``, ``prefix``) are
+    lazily ``localCheckpoint``-ed: without it Catalyst re-derives the
+    explode→df-count→rank subtree once for the masks and twice more
+    for the prefix self-join (8 parquet scans, zero ReusedExchange),
+    ~1.45× the wall time.  Lineage truncation is the point — each
+    frame computes once and both join sides read the materialized
+    partitions.  On a real cluster swap ``localCheckpoint`` for a
+    reliable ``checkpoint()``/``persist(DISK_ONLY)`` if executor loss
+    must not trigger job retry; values are identical either way.
     """
     from pyspark.sql import Window
 
@@ -349,7 +359,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # total order the prefix uses → rank IS the bitmap bit position
     wg = Window.partitionBy("__grp").orderBy("__df", "__tok")
     vocab = freq.withColumn("__r", F.row_number().over(wg) - 1)
-    enc = exploded.join(vocab, ["__grp", "__tok"])
+    enc = exploded.join(vocab, ["__grp", "__tok"]).localCheckpoint(eager=False)
 
     chunked = (
         enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
@@ -361,14 +371,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
         ).alias("__mm")
-    )
+    ).localCheckpoint(eager=False)
 
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
     prefix = (
         enc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
         .select("__grp", "__tok", "__id", "__n", "__rn")
-    )
+    ).localCheckpoint(eager=False)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     required_overlap = F.ceil(F.round(
         F.lit(threshold / (1.0 + threshold))
