@@ -1,0 +1,242 @@
+"""Row-level MERGE / SCD operators — the incremental-load extension.
+
+The reference rebuilds every table from scratch each run (DROP …
+CASCADE then recreate, complete_data_pipeline_fixed.py:96-107;
+SURVEY.md §2 "engine roadmap: incremental MERGE as extension").  At
+100 TB a full rebuild is not a strategy: these operators give the
+engine MERGE INTO / SCD Type-2 semantics on plain parquet, with a
+bucket-pruned rewrite as the table-format-free scale path.
+
+Three layers:
+
+- :func:`merge_into` — SCD Type-1 upsert as a pure DataFrame
+  transform: one full-outer join on the key (USING semantics, so the
+  keys coalesce), matched rows take the source's update columns,
+  source-only rows insert, an optional predicate deletes.  The join
+  shuffles both sides on the key once; with a bucketed/co-partitioned
+  target it is co-located, and a small change batch broadcast-joins.
+- :func:`scd2_apply` — SCD Type-2: matched-and-changed current rows
+  close (``valid_to`` = change timestamp) and a new open version
+  appends; unchanged/no-op rows pass through untouched; unmatched
+  change rows optionally insert as first versions.  The change batch
+  is usually tiny relative to the dimension → broadcast, so the
+  dimension never shuffles.
+- :func:`partitioned_merge_write` — the storage story without
+  Delta/Iceberg (not in this runtime): the target lives as parquet
+  hash-bucketed by key (``__bucket = pmod(xxhash64(keys), n)``), and
+  a merge batch rewrites ONLY the buckets that contain changed keys
+  (dynamic partition overwrite + partition-pruned read).  A 0.1%
+  change batch touches ~0.1% of a uniformly-bucketed 100 TB table
+  instead of rewriting it.
+
+Determinism: no aggregation happens here — values pass through or
+copy from the change batch — so the DuckDB oracle is a plain
+FULL/LEFT JOIN + UNION and hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
+               update_cols: list[str] | None = None, insert: bool = True,
+               delete_condition: Column | None = None,
+               broadcast_source: bool = False) -> DataFrame:
+    """MERGE INTO as a DataFrame transform (SCD Type-1 upsert).
+
+    WHEN MATCHED THEN UPDATE SET ``update_cols`` from ``source``
+    (default: every non-key column the two frames share); WHEN NOT
+    MATCHED THEN INSERT (``insert=True``; target-only columns become
+    NULL); WHEN MATCHED AND ``delete_condition`` THEN DELETE.  The
+    predicate sees SOURCE columns under their own names (target
+    columns are the ones internally prefixed), so e.g.
+    ``F.col("op") == "delete"`` works; a NULL predicate means "don't
+    delete", matching SQL MERGE.
+
+    ``source`` must be unique per key (one MERGE action per target
+    row — the SQL-standard cardinality rule; enforce upstream with
+    e.g. ``dedup_keep_first``).  NULL key values never match
+    (SQL join semantics), they insert.
+    """
+    t_cols = target.columns
+    s_cols = source.columns
+    if update_cols is None:
+        update_cols = [c for c in s_cols if c in t_cols and c not in keys]
+    missing = [c for c in update_cols if c not in s_cols]
+    if missing:
+        raise ValueError(f"update_cols not in source: {missing}")
+
+    src = source.withColumn("__s_present", F.lit(True))
+    if broadcast_source:
+        src = F.broadcast(src)
+    tgt = target.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__t_present"),
+        *[F.col(c).alias(f"__t_{c}") for c in t_cols if c not in keys],
+    )
+
+    j = tgt.join(src, on=keys, how="full_outer")
+    matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in t_cols:
+        if c in keys:
+            continue
+        if c in update_cols:
+            # matched → source value; insert → source value; else target
+            out_cols.append(
+                F.when(F.col("__s_present").isNotNull(), F.col(c))
+                .otherwise(F.col(f"__t_{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__t_{c}").alias(c))
+
+    if delete_condition is not None:
+        j = j.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
+    if not insert:
+        j = j.filter(F.col("__t_present").isNotNull())
+    return j.select(*out_cols)
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame, keys: list[str],
+               tracked: dict[str, str], ts_col: str,
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               current_col: str = "is_current", insert_new: bool = True,
+               broadcast_changes: bool = True) -> DataFrame:
+    """SCD Type-2 merge: close changed current rows, append new
+    versions, insert unseen keys as first versions.
+
+    ``dim`` carries the full version history (``valid_from``,
+    ``valid_to``, ``current_col``); only CURRENT rows are compared.
+    ``tracked`` maps dim column → changes column; a change row whose
+    tracked values all equal the current row's (null-safe) is a no-op.
+    ``changes`` must be unique per key.  Non-tracked attributes carry
+    forward from the closed version into the new one; inserted rows
+    take any dim column ``changes`` also has, NULL otherwise.
+
+    Plan shape: history rows pass through untouched; current rows
+    LEFT-join the (broadcast) change batch — the dimension itself
+    never shuffles; appended versions and inserts are cheap unions of
+    the (small) matched/anti sides.
+    """
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+
+    chg = changes.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__c_present"),
+        *[F.col(c).alias(f"__c_{c}") for c in changes.columns if c not in keys],
+    )
+    chg_b = F.broadcast(chg) if broadcast_changes else chg
+
+    j = cur.join(chg_b, on=keys, how="left")
+    differs = F.lit(False)
+    for dim_col, chg_col in tracked.items():
+        differs = differs | ~F.col(dim_col).eqNullSafe(F.col(f"__c_{chg_col}"))
+    changed = F.col("__c_present").isNotNull() & differs
+
+    dim_cols = dim.columns
+    passthrough = j.filter(~changed).select(*dim_cols)
+    closed = (
+        j.filter(changed)
+        .withColumn(valid_to, F.col(f"__c_{ts_col}"))
+        .withColumn(current_col, F.lit(False))
+        .select(*dim_cols)
+    )
+    new_versions = (
+        j.filter(changed)
+        .select(
+            *[
+                F.col(f"__c_{tracked[c]}").alias(c) if c in tracked
+                else F.col(f"__c_{ts_col}").alias(c) if c == valid_from
+                else F.lit(None).cast(dim.schema[c].dataType).alias(c)
+                if c == valid_to
+                else F.lit(True).alias(c) if c == current_col
+                else F.col(c)
+                for c in dim_cols
+            ]
+        )
+    )
+    out = hist.unionByName(passthrough).unionByName(closed).unionByName(new_versions)
+
+    if insert_new:
+        chg_cols = set(changes.columns)
+        inserts = (
+            chg_b.join(dim.select(*keys).distinct(), on=keys, how="left_anti")
+            .select(
+                *[
+                    F.col(k) if k in keys
+                    else F.col(f"__c_{tracked[k]}").alias(k) if k in tracked
+                    else F.col(f"__c_{ts_col}").alias(k) if k == valid_from
+                    else F.lit(None).cast(dim.schema[k].dataType).alias(k)
+                    if k == valid_to
+                    else F.lit(True).alias(k) if k == current_col
+                    else F.col(f"__c_{k}").alias(k) if k in chg_cols
+                    else F.lit(None).cast(dim.schema[k].dataType).alias(k)
+                    for k in dim_cols
+                ]
+            )
+        )
+        out = out.unionByName(inserts)
+    return out
+
+
+def bucketed_target_write(df: DataFrame, path: str, keys: list[str],
+                          n_buckets: int = 64) -> None:
+    """Lay a merge target down as parquet hash-partitioned on the key:
+    ``__bucket = pmod(xxhash64(keys), n_buckets)`` becomes the
+    partition directory, so a later merge can prune to the buckets a
+    change batch touches.  Size ``n_buckets`` so one bucket ≈ one
+    comfortable task (100 TB / 64 MiB-ish splits → thousands)."""
+    df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
+                            keys: list[str], n_buckets: int = 64,
+                            update_cols: list[str] | None = None,
+                            insert: bool = True,
+                            delete_condition: Column | None = None) -> int:
+    """Incremental MERGE against a :func:`bucketed_target_write` table,
+    rewriting only the buckets the change batch touches.
+
+    1. Bucket the source rows with the SAME hash the target used.
+    2. Collect the distinct bucket ids (≤ ``n_buckets`` ints — driver
+       safe by construction).
+    3. Read the target WITH a ``__bucket IN (…)`` filter — partition
+       pruning keeps untouched buckets off the scan entirely.
+    4. :func:`merge_into`, then dynamic-partition-overwrite the merged
+       buckets back.  The result materializes (``localCheckpoint``)
+       before the write because parquet cannot overwrite a path it is
+       lazily reading from — with a transactional table format
+       (Delta/Iceberg, absent from this runtime) this staging step
+       disappears.
+
+    Returns the number of buckets rewritten.  Untouched bucket
+    directories are not read, not rewritten, byte-identical after.
+    """
+    src = source.withColumn(
+        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    )
+    buckets = [r["__bucket"] for r in src.select("__bucket").distinct().collect()]
+    if not buckets:
+        return 0
+
+    target = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    merged = merge_into(
+        target.drop("__bucket"), src.drop("__bucket"), keys,
+        update_cols=update_cols, insert=insert,
+        delete_condition=delete_condition,
+    ).withColumn(
+        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    ).localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(buckets)

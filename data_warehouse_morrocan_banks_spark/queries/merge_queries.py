@@ -1,0 +1,145 @@
+"""MERGE / SCD Type-2 suite — the incremental-load extension the
+reference lacks (its pipeline drop-and-recreates every table per run,
+complete_data_pipeline_fixed.py:96-107; SURVEY.md §2 names
+"incremental MERGE as extension" the roadmap item).
+
+The driver-checked query applies :func:`operators.merge.scd2_apply`
+to the reference's OWN 5-row sentiment seed (dim_sentiment.sql:25-40)
+— so this one query covers both U2 (the VALUES seed + surrogate key:
+every seed row and column passes through to the output) and the SCD2
+merge semantics, exercising all four paths in one deterministic
+frame: unchanged pass-through, no-op change (values equal current),
+close + new version (the 'neutral' recolor), and unseen-key insert
+(the new 'mixed' sentiment).  Customer-scale SCD2 and the
+bucket-pruned incremental write are pytest-verified
+(tests/test_merge.py) — the driver row checks semantics, the tests
+and operators/merge.py docstrings carry the scale story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import scd2_apply
+from ..registry import register
+from ..session import ensure_query_confs
+from ..star.dims import sentiment_dim
+
+_SCD2_ORACLE = """
+WITH seed(sentiment_id, sentiment_label, sentiment_description,
+          score_range_min, score_range_max, color_code, icon) AS (
+  VALUES
+    ('positive', 'Positive',
+     'Positive customer sentiment - satisfied customers',
+     0.1, 1.0, '#4CAF50', '😊'),
+    ('negative', 'Negative',
+     'Negative customer sentiment - dissatisfied customers',
+     -1.0, -0.1, '#F44336', '😞'),
+    ('neutral', 'Neutral',
+     'Neutral customer sentiment - neutral or mixed feelings',
+     -0.1, 0.1, '#FFC107', '😐'),
+    ('very_positive', 'Very Positive',
+     'Highly positive sentiment - extremely satisfied',
+     0.5, 1.0, '#2E7D32', '🤩'),
+    ('very_negative', 'Very Negative',
+     'Highly negative sentiment - extremely dissatisfied',
+     -1.0, -0.5, '#C62828', '😡')
+),
+dim AS (
+  SELECT sentiment_id, sentiment_label, sentiment_description,
+         CAST(score_range_min AS DOUBLE) AS score_range_min,
+         CAST(score_range_max AS DOUBLE) AS score_range_max,
+         color_code, icon,
+         CAST(ROW_NUMBER() OVER (ORDER BY sentiment_id) AS INT) AS sentiment_key,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from
+  FROM seed
+),
+chg AS (
+  SELECT sentiment_id, change_ts, color_code,
+         CAST(score_range_min AS DOUBLE) AS score_range_min,
+         CAST(score_range_max AS DOUBLE) AS score_range_max,
+         sentiment_label, sentiment_description, icon,
+         CAST(sentiment_key AS INT) AS sentiment_key
+  FROM (VALUES
+    ('neutral', TIMESTAMP '2024-06-01 00:00:00', '#FFD54F', -0.15, 0.15,
+     NULL, NULL, NULL, NULL),
+    ('positive', TIMESTAMP '2024-06-01 00:00:00', '#4CAF50', 0.1, 1.0,
+     NULL, NULL, NULL, NULL),
+    ('mixed', TIMESTAMP '2024-06-01 00:00:00', '#9E9E9E', -0.3, 0.3,
+     'Mixed', 'Mixed or ambivalent customer sentiment', '🤔', 6)
+  ) v(sentiment_id, change_ts, color_code, score_range_min,
+      score_range_max, sentiment_label, sentiment_description, icon,
+      sentiment_key)
+),
+changed AS (
+  SELECT d.sentiment_id, d.sentiment_label, d.sentiment_description,
+         d.icon, d.sentiment_key,
+         c.change_ts, c.color_code AS new_color,
+         c.score_range_min AS new_min, c.score_range_max AS new_max
+  FROM dim d JOIN chg c USING (sentiment_id)
+  WHERE c.color_code IS DISTINCT FROM d.color_code
+     OR c.score_range_min IS DISTINCT FROM d.score_range_min
+     OR c.score_range_max IS DISTINCT FROM d.score_range_max
+)
+SELECT d.sentiment_id, d.sentiment_label, d.sentiment_description,
+       d.score_range_min, d.score_range_max, d.color_code, d.icon,
+       d.sentiment_key, d.valid_from,
+       ch.change_ts AS valid_to,
+       ch.sentiment_id IS NULL AS is_current
+FROM dim d LEFT JOIN changed ch USING (sentiment_id)
+UNION ALL
+SELECT sentiment_id, sentiment_label, sentiment_description,
+       new_min AS score_range_min, new_max AS score_range_max,
+       new_color AS color_code, icon, sentiment_key,
+       change_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM changed
+UNION ALL
+SELECT c.sentiment_id, c.sentiment_label, c.sentiment_description,
+       c.score_range_min, c.score_range_max, c.color_code, c.icon,
+       c.sentiment_key, c.change_ts AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM chg c LEFT JOIN dim d USING (sentiment_id)
+WHERE d.sentiment_id IS NULL
+"""
+
+_CHANGES_SCHEMA = (
+    "sentiment_id STRING, change_ts STRING, color_code STRING, "
+    "score_range_min DOUBLE, score_range_max DOUBLE, "
+    "sentiment_label STRING, sentiment_description STRING, icon STRING, "
+    "sentiment_key INT"
+)
+
+_CHANGE_BATCH = [
+    # close + new version: neutral recolors and widens its range
+    ("neutral", "2024-06-01", "#FFD54F", -0.15, 0.15, None, None, None, None),
+    # no-op: values equal the current row → passes through untouched
+    ("positive", "2024-06-01", "#4CAF50", 0.1, 1.0, None, None, None, None),
+    # insert: unseen key becomes a first version
+    ("mixed", "2024-06-01", "#9E9E9E", -0.3, 0.3, "Mixed",
+     "Mixed or ambivalent customer sentiment", "🤔", 6),
+]
+
+
+@register("q_merge_scd_suite", oracle=_SCD2_ORACLE)
+def q_merge_scd_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    dim = (
+        sentiment_dim(spark)
+        .withColumn("valid_from", F.lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    changes = spark.createDataFrame(
+        _CHANGE_BATCH, _CHANGES_SCHEMA
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    return scd2_apply(
+        dim, changes, keys=["sentiment_id"],
+        tracked={
+            "color_code": "color_code",
+            "score_range_min": "score_range_min",
+            "score_range_max": "score_range_max",
+        },
+        ts_col="change_ts",
+    )

@@ -12,46 +12,13 @@ from ..numerics import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_query_confs
 from ..sources.readers import table
-from ..star.dims import date_dim, derived_dim, sentiment_dim
+from ..star.dims import date_dim, derived_dim
 from ..star.fact import build_fact
 
-# --- U2: inline VALUES seed dim --------------------------------------------
-# Reference: 5-row sentiment seed (dim_sentiment.sql:25-40).
-
-_U2_ORACLE = """
-WITH seed(sentiment_id, sentiment_label, sentiment_description,
-          score_range_min, score_range_max, color_code, icon) AS (
-  VALUES
-    ('positive', 'Positive',
-     'Positive customer sentiment - satisfied customers',
-     0.1, 1.0, '#4CAF50', '😊'),
-    ('negative', 'Negative',
-     'Negative customer sentiment - dissatisfied customers',
-     -1.0, -0.1, '#F44336', '😞'),
-    ('neutral', 'Neutral',
-     'Neutral customer sentiment - neutral or mixed feelings',
-     -0.1, 0.1, '#FFC107', '😐'),
-    ('very_positive', 'Very Positive',
-     'Highly positive sentiment - extremely satisfied',
-     0.5, 1.0, '#2E7D32', '🤩'),
-    ('very_negative', 'Very Negative',
-     'Highly negative sentiment - extremely dissatisfied',
-     -1.0, -0.5, '#C62828', '😡')
-)
-SELECT sentiment_id, sentiment_label, sentiment_description,
-       CAST(score_range_min AS DOUBLE) AS score_range_min,
-       CAST(score_range_max AS DOUBLE) AS score_range_max,
-       color_code, icon,
-       CAST(ROW_NUMBER() OVER (ORDER BY sentiment_id) AS INT) AS sentiment_key
-FROM seed
-"""
-
-
-@register("q_u2_sentiment_seed", oracle=_U2_ORACLE)
-def q_u2_sentiment_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    return sentiment_dim(spark)
-
+# U2 (inline VALUES seed dim, dim_sentiment.sql:25-40): driver
+# coverage moved into q_merge_scd_suite (queries/merge_queries.py) —
+# the SCD2 target IS the seed, so every seed row/column/surrogate-key
+# still hash-checks there, and the slot also buys MERGE coverage.
 
 # --- U3: generate_series date spine (full dim_date) -------------------------
 # Reference: daily 2020-01-01 → 2030-12-31, 4,018 rows, with date_key,

@@ -73,6 +73,7 @@ def _load_all() -> None:
         joins,
         llm_ops,
         marts,
+        merge_queries,
         nlp_queries,
         scalars,
         star_queries,

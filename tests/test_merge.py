@@ -1,0 +1,229 @@
+"""MERGE / SCD2 operator tests: crafted-path coverage for merge_into,
+customer-scale DuckDB parity for scd2_apply, and the bucket-pruned
+incremental write (only touched buckets rewrite).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.merge import (
+    bucketed_target_write,
+    merge_into,
+    partitioned_merge_write,
+    scd2_apply,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0), (3, "gamma", 30.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+
+
+def test_merge_into_update_insert(spark):
+    src = spark.createDataFrame(
+        [(2, "beta2", 21.0), (4, "delta", 40.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+    out = {r["id"]: r for r in merge_into(_target(spark), src, ["id"]).collect()}
+    assert len(out) == 4
+    assert out[1]["name"] == "alpha" and out[1]["score"] == 10.0  # untouched
+    assert out[2]["name"] == "beta2" and out[2]["score"] == 21.0  # updated
+    assert out[4]["name"] == "delta"                              # inserted
+
+
+def test_merge_into_partial_update_cols(spark):
+    src = spark.createDataFrame([(2, "beta2", 99.0)], "id INT, name STRING, score DOUBLE")
+    out = {r["id"]: r for r in
+           merge_into(_target(spark), src, ["id"], update_cols=["name"]).collect()}
+    assert out[2]["name"] == "beta2" and out[2]["score"] == 20.0  # score NOT updated
+
+
+def test_merge_into_delete_and_no_insert(spark):
+    src = spark.createDataFrame(
+        [(1, "x", 0.0, "delete"), (2, "beta2", 21.0, "upsert"),
+         (3, "y", 0.0, None), (5, "eps", 50.0, "upsert")],
+        "id INT, name STRING, score DOUBLE, op STRING",
+    )
+    out = {r["id"]: r for r in merge_into(
+        _target(spark), src, ["id"],
+        update_cols=["name", "score"],
+        delete_condition=F.col("op") == "delete",
+    ).collect()}
+    assert 1 not in out                      # matched + delete predicate
+    assert out[3]["name"] == "y"             # NULL predicate → not deleted, updated
+    assert out[5]["name"] == "eps"           # inserted
+    no_ins = merge_into(_target(spark), src, ["id"], insert=False).collect()
+    assert {r["id"] for r in no_ins} == {1, 2, 3}
+
+
+def test_merge_into_target_only_columns_null_on_insert(spark):
+    src = spark.createDataFrame([(4, "delta")], "id INT, name STRING")
+    out = {r["id"]: r for r in merge_into(_target(spark), src, ["id"]).collect()}
+    assert out[4]["score"] is None           # target-only column → NULL on insert
+    assert out[2]["score"] == 20.0
+
+
+def test_scd2_customer_scale_duckdb_parity(spark):
+    """Customer-scale SCD2 vs a DuckDB oracle: customers whose order
+    count ≥ 15 re-segment to HIGH_VOLUME at their latest order date
+    (BUILDING rows get a no-op change batch row on purpose)."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    dim = (
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("valid_from", F.lit("1994-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    chg = (
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("change_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 15)
+        .join(cust.select("c_custkey", "c_mktsegment"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "change_ts",
+            F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING")
+            .otherwise("HIGH_VOLUME").alias("new_seg"),
+        )
+    )
+    got = scd2_apply(
+        dim, chg, keys=["c_custkey"], tracked={"c_mktsegment": "new_seg"},
+        ts_col="change_ts",
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    want = con.execute("""
+        WITH dim AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 TIMESTAMP '1994-01-01 00:00:00' AS valid_from
+          FROM customer
+        ),
+        chg AS (
+          SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS change_ts
+          FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        ),
+        eff AS (
+          SELECT d.c_custkey, d.c_acctbal, c.change_ts,
+                 CASE WHEN d.c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                      ELSE 'HIGH_VOLUME' END AS new_seg
+          FROM dim d JOIN chg c USING (c_custkey)
+          WHERE d.c_mktsegment != 'BUILDING'
+        )
+        SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+               e.change_ts AS valid_to, e.c_custkey IS NULL AS is_current
+        FROM dim d LEFT JOIN eff e USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, new_seg, c_acctbal, change_ts,
+               CAST(NULL AS TIMESTAMP), TRUE
+        FROM eff
+    """).fetchall()
+
+    def canon(rows):
+        return sorted(
+            (r[0], r[1], float(r[2]), str(r[3]), str(r[4]), bool(r[5]))
+            for r in rows
+        )
+
+    got_rows = [(r["c_custkey"], r["c_mktsegment"], r["c_acctbal"],
+                 r["valid_from"], r["valid_to"], r["is_current"]) for r in got]
+    assert canon(got_rows) == canon(want)
+    # sanity: the change batch actually produced versions
+    assert sum(1 for r in got if not r["is_current"]) > 0
+
+
+def test_partitioned_merge_write_prunes_buckets(spark, tmp_path):
+    """The incremental write only rewrites buckets the batch touches;
+    untouched bucket files stay byte-identical (mtime check)."""
+    path = str(tmp_path / "target")
+    base = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.lit("keep").alias("tag"),
+    )
+    n_buckets = 8
+    bucketed_target_write(base, path, ["id"], n_buckets=n_buckets)
+
+    before = {}
+    for d in os.listdir(path):
+        if d.startswith("__bucket="):
+            full = os.path.join(path, d)
+            before[d] = {f: os.path.getmtime(os.path.join(full, f))
+                         for f in os.listdir(full) if f.endswith(".parquet")}
+
+    # batch touching exactly the buckets of ids 3 and 4 (+ one insert)
+    batch = spark.createDataFrame(
+        [(3, 999.0, "upd"), (4, 888.0, "upd"), (2000, 1.0, "new")],
+        "id INT, v DOUBLE, tag STRING",
+    )
+    touched = {
+        r["b"] for r in batch.select(
+            F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    n = partitioned_merge_write(spark, path, batch, ["id"], n_buckets=n_buckets)
+    assert n == len(touched)
+
+    after = spark.read.parquet(path)
+    got = {r["id"]: r for r in after.filter(F.col("id").isin(3, 4, 5, 2000)).collect()}
+    assert got[3]["v"] == 999.0 and got[3]["tag"] == "upd"
+    assert got[4]["v"] == 888.0
+    assert got[5]["v"] == 5.0 % 7 and got[5]["tag"] == "keep"
+    assert got[2000]["v"] == 1.0
+    assert after.count() == 1001
+
+    for d, files in before.items():
+        bucket_id = int(d.split("=")[1])
+        full = os.path.join(path, d)
+        now = {f: os.path.getmtime(os.path.join(full, f))
+               for f in os.listdir(full) if f.endswith(".parquet")}
+        if bucket_id not in touched:
+            assert now == files, f"untouched bucket {bucket_id} was rewritten"
+
+
+def test_partitioned_merge_write_empty_batch(spark, tmp_path):
+    path = str(tmp_path / "target")
+    bucketed_target_write(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("id")),
+        path, ["id"], n_buckets=4,
+    )
+    empty = spark.createDataFrame([], "id INT")
+    assert partitioned_merge_write(spark, path, empty, ["id"], n_buckets=4) == 0
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_scd2_repeated_apply_is_idempotent_for_noop(spark):
+    """Re-applying the same change batch after it has landed closes
+    nothing new — the second pass sees current rows already equal to
+    the batch values."""
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, True)],
+        "k INT, attr STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    chg = spark.createDataFrame([(1, "B", "2021-06-01")],
+                                "k INT, new_attr STRING, ts STRING"
+                                ).withColumn("ts", F.col("ts").cast("timestamp"))
+    once = scd2_apply(dim, chg, ["k"], {"attr": "new_attr"}, "ts")
+    twice = scd2_apply(once, chg, ["k"], {"attr": "new_attr"}, "ts")
+    rows = twice.collect()
+    assert len(rows) == 2  # closed v1 + current v2; second apply added nothing
+    cur = [r for r in rows if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["attr"] == "B"
