@@ -240,3 +240,59 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(buckets)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None,
+                  include_unchanged: bool = False) -> DataFrame:
+    """CDC between two table snapshots: which rows changed, and how.
+
+    Full-outer join on ``keys`` (USING semantics), null-safe value
+    compare (``<=>``) on ``compare_cols`` (default: all shared
+    non-key columns).  Output: the key columns, ``change_type``
+    ('inserted' | 'deleted' | 'updated' | 'unchanged'), and
+    ``changed_columns`` — a comma-joined sorted list of differing
+    column names ('' unless updated; scalar, so driver/oracle
+    hashable).  ``unchanged`` rows are dropped unless requested —
+    at 100 TB the diff output should be ~the churn, not the table.
+
+    The join shuffles both snapshots on the key once; co-located if
+    both sides were written bucketed by the key
+    (:func:`bucketed_target_write`).  The DuckDB oracle is the same
+    FULL JOIN with ``IS DISTINCT FROM`` per column.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(shared - set(keys))
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on=keys, how="full_outer")
+    # 'on=keys' coalesces the key columns; presence probes must use a
+    # column that is never NULL in its own frame — the first key,
+    # qualified per side.
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    diffs = [
+        F.when(
+            ~(F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_list = F.array_sort(
+        F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    ) if diffs else F.array().cast("array<string>")
+    change_type = (
+        F.when(in_old & ~in_new, F.lit("deleted"))
+        .when(~in_old & in_new, F.lit("inserted"))
+        .when(F.size(changed_list) > 0, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *keys,
+        change_type.alias("change_type"),
+        F.when(change_type == "updated", F.concat_ws(",", changed_list))
+        .otherwise(F.lit("")).alias("changed_columns"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

@@ -1,0 +1,163 @@
+"""Sequence-packing operators (LLM-pipeline ext).
+
+Pretraining pipelines concatenate documents into fixed-size context
+windows ("packs").  Two shapes, matching the two semantics used in
+practice:
+
+- :func:`pack_streaming` — the canonical pretraining layout: order
+  documents, concatenate their token streams, cut every ``budget``
+  tokens.  Documents may straddle a cut; every window except a
+  group's last is exactly full.  Pure window-cumsum arithmetic —
+  declarative, SQL-expressible (the DuckDB oracle reproduces it
+  exactly), one shuffle on the group key.
+- :func:`pack_first_fit` — no straddling (each document lands whole in
+  one pack, e.g. for SFT examples): greedy first-fit-decreasing bin
+  packing.  Inherently sequential per bin set, so it runs as
+  ``applyInPandas`` over hash shards — each shard packs its own
+  documents independently and in parallel; the union of per-shard
+  packings is a valid packing, and FFD's ≤ (11/9)·OPT + 6/9 bound
+  holds within each shard.  Deterministic: shard assignment is the
+  portable md5 hash and in-shard order is (tokens DESC, id).
+
+Reference has no packing surface; this is the training-data extension
+the build plan calls for.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sampling import hash_uniform_int
+
+
+def pack_streaming(df: DataFrame, tokens: Column | str,
+                   order_by: Column | str | list,
+                   group_by: Column | str | list, budget: int,
+                   out_prefix: str = "pack") -> DataFrame:
+    """Assign each document its window span in the concatenated stream.
+
+    Within each group, documents are laid end-to-end in ``order_by``
+    order and the stream is cut every ``budget`` tokens.  Adds:
+
+    - ``{p}_id``     — window index containing the document's FIRST token
+    - ``{p}_offset`` — position of that first token within the window
+    - ``{p}_end``    — window index containing the document's LAST token
+      (> ``{p}_id`` iff the document straddles one or more cuts)
+
+    All integer arithmetic (``div``), exact in any SQL engine.  One
+    shuffle (the window partition); at 100 TB the group key should be
+    a (source, shard) composite so no single group dominates.
+    Assumes ``tokens ≥ 1`` per document (a 0-token row would get an
+    empty span where ``_end < _id``).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    groups = group_by if isinstance(group_by, (list, tuple)) else [group_by]
+    orders = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    w = (
+        Window.partitionBy(*groups).orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(t.cast("bigint")).over(w)
+    b = int(budget)
+    p = out_prefix
+    return (
+        df.withColumn("__start", cum - t.cast("bigint"))  # first-token index
+        .withColumn("__last", cum - F.lit(1))             # last-token index
+        .withColumn(f"{p}_id", F.expr(f"__start div {b}"))
+        .withColumn(f"{p}_offset", F.expr(f"__start % {b}"))
+        .withColumn(f"{p}_end", F.expr(f"__last div {b}"))
+        .drop("__start", "__last")
+    )
+
+
+def pack_first_fit(df: DataFrame, tokens: str, id_col: str, group_by: str,
+                   budget: int, shards: int = 64) -> DataFrame:
+    """Greedy first-fit-decreasing packing: whole documents, no straddle.
+
+    Returns (group, shard, pack_id, doc ids…) one row per document:
+    ``[group_by, id_col, tokens, __shard, pack_id, pack_fill]`` where
+    ``pack_fill`` is the pack's total token count (same value on every
+    member row).  Invariant: ``pack_fill ≤ budget`` unless the pack
+    holds a single document larger than the budget (which gets a pack
+    of its own rather than being dropped — the caller decides whether
+    to truncate or discard).
+
+    Shards bound both parallelism and pack quality: packs never span
+    shards, so more shards = more parallelism but marginally more
+    partially-filled packs (one tail pack per shard per group).
+    """
+    out_schema = T.StructType([
+        T.StructField(group_by, T.StringType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(tokens, T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("pack_id", T.IntegerType()),
+        T.StructField("pack_fill", T.LongType()),
+    ])
+
+    cap = int(budget)
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf[tokens].tolist():
+            placed = -1
+            for i, fill in enumerate(fills):
+                if fill + n <= cap:
+                    placed = i
+                    break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += n
+            assign.append(placed)
+        pdf = pdf.assign(
+            pack_id=pd.Series(assign, dtype="int32"),
+            pack_fill=pd.Series([fills[a] for a in assign], dtype="int64"),
+        )
+        return pdf[[group_by, id_col, tokens, "shard", "pack_id", "pack_fill"]]
+
+    sharded = df.select(
+        F.col(group_by).cast("string").alias(group_by),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens).cast("int").alias(tokens),
+        (hash_uniform_int(id_col, salt="shard") % F.lit(shards))
+        .cast("int").alias("shard"),
+    )
+    return (
+        sharded.groupBy(group_by, "shard")
+        .applyInPandas(pack_one, schema=out_schema)
+    )
+
+
+def pack_stats(packed: DataFrame, group_cols: Iterable[str],
+               pack_col: str = "pack_id", fill_col: str = "pack_fill",
+               budget: int | None = None) -> DataFrame:
+    """Per-group packing efficiency: packs, docs, mean fill ratio."""
+    keys = list(group_cols)
+    per_pack = packed.groupBy(*keys, pack_col).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.first(fill_col).alias("fill"),
+    )
+    agg = per_pack.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("docs").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+    )
+    if budget:
+        agg = agg.withColumn(
+            "fill_ratio",
+            F.round((F.col("total_tokens")
+                     / (F.col("n_packs") * F.lit(float(budget)))), 6),
+        )
+    return agg

@@ -1,0 +1,143 @@
+"""Deterministic sampling / data-mixing operators (LLM-pipeline ext).
+
+A 100 TB training-data pipeline samples by *content-stable hash*, not
+``F.rand()``: the decision for a document must not depend on
+partitioning, retries, or cluster size, and a re-run over grown data
+must keep every previously-kept document (only hash NEW keys).  All
+operators here key on ``md5`` (portable: DuckDB oracles reproduce the
+exact row set, unlike Spark's murmur3 ``hash()``/``xxhash64``), taking
+the first 15 hex chars as a 60-bit uniform integer — small enough for
+exact BIGINT math in both engines, uniform enough that rate error is
+< 2⁻⁶⁰.
+
+Scale shape: every operator is a map-only filter/projection — no
+shuffle, no driver state beyond one tiny per-stratum aggregate in
+``proportional_mix`` (|strata| rows, the same pattern as the
+quality-gate scalars).  Filters sit directly on the scan so Parquet
+row-group pruning and column pruning still apply.
+
+Reference has no sampling surface; semantics follow standard practice
+(hash-mod splits, per-stratum rates, proportional mixing as in
+training-mix recipes).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Size of the hash space: 15 hex chars = 60 bits.
+HASH_SPACE = 1 << 60
+
+
+def hash_uniform_int(key: Column | str, salt: str = "") -> Column:
+    """60-bit uniform integer from md5(key || salt), portable to SQL.
+
+    DuckDB equivalent (bit-identical):
+    ``('0x' || substr(md5(CAST(k AS VARCHAR) || 'salt'), 1, 15))::BIGINT``.
+    Different salts give independent decisions from the same key (keep
+    vs split vs shard), so composed operators don't correlate.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(c.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def threshold_for(fraction: float) -> int:
+    """Exact integer keep-threshold for a rate: floor(f · 2⁶⁰).
+
+    Computed once driver-side so both Spark and any SQL oracle compare
+    against the same literal — no float comparison in the plan.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return math.floor(fraction * HASH_SPACE)
+
+
+def deterministic_sample(df: DataFrame, key: Column | str, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep a stable ``fraction`` of rows by key hash (map-only).
+
+    Unlike ``df.sample()`` the result is a *function of the key*:
+    stable across runs, partitionings and appends, and the same key is
+    kept or dropped consistently in every table it appears in (useful
+    for joining sampled facts to sampled logs).
+    """
+    return df.filter(hash_uniform_int(key, salt) < F.lit(threshold_for(fraction)))
+
+
+def stratified_sample(df: DataFrame, key: Column | str, stratum: Column | str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum keep rates (data mixing by explicit rate).
+
+    ``fractions`` maps stratum value → keep rate; unlisted strata use
+    ``default``.  One CASE ladder of integer literals — the filter
+    stays inside whole-stage codegen on the scan.
+    """
+    s = F.col(stratum) if isinstance(stratum, str) else stratum
+    thr: Column = F.lit(threshold_for(default))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(s == value, F.lit(threshold_for(frac))).otherwise(thr)
+    return df.filter(hash_uniform_int(key, salt) < thr)
+
+
+def split_by_hash(df: DataFrame, key: Column | str,
+                  splits: dict[str, float], salt: str = "split",
+                  split_col: str = "split") -> DataFrame:
+    """Label each row with a disjoint hash-range split (train/val/test).
+
+    ``splits`` maps label → fraction; fractions must sum to 1 (±1e-9).
+    Ranges are assigned in sorted-label order so the layout is
+    reproducible from the spec alone.  Map-only; a row's split never
+    changes when data is appended.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = hash_uniform_int(key, salt)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for label, frac in sorted(splits.items()):
+        acc += frac
+        bounds.append((label, threshold_for(min(acc, 1.0))))
+    bounds[-1] = (bounds[-1][0], HASH_SPACE)  # close float gap at the top
+    # ladder ascends: the first (lowest) matching upper bound wins
+    expr: Column = F.lit(bounds[-1][0])
+    for label, upper in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(upper), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def proportional_mix(df: DataFrame, key: Column | str, stratum: Column | str,
+                     weights: dict[str, float], salt: str = "mix") -> DataFrame:
+    """Downsample strata so the OUTPUT matches target proportions.
+
+    Solves for per-stratum keep rates: the binding stratum (smallest
+    available/weight ratio) is kept in full and every other stratum is
+    downsampled to match, i.e. rate_s = weight_s · min_r(n_r / w_r) / n_s.
+    The per-stratum counts are one tiny aggregate (|strata| rows)
+    collected to the driver — the only non-map step — then the filter
+    is a plain :func:`stratified_sample`.
+
+    Expected output proportions are exact in expectation; realized
+    counts deviate by the usual hash-sampling noise (O(√n) per
+    stratum).
+    """
+    s = F.col(stratum) if isinstance(stratum, str) else stratum
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(s.alias("__s")).agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+        if r["__s"] in weights
+    }
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"strata absent from data: {sorted(missing)}")
+    scale = min(counts[k] / w for k, w in weights.items() if w > 0)
+    fractions = {
+        k: min(1.0, (w * scale) / counts[k]) for k, w in weights.items()
+    }
+    return stratified_sample(df, key, s, fractions, default=0.0, salt=salt)

@@ -1,13 +1,21 @@
 """Dedup operator queries (SURVEY.md §2.3, D1-D5).
 
-Consolidated to two driver queries (the driver checks at most 50
-queries, so same-grain ops share one):
+Consolidated to ONE driver query (the driver checks at most 50
+queries, so same-grain ops share one): ``q_d123_dedup_suite`` — a
+labeled union of
 
-- ``q_d1_dedup_keep_first`` — D1 keep-first dedup over events, whose
-  survivors also carry the D5/F9 synthetic composite key (epoch
-  round-trip = T1 both directions) and the T9 business-hours bucket.
-- ``q_d23_distinct_suite`` — D2 full-row DISTINCT over a projection
-  and D3 distinct-subquery dim build, as one labeled union.
+- D1 keep-first dedup over events, whose survivors also carry the
+  D5/F9 synthetic composite key (epoch round-trip = T1 both
+  directions) and the T9 business-hours bucket;
+- D2 full-row DISTINCT over an orders projection;
+- D3 distinct-subquery dim build over part.
+
+Branch schemas unify to (src, k1, k2, k3, ts_epoch, val): the
+DISTINCT branches carry NULL ts_epoch/val, the keep-first branch
+pins each survivor by event_id (k1), its synthetic business key
+(k2, embeds user_id + epoch + event_type), its T9 bucket (k3), the
+raw epoch (T1) and the untouched double value — so the fold loses
+none of the old per-query checks.
 """
 
 from __future__ import annotations
@@ -34,17 +42,24 @@ from ..sources.readers import table
 # (google_maps_collector.py:283; epoch seconds via unix_timestamp /
 # floor(epoch()) — identical after the µs truncation both engines
 # apply) and the business-hours bucket of the enhanced staging view.
+# D2: dedup CTE over the staging projection (stg_raw_reviews.sql:49-69);
+# D3: SELECT DISTINCT place_id, branch_name, bank_name for dim_branch
+# (complete_data_pipeline_fixed.py:209-213).
 
-_D1_ORACLE = """
-SELECT event_id, user_id, event_type, ts, value,
+_D123_ORACLE = """
+SELECT
+  'keep_first_events' AS src,
+  CAST(event_id AS VARCHAR) AS k1,
   CAST(user_id AS VARCHAR) || '_' ||
     CAST(CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS VARCHAR) || '_' ||
-    event_type AS synthetic_id,
+    event_type AS k2,
   CASE
     WHEN EXTRACT(hour FROM ts) BETWEEN 9 AND 17 THEN 'business_hours'
     WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 22 THEN 'evening'
     ELSE 'off_hours'
-  END AS hours_bucket
+  END AS k3,
+  CAST(FLOOR(EPOCH(ts)) AS DOUBLE) AS ts_epoch,
+  value AS val
 FROM (
   SELECT e.*,
          ROW_NUMBER() OVER (
@@ -54,57 +69,48 @@ FROM (
   FROM events e
 )
 WHERE rn = 1
-"""
-
-
-@register("q_d1_dedup_keep_first", oracle=_D1_ORACLE)
-def q_d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
-    kept = dedup_keep_first(
-        ev,
-        keys=["user_id", "event_type"],
-        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
-    )
-    return kept.select(
-        "event_id", "user_id", "event_type", "ts", "value",
-        synthetic_key(
-            ["user_id", F.unix_timestamp("ts"), "event_type"]
-        ).alias("synthetic_id"),
-        business_hours_bucket("ts").alias("hours_bucket"),
-    )
-
-
-# --- D2 + D3: full-row SELECT DISTINCT + distinct-subquery dim build --------
-# Reference: dedup CTE over the staging projection
-# (stg_raw_reviews.sql:49-69) and SELECT DISTINCT place_id,
-# branch_name, bank_name for dim_branch
-# (complete_data_pipeline_fixed.py:209-213).  Two projections, one
-# labeled union — each branch is its own DISTINCT (shuffle keyed on
-# the branch's columns; the union is append-only, no extra shuffle).
-
-_D23_ORACLE = """
+UNION ALL
 SELECT DISTINCT
   'orders_projection' AS src,
   o_orderstatus AS k1,
   o_orderpriority AS k2,
-  CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS k3
+  CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS k3,
+  CAST(NULL AS DOUBLE) AS ts_epoch,
+  CAST(NULL AS DOUBLE) AS val
 FROM orders
 UNION ALL
 SELECT DISTINCT
   'part_dim' AS src,
   p_brand AS k1,
   p_type AS k2,
-  CAST(NULL AS VARCHAR) AS k3
+  CAST(NULL AS VARCHAR) AS k3,
+  CAST(NULL AS DOUBLE) AS ts_epoch,
+  CAST(NULL AS DOUBLE) AS val
 FROM part
 """
 
 
-@register("q_d23_distinct_suite", oracle=_D23_ORACLE)
-def q_d23_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_d123_dedup_suite", oracle=_D123_ORACLE)
+def q_d123_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     p = table(spark, sf_dir, "part")
+
+    kept = dedup_keep_first(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    ).select(
+        F.lit("keep_first_events").alias("src"),
+        F.col("event_id").cast("string").alias("k1"),
+        synthetic_key(
+            ["user_id", F.unix_timestamp("ts"), "event_type"]
+        ).alias("k2"),
+        business_hours_bucket("ts").alias("k3"),
+        F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
+        F.col("value").alias("val"),
+    )
     proj = dedup_distinct(
         o.select(
             "o_orderstatus",
@@ -116,11 +122,15 @@ def q_d23_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("k1"),
         F.col("o_orderpriority").alias("k2"),
         F.col("order_year").alias("k3"),
+        F.lit(None).cast("double").alias("ts_epoch"),
+        F.lit(None).cast("double").alias("val"),
     )
     dim = dedup_distinct(p, ["p_brand", "p_type"]).select(
         F.lit("part_dim").alias("src"),
         F.col("p_brand").alias("k1"),
         F.col("p_type").alias("k2"),
         F.lit(None).cast("string").alias("k3"),
+        F.lit(None).cast("double").alias("ts_epoch"),
+        F.lit(None).cast("double").alias("val"),
     )
-    return proj.unionByName(dim)
+    return kept.unionByName(proj).unionByName(dim)

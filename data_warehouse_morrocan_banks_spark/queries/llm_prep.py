@@ -1,0 +1,100 @@
+"""Training-data prep pipeline query (LLM-pipeline ext).
+
+``q_llm_prep_pipeline`` chains the three prep operators a pretraining
+pipeline runs between raw documents and the token loader, end-to-end
+in one declarative plan:
+
+1. token counting (F7 word-count semantics, one scan of documents),
+2. deterministic data mixing — per-language keep rates via the
+   portable md5 hash (``operators/sampling.stratified_sample``),
+3. train/eval split on an independent salt
+   (``operators/sampling.split_by_hash``),
+4. streaming sequence packing into 512-token context windows per
+   (lang, split) stream (``operators/packing.pack_streaming``).
+
+Everything is exact integer math over a portable hash, so the DuckDB
+oracle reproduces the full pipeline bit-for-bit — sampling decisions,
+split labels, window ids and offsets.  Plan shape: one scan →
+map-only filter/label → ONE shuffle (the pack window partition).
+At 100 TB the (lang, split) stream key becomes (source, shard) so no
+single window partition dominates; the operators are key-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import word_count
+from ..operators.packing import pack_streaming
+from ..operators.sampling import split_by_hash, stratified_sample, threshold_for
+from ..registry import register
+from ..session import ensure_query_confs
+from ..sources.readers import table
+
+#: Per-language keep rates (de exercises the default-rate path).
+_MIX = {"en": 0.5, "es": 0.75, "fr": 1.0, "zh": 0.25}
+_DEFAULT_RATE = 0.1
+_SPLITS = {"train": 0.9, "eval": 0.1}
+_BUDGET = 512
+
+_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = ''
+         THEN 0
+         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
+           REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+           '[ \t\n\r]+')) AS INT)
+    END AS n_tokens
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT
+              < {threshold_for(_SPLITS["eval"])}
+         THEN 'eval' ELSE 'train' END AS split
+  FROM toks
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))::BIGINT
+        < CASE lang
+            WHEN 'en' THEN {threshold_for(_MIX["en"])}
+            WHEN 'es' THEN {threshold_for(_MIX["es"])}
+            WHEN 'fr' THEN {threshold_for(_MIX["fr"])}
+            WHEN 'zh' THEN {threshold_for(_MIX["zh"])}
+            ELSE {threshold_for(_DEFAULT_RATE)}
+          END
+),
+packed AS (
+  SELECT *, SUM(CAST(n_tokens AS BIGINT)) OVER (
+    PARTITION BY lang, split ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum
+  FROM sampled
+)
+SELECT doc_id, lang, split, n_tokens,
+  CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS pack_id,
+  CAST((cum - n_tokens) % {_BUDGET} AS BIGINT) AS pack_offset,
+  CAST((cum - 1) // {_BUDGET} AS BIGINT) AS pack_end
+FROM packed
+"""
+
+
+@register("q_llm_prep_pipeline", oracle=_ORACLE)
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", word_count("text").alias("n_tokens")
+    )
+    sampled = stratified_sample(
+        toks, "doc_id", "lang", _MIX, default=_DEFAULT_RATE, salt="mix"
+    )
+    split = split_by_hash(sampled, "doc_id", _SPLITS, salt="split")
+    packed = pack_streaming(
+        split, "n_tokens", order_by="doc_id",
+        group_by=["lang", "split"], budget=_BUDGET,
+    )
+    return packed.select(
+        "doc_id", "lang", "split", "n_tokens",
+        "pack_id", "pack_offset", "pack_end",
+    )

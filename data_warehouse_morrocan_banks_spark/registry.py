@@ -72,6 +72,7 @@ def _load_all() -> None:
         dedup,
         joins,
         llm_ops,
+        llm_prep,
         marts,
         merge_queries,
         nlp_queries,

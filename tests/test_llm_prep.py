@@ -1,0 +1,256 @@
+"""Sampling / packing / snapshot-diff operator tests (LLM prep ext).
+
+The registered q_llm_prep_pipeline is oracle-checked in
+test_oracle_parity; these tests pin the operator invariants the
+oracle can't see: partition invariance, rate accuracy, packing
+bounds, and CDC classification.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.merge import snapshot_diff
+from data_warehouse_morrocan_banks_spark.operators.packing import (
+    pack_first_fit,
+    pack_stats,
+    pack_streaming,
+)
+from data_warehouse_morrocan_banks_spark.operators.sampling import (
+    HASH_SPACE,
+    deterministic_sample,
+    proportional_mix,
+    split_by_hash,
+    stratified_sample,
+    threshold_for,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_ORACLE
+
+BUDGET = 128
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+def test_deterministic_sample_partition_invariant(spark, docs):
+    a = deterministic_sample(docs.repartition(2), "doc_id", 0.5, salt="s")
+    b = deterministic_sample(docs.repartition(13), "doc_id", 0.5, salt="s")
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    n_total = docs.count()
+    # hash-uniformity: realized rate within ±10 points at n=500
+    assert abs(len(ids_a) / n_total - 0.5) < 0.10
+
+
+def test_sample_is_append_stable(spark, docs):
+    """A row's keep decision never changes when other rows appear."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r.doc_id for r in
+                 deterministic_sample(half, "doc_id", 0.3).collect()}
+    kept_full = {r.doc_id for r in
+                 deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert kept_half == {i for i in kept_full if i % 2 == 0}
+
+
+def test_stratified_rates_and_default(spark, docs):
+    fr = {"en": 1.0, "zh": 0.0}
+    out = stratified_sample(docs, "doc_id", "lang", fr, default=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["en"] == base["en"]          # rate 1.0 keeps everything
+    assert "zh" not in got                  # rate 0.0 keeps nothing
+    for lang in ("de", "es", "fr"):         # default path
+        assert abs(got[lang] / base[lang] - 0.5) < 0.2
+
+
+def test_split_by_hash_partitions_completely(spark, docs):
+    out = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == docs.count()
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
+    n = out.filter(F.col("split") == "train").count()
+    assert abs(n / docs.count() - 0.8) < 0.1
+
+
+def test_split_fractions_must_sum_to_one(spark, docs):
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_proportional_mix_hits_targets(spark, docs):
+    # en is ~2.9x any other lang in the testdata; ask for equal parts
+    weights = {"en": 1.0, "de": 1.0, "es": 1.0}
+    out = proportional_mix(docs, "doc_id", "lang", weights).collect()
+    by = {}
+    for r in out:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert set(by) == set(weights)
+    # binding stratum (smallest count) is kept in full
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    binding = min(weights, key=lambda k: base[k])
+    assert by[binding] == base[binding]
+    hi, lo = max(by.values()), min(by.values())
+    assert hi / lo < 1.35  # equal-parts mix within hash noise
+
+
+def test_threshold_for_bounds():
+    assert threshold_for(0.0) == 0
+    assert threshold_for(1.0) == HASH_SPACE
+    with pytest.raises(ValueError):
+        threshold_for(1.5)
+
+
+def test_pack_streaming_matches_python_simulation(spark, docs):
+    out = pack_streaming(
+        docs, "n_tokens", order_by="doc_id", group_by="lang", budget=BUDGET
+    ).select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset",
+             "pack_end").collect()
+    by_lang: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rows in by_lang.values():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // BUDGET
+            assert r["pack_offset"] == cum % BUDGET
+            cum += r["n_tokens"]
+            assert r["pack_end"] == (cum - 1) // BUDGET
+
+
+def test_pack_streaming_partition_invariant(spark, docs):
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["pack_id"], r["pack_offset"], r["pack_end"])
+            for r in pack_streaming(df, "n_tokens", "doc_id", "lang",
+                                    BUDGET).collect()
+        )
+    assert run(docs.repartition(3)) == run(docs.repartition(17))
+
+
+def test_pack_first_fit_invariants(spark, docs):
+    packed = pack_first_fit(
+        docs, tokens="n_tokens", id_col="doc_id", group_by="lang",
+        budget=BUDGET, shards=4,
+    )
+    rows = packed.collect()
+    # every document exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    fills: dict[tuple, int] = {}
+    claimed: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["lang"], r["shard"], r["pack_id"])
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+        claimed[key] = r["pack_fill"]
+    for key, total in fills.items():
+        assert total == claimed[key]          # pack_fill = member sum
+        assert total <= BUDGET or len(
+            [r for r in rows
+             if (r["lang"], r["shard"], r["pack_id"]) == key]
+        ) == 1                                # overweight singleton only
+
+
+def test_pack_first_fit_deterministic(spark, docs):
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["shard"], r["pack_id"])
+            for r in pack_first_fit(df, "n_tokens", "doc_id", "lang",
+                                    BUDGET, shards=4).collect()
+        )
+    assert run(docs.repartition(2)) == run(docs.repartition(11))
+
+
+def test_pack_stats_fill_ratio(spark, docs):
+    packed = pack_first_fit(docs, "n_tokens", "doc_id", "lang",
+                            BUDGET, shards=2)
+    stats = pack_stats(packed, ["lang"], budget=BUDGET).collect()
+    assert {r["lang"] for r in stats} == {"de", "en", "es", "fr", "zh"}
+    for r in stats:
+        assert 0 < r["fill_ratio"] <= 1.0
+        assert r["n_packs"] >= 1
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+    got = {r["id"]: (r["change_type"], r["changed_columns"])
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        2: ("updated", "name,score"),
+        3: ("updated", "score"),   # NULL -> value counts as a change
+        4: ("deleted", ""),
+        5: ("inserted", ""),
+    }
+    with_unchanged = snapshot_diff(old, new, ["id"], include_unchanged=True)
+    assert with_unchanged.count() == 5
+    assert with_unchanged.filter(
+        F.col("change_type") == "unchanged"
+    ).collect()[0]["id"] == 1
+
+
+def test_snapshot_diff_matches_duckdb(spark):
+    """CDC parity against an independent DuckDB formulation."""
+    import duckdb
+
+    from .oracle_harness import duckdb_conn, rows_canonical
+
+    con = duckdb_conn(SF_ORACLE)
+    old_sql = "SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_partkey <= 1500"
+    new_sql = """
+      SELECT p_partkey, p_brand,
+             CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 1.0
+                  ELSE p_retailprice END AS p_retailprice
+      FROM part WHERE p_partkey >= 500
+    """
+    oracle = con.execute(f"""
+      WITH o AS ({old_sql}), n AS ({new_sql})
+      SELECT COALESCE(o.p_partkey, n.p_partkey) AS p_partkey,
+        CASE WHEN n.p_partkey IS NULL THEN 'deleted'
+             WHEN o.p_partkey IS NULL THEN 'inserted'
+             WHEN (o.p_brand IS DISTINCT FROM n.p_brand)
+               OR (o.p_retailprice IS DISTINCT FROM n.p_retailprice)
+             THEN 'updated' ELSE 'unchanged' END AS change_type,
+        CASE WHEN o.p_partkey IS NULL OR n.p_partkey IS NULL THEN ''
+             ELSE CONCAT_WS(',',
+               CASE WHEN o.p_brand IS DISTINCT FROM n.p_brand
+                    THEN 'p_brand' END,
+               CASE WHEN o.p_retailprice IS DISTINCT FROM n.p_retailprice
+                    THEN 'p_retailprice' END) END AS changed_columns
+      FROM o FULL JOIN n ON o.p_partkey = n.p_partkey
+      WHERE NOT (o.p_partkey IS NOT NULL AND n.p_partkey IS NOT NULL
+                 AND o.p_brand IS NOT DISTINCT FROM n.p_brand
+                 AND o.p_retailprice IS NOT DISTINCT FROM n.p_retailprice)
+    """).fetchall()
+
+    part = table(spark, SF_ORACLE, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    old = part.filter(F.col("p_partkey") <= 1500)
+    new = part.filter(F.col("p_partkey") >= 500).withColumn(
+        "p_retailprice",
+        F.when(F.col("p_partkey") % 10 == 0, F.col("p_retailprice") + 1.0)
+        .otherwise(F.col("p_retailprice")),
+    )
+    got = snapshot_diff(old, new, ["p_partkey"]).collect()
+    cols = ["p_partkey", "change_type", "changed_columns"]
+    assert rows_canonical(cols, [tuple(r[c] for c in cols) for r in got]) == \
+        rows_canonical(cols, oracle)
