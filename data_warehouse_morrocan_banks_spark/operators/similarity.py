@@ -646,3 +646,103 @@ def cosine_near_dup_pairs(corpus: DataFrame,
         .distinct()
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id_col: str = "query_id",
+                           nd: int = 6) -> DataFrame:
+    """Arrow-vectorized exact top-k cosine — the throughput form of
+    :func:`brute_force_topk`.
+
+    Same semantics (query set broadcast, self-matches excluded, per-
+    query top-k by rounded sim DESC then id ASC), different kernel:
+    scoring runs as ONE numpy matmul per Arrow batch inside
+    ``mapInPandas`` — C-contiguous (batch × dim) @ (dim × m) — instead
+    of a ``zip_with``+``aggregate`` fold per pair, which Spark
+    evaluates interpreted per element (HOF lambdas sit outside
+    whole-stage codegen).  Each partition pre-prunes to its own top-k
+    per query before emitting, so the shuffle carries at most
+    (partitions × queries × k) candidate rows — at 100 TB the window
+    input is ~thousands of rows regardless of corpus size; the corpus
+    itself never shuffles.
+
+    Rounding inside the kernel is HALF-UP (``floor(|x|·10^nd + 0.5)``,
+    sign restored) to mirror ``F.round``; the dot itself is numpy
+    pairwise summation, not the oracle's left-fold, so this form is
+    parity-tested against :func:`brute_force_topk` in pytest rather
+    than DuckDB-oracled (identical output on the testdata; a rounded
+    value could in principle differ on a ~1e-15 boundary).  Zero-norm
+    vectors are the caller's problem in both forms (NaN sims).
+    """
+    from pyspark.sql import Window
+
+    q_rows = queries.select(
+        F.col(id_col), as_double_array(vec_col).alias("__q")
+    ).collect()
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = [list(r["__q"]) for r in q_rows]
+    out_schema = (
+        f"{query_id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        f"cosine_sim double"
+    )
+    kk, ndd = int(k), int(nd)
+
+    def score_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype=np.float64)          # (m, d)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qid_arr = np.asarray(q_ids)
+        scale = 10.0 ** ndd
+        cand_ids, cand_sims = [], []                      # per-batch kept
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )                                             # (b, d)
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = cn @ qn.T                              # (b, m)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+            sims[ids[:, None] == qid_arr[None, :]] = -np.inf  # self-match
+            if len(ids) > kk:
+                # per-query batch top-k: cheap argpartition, exact
+                # order restored later by the global sort
+                keep = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            else:
+                keep = np.tile(np.arange(len(ids))[:, None], (1, sims.shape[1]))
+            cand_ids.append(ids[keep])                    # (≤k, m)
+            cand_sims.append(np.take_along_axis(sims, keep, axis=0))
+        if not cand_ids:
+            return
+        ids_all = np.concatenate(cand_ids, axis=0)        # (B·k, m)
+        sims_all = np.concatenate(cand_sims, axis=0)
+        out_q, out_i, out_s = [], [], []
+        for j in range(sims_all.shape[1]):
+            # exact partition-level top-k: (-sim, id) lexsort
+            order = np.lexsort((ids_all[:, j], -sims_all[:, j]))[:kk]
+            s = sims_all[order, j]
+            live = s > -np.inf
+            out_q.append(np.repeat(qid_arr[j], live.sum()))
+            out_i.append(ids_all[order, j][live])
+            out_s.append(s[live])
+        yield pd.DataFrame({
+            query_id_col: np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "cosine_sim": np.concatenate(out_s),
+        })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -250,3 +250,49 @@ def test_ngram_langid_beats_random(spark):
     ).collect()[0]
     assert row["n"] == d.count()
     assert row["ok"] / row["n"] > 0.25
+
+
+def test_numpy_topk_matches_hof_topk(spark):
+    """The Arrow/numpy kernel is an alternative physical plan for the
+    same logical op — identical rows to the HOF-expression form
+    (rounding aligned HALF-UP; summation-order fp divergence would
+    need a value within ~1e-15 of a 0.5e-6 rounding boundary)."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        brute_force_topk_numpy,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    hof = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, probes, k=10).collect()
+    }
+    vec = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk_numpy(emb, probes, k=10).collect()
+    }
+    assert set(hof) == set(vec)
+    for pair, s in hof.items():
+        assert abs(s - vec[pair]) < 1e-9, (pair, s, vec[pair])
+
+
+def test_numpy_topk_prunes_before_shuffle(spark):
+    """Per-partition pre-pruning: the window input carries at most
+    partitions × queries × k rows, not corpus × queries."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        brute_force_topk_numpy,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings").repartition(4)
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk_numpy(emb, probes, k=5)
+    # candidate stage = the mapInPandas child of the window
+    cand = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "mapInPandas" in cand or "MapInPandas" in cand
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    for sims in per_q.values():
+        assert sims == sorted(sims, reverse=True)
