@@ -97,6 +97,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     lineage each round — without it the plan doubles per iteration
     and the driver's plan budget blows long before the data matters.
 
+    Lifecycle: each round releases the previous round's pinned blocks
+    the moment the convergence probe is done with them, so the loop
+    holds two rounds of (vertex, label) state at peak, not
+    ``max_iter`` generations; ``sym``'s blocks release at loop exit,
+    and the final labels release when the NEXT invocation begins
+    (which therefore invalidates a previously returned labels frame —
+    consume or copy it first).  On a real cluster swap
+    ``localCheckpoint`` for reliable ``checkpoint()`` if executor
+    loss must not retry the job.
+
     Scale: each round is two equi-joins keyed on vertex ids + one
     min-aggregate — all shuffles on vertex id, nothing quadratic;
     state per round is the (vertex, label) frame: 2 longs per vertex.
@@ -106,6 +116,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Returns (vertex, component) with component = min vertex id of the
     family.
     """
+    from .lifecycle import (
+        begin,
+        defer_release_ids,
+        release_rdd_ids,
+        tracked_local_checkpoint,
+    )
+
+    begin("connected_components")
+    sc = edges.sparkSession.sparkContext
+
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
@@ -113,13 +133,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     )
     # undirected: keep both directions so one join propagates each way
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.localCheckpoint(eager=True)
+    sym, sym_ids = tracked_local_checkpoint(sym, eager=True)
 
-    labels = (
+    labels, prev_ids = tracked_local_checkpoint(
         sym.select(F.col("s").alias("vertex"))
         .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("vertex")),
+        eager=True,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -147,7 +167,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             F.coalesce(F.col("y.component"), F.col("x.component"))
             .alias("component"),
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped, new_ids = tracked_local_checkpoint(jumped, eager=True)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "vertex", "inner")
@@ -155,9 +175,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .limit(1)
             .count()
         )
+        # the convergence probe was the last reader of the previous
+        # round's labels — release its blocks before the next round
+        release_rdd_ids(jumped, prev_ids)
+        prev_ids = new_ids
         labels = jumped
         if changed == 0:
             break
+    release_rdd_ids(labels, sym_ids)
+    defer_release_ids("connected_components", sc, prev_ids)
     return labels
 
 

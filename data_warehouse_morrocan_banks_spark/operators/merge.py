@@ -214,9 +214,23 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
        (Delta/Iceberg, absent from this runtime) this staging step
        disappears.
 
+    A touched bucket whose rows are ALL removed (a delete_condition
+    that empties it, with ``insert=False``) produces no output rows
+    for that ``__bucket`` — and dynamic partition overwrite only
+    rewrites partitions present in the output, so the stale bucket
+    directory would survive and its deleted rows reappear on the next
+    read.  Those buckets are deleted explicitly (Hadoop FS API, so
+    any filesystem works) before the overwrite.
+
+    The staging checkpoint's blocks release as soon as the write (and
+    empty-bucket delete) lands — repeated merges in one session hold
+    no residual storage memory.
+
     Returns the number of buckets rewritten.  Untouched bucket
     directories are not read, not rewritten, byte-identical after.
     """
+    from .lifecycle import release_rdd_ids, tracked_local_checkpoint
+
     src = source.withColumn(
         "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
@@ -225,20 +239,34 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
         return 0
 
     target = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
-    merged = merge_into(
-        target.drop("__bucket"), src.drop("__bucket"), keys,
-        update_cols=update_cols, insert=insert,
-        delete_condition=delete_condition,
-    ).withColumn(
-        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-    ).localCheckpoint()
+    merged, ckpt_ids = tracked_local_checkpoint(
+        merge_into(
+            target.drop("__bucket"), src.drop("__bucket"), keys,
+            update_cols=update_cols, insert=insert,
+            delete_condition=delete_condition,
+        ).withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        ),
+        eager=True,
+    )
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
     try:
+        # touched buckets absent from the merged output: emptied by the
+        # merge — dynamic overwrite won't visit them, delete explicitly
+        present = {
+            r["__bucket"] for r in merged.select("__bucket").distinct().collect()
+        }
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in set(buckets) - present:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/__bucket={b}")
+            p.getFileSystem(hconf).delete(p, True)
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        release_rdd_ids(merged, ckpt_ids)
     return len(buckets)
 
 

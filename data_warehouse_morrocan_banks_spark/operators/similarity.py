@@ -337,18 +337,28 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     codegen instead of a BigDecimal ``round()`` alloc per row
     (5.6 M raw candidates: filter+distinct 5.8 s → 1.8 s at sf0.1).
 
-    The shared frames (``enc``, ``masks``, ``prefix``) are
-    lazily ``localCheckpoint``-ed: without it Catalyst re-derives the
-    explode→df-count→rank subtree once for the masks and twice more
-    for the prefix self-join (8 parquet scans, zero ReusedExchange),
-    ~1.45× the wall time.  Lineage truncation is the point — each
-    frame computes once and both join sides read the materialized
-    partitions.  On a real cluster swap ``localCheckpoint`` for a
-    reliable ``checkpoint()``/``persist(DISK_ONLY)`` if executor loss
-    must not trigger job retry; values are identical either way.
+    The shared frames (``enc``, ``masks``, ``prefix``) are eagerly
+    ``localCheckpoint``-ed via :mod:`.lifecycle`: without
+    materialization Catalyst re-derives the explode→df-count→rank
+    subtree once for the masks and twice more for the prefix
+    self-join (8 parquet scans, zero ReusedExchange), ~1.45× the wall
+    time.  Each frame computes once and both join sides read the
+    materialized partitions.  ``localCheckpoint`` beats ``persist``
+    here by ~20% (internal-row storage, no columnar-cache
+    encode/decode).  Lifecycle: each invocation releases the previous
+    invocation's pinned blocks, so repeated calls in one session hold
+    one generation of storage memory, not an unbounded stack (flat,
+    pytest-pinned in test_similarity.py) — which also means a
+    previously returned pairs DataFrame is invalidated by a new call.
+    On a real cluster swap ``localCheckpoint`` for a reliable
+    ``checkpoint()``/``persist(DISK_ONLY)`` if executor loss must not
+    trigger job retry; values are identical either way.
     """
     from pyspark.sql import Window
 
+    from .lifecycle import begin, pin_local_checkpoint
+
+    begin("jaccard_prefix")
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.col(group_col).alias("__grp"),
@@ -370,7 +380,9 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # total order the prefix uses → rank IS the bitmap bit position
     wg = Window.partitionBy("__grp").orderBy("__df", "__tok")
     vocab = freq.withColumn("__r", F.row_number().over(wg) - 1)
-    enc = exploded.join(vocab, ["__grp", "__tok"]).localCheckpoint(eager=False)
+    enc = pin_local_checkpoint(
+        "jaccard_prefix", exploded.join(vocab, ["__grp", "__tok"])
+    )
 
     chunked = (
         enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
@@ -378,18 +390,18 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .groupBy("__id", "__n", "__chunk")
         .agg(F.expr("bit_or(__bit)").alias("__mask"))
     )
-    masks = chunked.groupBy("__id", "__n").agg(
+    masks = pin_local_checkpoint("jaccard_prefix", chunked.groupBy("__id", "__n").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
         ).alias("__mm")
-    ).localCheckpoint(eager=False)
+    ))
 
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
-    prefix = (
+    prefix = pin_local_checkpoint("jaccard_prefix", (
         enc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
         .select("__grp", "__tok", "__id", "__n", "__rn")
-    ).localCheckpoint(eager=False)
+    ))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # t/(1+t) is increasing in t, so P/(P+Q) ≤ t/(1+t): a weaker
     # (recall-safe) bound, still exact integer math.

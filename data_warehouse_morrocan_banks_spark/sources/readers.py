@@ -37,17 +37,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects.  Read nanos as long and truncate to microseconds —
-    exactly what DuckDB (µs-native) does on the same file, so oracle
-    comparisons see identical instants."""
+    """events.parquet has shipped with ``ts`` as either TIMESTAMP(NANOS)
+    or TIMESTAMP(MICROS) across testdata generations.  Spark's
+    vectorized reader rejects NANOS, so with ``nanosAsLong`` set a
+    NANOS file surfaces as a long column — truncate it to µs, exactly
+    what DuckDB (µs-native) does on the same file, so oracle
+    comparisons see identical instants.  A MICROS file reads as a
+    native timestamp (the conf only affects NANOS) and passes through
+    untouched.  The branch is decided from the parquet footer schema —
+    no data is read."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double
-    # precision, so float division drifts by ±1 µs.
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
+        # double precision, so float division drifts by ±1 µs.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Pinned-block lifecycle: repeated operator invocations in one
+session must hold FLAT storage memory (one generation), not stack a
+new set of localCheckpoint/persist blocks per call — the r2 leak.
+Measured directly off the SparkContext's persistent-RDD map."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.dedup import (
+    connected_components,
+)
+from data_warehouse_morrocan_banks_spark.operators.lifecycle import release_all
+from data_warehouse_morrocan_banks_spark.operators.merge import (
+    bucketed_target_write,
+    partitioned_merge_write,
+)
+from data_warehouse_morrocan_banks_spark.operators.similarity import (
+    prefix_filter_jaccard_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _pinned(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.fixture(autouse=True)
+def _clean_slate():
+    release_all()
+    yield
+    release_all()
+
+
+def test_jaccard_repeated_invocations_flat_storage(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    counts_after = []
+    results = []
+    for _ in range(3):
+        n = prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", "lang", threshold=0.9
+        ).count()
+        results.append(n)
+        counts_after.append(_pinned(spark))
+    assert results[0] == results[1] == results[2]
+    # steady state: exactly one generation (3 frames), never stacking
+    assert counts_after[1] == counts_after[2] == counts_after[0]
+    release_all()
+    assert _pinned(spark) == 0
+
+
+def test_connected_components_repeated_invocations_flat_storage(spark):
+    # one 6-chain + one triangle + an isolated pair
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)]
+        + [(10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    counts_after = []
+    for _ in range(3):
+        comps = connected_components(edges)
+        got = {(r["vertex"], r["component"]) for r in comps.collect()}
+        assert {c for _, c in got} == {0, 10, 20}
+        counts_after.append(_pinned(spark))
+    # in-loop rounds release as they retire; only the final labels of
+    # the latest invocation stay pinned
+    assert counts_after[0] == counts_after[1] == counts_after[2] == 1
+    release_all()
+    assert _pinned(spark) == 0
+
+
+def test_partitioned_merge_write_releases_staging_blocks(spark, tmp_path):
+    path = str(tmp_path / "t")
+    bucketed_target_write(
+        spark.range(0, 100).select(F.col("id").cast("int").alias("id"),
+                                   F.lit(1.0).alias("v")),
+        path, ["id"], n_buckets=4,
+    )
+    before = _pinned(spark)
+    for k in (1, 2):
+        batch = spark.createDataFrame([(k, 99.0)], "id INT, v DOUBLE")
+        partitioned_merge_write(spark, path, batch, ["id"], n_buckets=4)
+        # bracketed release: nothing outlives the write
+        assert _pinned(spark) == before

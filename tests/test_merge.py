@@ -227,3 +227,35 @@ def test_scd2_repeated_apply_is_idempotent_for_noop(spark):
     assert len(rows) == 2  # closed v1 + current v2; second apply added nothing
     cur = [r for r in rows if r["is_current"]]
     assert len(cur) == 1 and cur[0]["attr"] == "B"
+
+
+def test_partitioned_merge_write_deletes_emptied_bucket(spark, tmp_path):
+    """A delete batch that empties a whole bucket must remove the
+    bucket DIRECTORY — dynamic partition overwrite alone would leave
+    the stale files and the deleted rows would reappear on read."""
+    path = str(tmp_path / "target")
+    base = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("live").alias("op"),
+    )
+    n_buckets = 4
+    bucketed_target_write(base, path, ["id"], n_buckets=n_buckets)
+
+    # every id in bucket 0, flagged for deletion; nothing inserts
+    b0_ids = [
+        r["id"] for r in spark.read.parquet(path)
+        .filter(F.col("__bucket") == 0).select("id").collect()
+    ]
+    assert b0_ids, "test needs a populated bucket"
+    batch = spark.createDataFrame([(i, "delete") for i in b0_ids],
+                                  "id INT, op STRING")
+    n = partitioned_merge_write(
+        spark, path, batch, ["id"], n_buckets=n_buckets,
+        insert=False, delete_condition=F.col("op") == "delete",
+    )
+    assert n == 1  # only bucket 0 touched
+
+    assert not os.path.exists(os.path.join(path, "__bucket=0"))
+    after = spark.read.parquet(path)
+    assert after.count() == 200 - len(b0_ids)
+    assert after.filter(F.col("id").isin(b0_ids)).count() == 0

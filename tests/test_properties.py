@@ -103,15 +103,59 @@ def test_date_key_roundtrips_and_flags(spark, dates):
 def test_dsum_is_exact_for_6dp_values(spark, decs):
     """numerics.dsum (scaled-long mode) must equal the EXACT decimal
     sum rounded to 4dp — including negatives and cancellation-heavy
-    mixes a float sum would fuzz."""
-    from decimal import Decimal
+    mixes a float sum would fuzz.
+
+    The oracle quantizes with ROUND_HALF_UP: that is the engine
+    convention (numerics.round_det pins decimal HALF_UP, matching
+    both Spark and DuckDB decimal rounding).  Python's default
+    ``round`` is HALF_EVEN and diverges on exact .5 ties at 4dp
+    (e.g. 776.389650), which is an oracle bug, not an engine bug.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
 
     from data_warehouse_morrocan_banks_spark.numerics import dsum
 
     df = spark.createDataFrame([(float(d),) for d in decs], "x DOUBLE")
     got = df.agg(dsum("x", "s")).collect()[0]["s"]
-    want = float(round(sum(Decimal(str(float(d))) for d in decs), 4))
+    want = float(
+        sum(Decimal(str(float(d))) for d in decs).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
     assert got == want, (got, want)
+
+
+def test_dsum_half_tie_rounds_up_in_all_engines(spark):
+    """Exact x.xxxx50 ties must round HALF_UP (away from zero)
+    identically in Spark, DuckDB, and the Decimal oracle — the tie
+    class hypothesis found in round 2 (776.389650 → 776.3897, not
+    the banker's 776.3896).  Negative ties round away from zero too
+    (-776.389650 → -776.3897): decimal HALF_UP in both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from data_warehouse_morrocan_banks_spark.numerics import dsum, sql_round_det
+
+    ties = [776.389650, 0.000050, 12.123450, -776.389650, -0.000050]
+    want = [
+        float(Decimal(str(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        for v in ties
+    ]
+    assert want == [776.3897, 0.0001, 12.1235, -776.3897, -0.0001]
+
+    for v, w in zip(ties, want):
+        df = spark.createDataFrame([(v,)], "x DOUBLE")
+        got_spark = df.agg(dsum("x", "s")).collect()[0]["s"]
+        assert got_spark == w, (v, got_spark, w)
+
+    con = duckdb.connect()
+    for v, w in zip(ties, want):
+        got_duck = con.sql(
+            f"SELECT {sql_round_det(str(v))} AS s"
+        ).fetchone()[0]
+        assert got_duck == w, (v, got_duck, w)
+    con.close()
 
 
 _VOCAB = ["atm", "bank", "wait", "slow", "great", "fee"]
