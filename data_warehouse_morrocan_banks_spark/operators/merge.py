@@ -59,6 +59,18 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
     row — the SQL-standard cardinality rule; enforce upstream with
     e.g. ``dedup_keep_first``).  NULL key values never match
     (SQL join semantics), they insert.
+
+    ``broadcast_source=True`` is the small-change-batch plan.  A
+    broadcast hint on a FULL-OUTER join is silently ignored (Spark's
+    BroadcastHashJoin cannot build full-outer), so the default
+    single-join form always shuffles both sides.  The broadcast form
+    restructures into joins that CAN broadcast: target LEFT JOIN
+    broadcast(source) handles updates/deletes/carry-through with the
+    big target never shuffling, and the insert rows come from source
+    LEFT ANTI JOIN target on a key-only projection.  Identical output
+    (pytest-pinned against the full-outer form); the target pays one
+    extra key-projection scan for the anti side, which AQE also
+    broadcasts when the projected keys are small.
     """
     t_cols = target.columns
     s_cols = source.columns
@@ -69,15 +81,12 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
         raise ValueError(f"update_cols not in source: {missing}")
 
     src = source.withColumn("__s_present", F.lit(True))
-    if broadcast_source:
-        src = F.broadcast(src)
     tgt = target.select(
         *[F.col(k).alias(k) for k in keys],
         F.lit(True).alias("__t_present"),
         *[F.col(c).alias(f"__t_{c}") for c in t_cols if c not in keys],
     )
 
-    j = tgt.join(src, on=keys, how="full_outer")
     matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
     out_cols: list[Column] = [F.col(k) for k in keys]
     for c in t_cols:
@@ -92,6 +101,31 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
         else:
             out_cols.append(F.col(f"__t_{c}").alias(c))
 
+    if broadcast_source:
+        # target never shuffles: LEFT JOIN against the broadcast batch
+        # covers matched + target-only rows; source-only inserts come
+        # from an anti join against the target's key projection
+        j = tgt.join(F.broadcast(src), on=keys, how="left")
+        if delete_condition is not None:
+            j = j.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
+        out = j.select(*out_cols)
+        if insert:
+            ins_cols: list[Column] = [F.col(k) for k in keys]
+            for c in t_cols:
+                if c in keys:
+                    continue
+                if c in update_cols:
+                    ins_cols.append(F.col(c))
+                else:
+                    ins_cols.append(
+                        F.lit(None).cast(target.schema[c].dataType).alias(c)
+                    )
+            new_rows = source.join(target.select(*keys), on=keys,
+                                   how="left_anti")
+            out = out.unionByName(new_rows.select(*ins_cols))
+        return out
+
+    j = tgt.join(src, on=keys, how="full_outer")
     if delete_condition is not None:
         j = j.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
     if not insert:

@@ -112,14 +112,24 @@ def decode_media(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def fold_features(payload: bytes) -> tuple[float, int]:
-            # deterministic byte-fold feature stand-in (same recurrence
-            # as the engine's rolling_hash; oracle-reproducible)
+            # deterministic fold feature stand-in (same recurrence as
+            # the engine's rolling_hash; oracle-reproducible).  The
+            # fold runs over the first 1024 decoded CODE POINTS, not
+            # raw bytes — the SQL oracle's SUBSTR(t,1,1024)/ASCII(c)
+            # counts characters/code points, and the two only
+            # coincide on pure-ASCII payloads.  Undecodable bytes map
+            # to U+FFFD (errors="replace") so real binary payloads
+            # still fold deterministically.  Rounding is explicit
+            # HALF-UP (floor(x·1e6+0.5); the fold value is always
+            # non-negative) — Python round() is banker's and diverges
+            # from DuckDB ROUND on exact 6dp ties.
             if not payload:
                 return 0.0, 0
             acc = 0
-            for b in payload[:1024]:
-                acc = (acc * 31 + b) % 1_000_003
-            return round(acc / 1_000_003, 6), 8
+            for ch in payload.decode("utf-8", errors="replace")[:1024]:
+                acc = (acc * 31 + ord(ch)) % 1_000_003
+            import math
+            return math.floor(acc / 1_000_003 * 1e6 + 0.5) / 1e6, 8
 
         def parse_dims(payload: bytes):
             # (width, height, duration_ms) from stdlib-parsable headers

@@ -721,9 +721,14 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
             sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
             sims[ids[:, None] == qid_arr[None, :]] = -np.inf  # self-match
             if len(ids) > kk:
-                # per-query batch top-k: cheap argpartition, exact
-                # order restored later by the global sort
-                keep = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                # per-query batch top-k under the SAME (sim DESC,
+                # id ASC) key the final sort uses — bare argpartition
+                # would keep arbitrary ids among rounded-sim ties
+                # straddling the k-th cutoff, diverging from
+                # brute_force_topk on exact ties
+                keep = np.empty((kk, sims.shape[1]), dtype=np.int64)
+                for j in range(sims.shape[1]):
+                    keep[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
             else:
                 keep = np.tile(np.arange(len(ids))[:, None], (1, sims.shape[1]))
             cand_ids.append(ids[keep])                    # (≤k, m)

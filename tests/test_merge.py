@@ -259,3 +259,38 @@ def test_partitioned_merge_write_deletes_emptied_bucket(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 200 - len(b0_ids)
     assert after.filter(F.col("id").isin(b0_ids)).count() == 0
+
+
+def test_merge_into_broadcast_form_equivalent_and_broadcasts(spark):
+    """broadcast_source=True must produce the same rows as the
+    full-outer form across update+insert+delete in one batch — and its
+    plan must actually contain a BroadcastHashJoin (the old broadcast
+    hint on a full-outer join was silently ignored)."""
+    target = _target(spark)
+    batch = spark.createDataFrame(
+        [(1, "alpha2", 11.0, "upsert"),   # update
+         (3, None, 0.0, "delete"),        # delete
+         (9, "iota", 90.0, "upsert")],    # insert
+        "id INT, name STRING, score DOUBLE, op STRING",
+    )
+    kw = dict(
+        update_cols=["name", "score"],
+        delete_condition=F.col("op") == "delete",
+    )
+    plain = merge_into(target, batch, ["id"], **kw)
+    bcast = merge_into(target, batch, ["id"], broadcast_source=True, **kw)
+
+    def canon(df):
+        return sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+
+    assert canon(bcast) == canon(plain)
+    assert canon(bcast) == [(1, "alpha2", 11.0), (2, "beta", 20.0),
+                            (9, "iota", 90.0)]
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    # insert=False parity too
+    no_ins_p = merge_into(target, batch, ["id"], insert=False, **kw)
+    no_ins_b = merge_into(target, batch, ["id"], insert=False,
+                          broadcast_source=True, **kw)
+    assert canon(no_ins_b) == canon(no_ins_p)

@@ -296,3 +296,36 @@ def test_numpy_topk_prunes_before_shuffle(spark):
         per_q.setdefault(r["query_id"], []).append(r["cosine_sim"])
     for sims in per_q.values():
         assert sims == sorted(sims, reverse=True)
+
+
+def test_numpy_topk_tie_break_at_batch_cutoff(spark):
+    """Exact sim ties straddling the per-batch k-th cutoff must keep
+    the LOWEST ids (the documented (sim DESC, id ASC) tie-break).
+    Duplicate vectors make every pair an exact tie; a bare
+    argpartition pre-prune keeps arbitrary ids here."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_numpy,
+    )
+
+    # 40 identical corpus vectors (ids 1..40, all tied at sim 1.0)
+    # in one partition, plus the query vector itself as id 0
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(41)]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(1)
+    probes = emb.filter(F.col("vec_id") == 0)
+    k = 5
+    want = [
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in brute_force_topk(emb, probes, k=k)
+        .orderBy("query_id", "vec_id").collect()
+    ]
+    got = [
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in brute_force_topk_numpy(emb, probes, k=k)
+        .orderBy("query_id", "vec_id").collect()
+    ]
+    assert got == want
+    # ties resolve to the smallest ids, deterministically
+    assert [v for _, v, _ in got] == [1, 2, 3, 4, 5]
