@@ -37,6 +37,8 @@ HEADLINE = [
     "q_mart_drill_topk",
     "q_stream_daily_rollup",
     "q_stream_sessionize",
+    "q_llm_prep_pipeline",
+    "q_merge_scd_suite",
 ]
 
 
