@@ -50,6 +50,13 @@ def get_spark(app_name: str = "dwmb-spark", master: str | None = None) -> SparkS
     builder = SparkSession.builder.appName(app_name).master(master)
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    # local[N] puts driver + all executor threads in ONE JVM; Spark's
+    # 1g default heap starves 32 concurrent tasks (scaling_probe OOMs
+    # at 10x).  Only effective when this process launches the JVM —
+    # an externally built session keeps its own setting.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -66,23 +66,94 @@ def main():
             F.col("revenue").desc(), F.col("s_name"))
         return per.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
 
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def replicate_docs(n):
+        """Shifted ids AND per-copy token namespaces: prefixing every
+        token keeps cross-copy Jaccard at 0, so the near-dup structure
+        (and output size) scales linearly with copies instead of
+        quadratically (identical texts across copies would pair up)."""
+        parts = []
+        for i in range(n):
+            parts.append(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+                .withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def jaccard(d):
+        from data_warehouse_morrocan_banks_spark.operators.similarity import (
+            prefix_filter_jaccard_pairs,
+        )
+        return prefix_filter_jaccard_pairs(d, "text", "doc_id", "lang",
+                                           threshold=0.9)
+
+    def pack(d):
+        from data_warehouse_morrocan_banks_spark.operators.packing import (
+            pack_streaming,
+        )
+        toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+        return pack_streaming(d.withColumn("n_tok", toks), "n_tok",
+                              "doc_id", "lang", budget=2048)
+
+    def strat(lineitem):
+        from data_warehouse_morrocan_banks_spark.operators.sampling import (
+            stratified_sample,
+        )
+        return stratified_sample(
+            lineitem, F.col("l_orderkey"), "l_returnflag",
+            {"A": 0.5, "N": 0.1, "R": 0.25},
+        )
+
+    def scd2(dim):
+        from data_warehouse_morrocan_banks_spark.operators.merge import scd2_apply
+        d2 = dim.select(
+            "c_custkey", "c_mktsegment",
+            F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        changes = dim.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            F.concat(F.lit("SEG_"), F.col("c_mktsegment")).alias("new_seg"),
+            F.lit("2024-06-01").cast("timestamp").alias("ts"),
+        )
+        return scd2_apply(d2, changes, ["c_custkey"],
+                          {"c_mktsegment": "new_seg"}, "ts")
+
     results = {}
     for scale in (1, 10):
         li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
         li_s = li_s.cache(); n_rows = li_s.count()
-        for name, fn in (("q1_agg", q1), ("argmax_join", argmax)):
+        d_s = docs if scale == 1 else replicate_docs(scale)
+        d_s = d_s.cache(); d_s.count()
+        c_s = customer if scale == 1 else replicate(customer, scale, ["c_custkey"])
+        c_s = c_s.cache(); c_s.count()
+        shapes = (
+            ("q1_agg", q1, li_s), ("argmax_join", argmax, li_s),
+            ("jaccard_pairs", jaccard, d_s), ("pack_streaming", pack, d_s),
+            ("stratified_sample", strat, li_s), ("scd2_merge", scd2, c_s),
+        )
+        for name, fn, frame in shapes:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(li_s).count()
+                fn(frame).count()
                 best = min(best, time.perf_counter() - t0)
             results[f"{name}_{scale}x"] = round(best, 2)
         results[f"rows_{scale}x"] = n_rows
-        li_s.unpersist()
+        li_s.unpersist(); d_s.unpersist(); c_s.unpersist()
 
-    for name in ("q1_agg", "argmax_join"):
+    for name in ("q1_agg", "argmax_join", "jaccard_pairs",
+                 "pack_streaming", "stratified_sample", "scd2_merge"):
         results[f"{name}_scaling_ratio"] = round(
-            results[f"{name}_10x"] / results[f"{name}_1x"], 1
+            results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
         )
     print(json.dumps(results))
     spark.stop()
