@@ -38,19 +38,57 @@ def _label_map_expr():
     return F.create_map(*pairs)
 
 
-def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None):
+_LDA_CANON_PARTITIONS = 8
+
+
+def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None,
+               canonical_id: str | None = None):
     """N4: fit the tokenize→stop→vectorize→LDA pipeline.
 
     Returns (PipelineModel, vocabulary) or None when the corpus is
     smaller than the reference's 10-doc gate
     (nlp_processor_simple.py:188-195).
+
+    Reproducibility (two independent nondeterminism sources, both
+    fixed here):
+
+    - ``CountVectorizer.fit`` breaks vocabulary-frequency ties in
+      aggregation order, which varies even between two fits on the
+      IDENTICAL input (measured: same layout, same seed, different
+      vocabularies) — and a permuted vocabulary permutes every
+      downstream feature index.  The vocabulary is therefore built
+      explicitly — total term count, docFreq ≥ minDF, ordered
+      (count DESC, term ASC), ``limit(vocabSize)`` — and injected via
+      ``CountVectorizerModel.from_vocabulary``: a pure function of
+      the corpus.
+    - online LDA's mini-batch sampling follows the input's PARTITION
+      LAYOUT, so the same corpus fit from ``repartition(1)`` vs
+      ``repartition(8)`` yields different models at a fixed seed.
+      Passing ``canonical_id`` (a unique id column) canonicalizes the
+      layout first — hash-repartition on the id (a pure function of
+      the value, unlike round-robin ``repartition(n)`` or sampled
+      range partitioning) plus an in-partition sort — making the
+      fitted model a function of corpus CONTENT alone, whatever
+      layout upstream operators left behind.  One extra shuffle; at
+      scale that is noise against the iterative fit, and
+      cluster-layout reproducibility is what makes topic ids stable
+      across reruns (pytest-pinned in test_similarity.py).
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.clustering import LDA
-    from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
+    from pyspark.ml.feature import (
+        CountVectorizerModel,
+        RegexTokenizer,
+        StopWordsRemover,
+    )
 
     if df.count() < LDA_MIN_DOCS:
         return None
+
+    if canonical_id is not None:
+        df = df.repartition(
+            _LDA_CANON_PARTITIONS, F.col(canonical_id)
+        ).sortWithinPartitions(canonical_id)
 
     tokenizer = RegexTokenizer(
         inputCol=text_col, outputCol="__tokens",
@@ -60,9 +98,25 @@ def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None)
         inputCol="__tokens", outputCol="__filtered",
         stopWords=stopwords if stopwords is not None else FRENCH_STOPWORDS,
     )
-    vectorizer = CountVectorizer(
+    # deterministic vocabulary (see docstring): minDF=2 docs, top
+    # vocabSize terms by (total count DESC, term ASC)
+    filtered = remover.transform(tokenizer.transform(df))
+    terms = filtered.select(
+        F.monotonically_increasing_id().alias("__doc"),
+        F.explode("__filtered").alias("__term"),
+    )
+    vocab_rows = (
+        terms.groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.countDistinct("__doc").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .orderBy(F.col("__n").desc(), F.col("__term"))
+        .limit(LDA_VOCAB_SIZE)
+        .collect()
+    )
+    vectorizer = CountVectorizerModel.from_vocabulary(
+        [r["__term"] for r in vocab_rows],
         inputCol="__filtered", outputCol="__features",
-        vocabSize=LDA_VOCAB_SIZE, minDF=2.0,
     )
     lda = LDA(
         k=LDA_K, maxIter=LDA_MAX_ITER, seed=LDA_SEED, optimizer="online",

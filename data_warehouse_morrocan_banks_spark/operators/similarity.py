@@ -287,9 +287,53 @@ def jaccard_token_sets(a_tokens: Column, b_tokens: Column, nd: int = 6) -> Colum
     ).cast("double")
 
 
+def _dense_vocab_ranks(freq: DataFrame, vocab_shards: int = 1) -> DataFrame:
+    """Assign every (``__grp``, ``__tok``) row of a frequency frame a
+    dense bit position ``__r`` in [0, |vocab_g|).
+
+    The bitmap verification only needs a deterministic BIJECTION per
+    group, not any particular order — the (df, token) order matters
+    for the per-document PREFIX (computed separately), never for mask
+    intersection.
+
+    ``vocab_shards <= 1``: one ``row_number`` window per group — fine
+    while every group's vocabulary fits one task comfortably.
+
+    ``vocab_shards > 1`` (skew guard): a dominant group (worst case:
+    ONE group holds the whole corpus) would funnel its entire
+    vocabulary through a single window task.  Shard tokens by hash,
+    rank locally per (group, shard), then add per-shard offsets — the
+    offset frame is |groups|·shards rows (tiny, broadcast), local
+    ranks parallelize across shards, and the composite rank is still
+    a deterministic dense bijection.
+    """
+    from pyspark.sql import Window
+
+    if vocab_shards <= 1:
+        wg = Window.partitionBy("__grp").orderBy("__df", "__tok")
+        return freq.withColumn("__r", F.row_number().over(wg) - 1)
+    sh = F.pmod(F.xxhash64("__tok"), F.lit(int(vocab_shards))).cast("int")
+    sharded = freq.withColumn("__shard", sh)
+    wl = Window.partitionBy("__grp", "__shard").orderBy("__df", "__tok")
+    local = sharded.withColumn("__lr", F.row_number().over(wl) - 1)
+    wo = (
+        Window.partitionBy("__grp").orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sharded.groupBy("__grp", "__shard")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .withColumn("__off", F.coalesce(F.sum("__sz").over(wo), F.lit(0)))
+        .select("__grp", "__shard", "__off")
+    )
+    return local.join(F.broadcast(offsets), ["__grp", "__shard"]) \
+        .withColumn("__r", (F.col("__off") + F.col("__lr")).cast("int")) \
+        .drop("__shard", "__lr", "__off")
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 group_col: str, threshold: float = 0.9,
-                                nd: int = 6) -> DataFrame:
+                                nd: int = 6, vocab_shards: int = 1) -> DataFrame:
     """EXACT all-pairs token-set Jaccard ≥ threshold without an
     all-pairs join — prefix filtering (Chaudhuri/Bayardo AllPairs).
 
@@ -353,6 +397,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     On a real cluster swap ``localCheckpoint`` for a reliable
     ``checkpoint()``/``persist(DISK_ONLY)`` if executor loss must not
     trigger job retry; values are identical either way.
+
+    ``vocab_shards``: the dictionary encode ranks each group's
+    vocabulary in one window task; when one group dominates the corpus
+    (degenerate: a single group), set ``vocab_shards > 1`` to shard
+    the encode by token hash — local ranks parallelize per shard and
+    per-shard offsets (a tiny broadcast frame) restore a dense
+    bijection.  Output is identical for any shard count
+    (pytest-pinned on a one-group corpus).
     """
     from pyspark.sql import Window
 
@@ -376,10 +428,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     exploded = toks.select("__id", "__grp", "__n", F.explode("__t").alias("__tok"))
     freq = exploded.groupBy("__grp", "__tok").agg(F.count(F.lit(1)).alias("__df"))
-    # dictionary-encode: rank within group under the same (df, token)
-    # total order the prefix uses → rank IS the bitmap bit position
-    wg = Window.partitionBy("__grp").orderBy("__df", "__tok")
-    vocab = freq.withColumn("__r", F.row_number().over(wg) - 1)
+    vocab = _dense_vocab_ranks(freq, vocab_shards)
     enc = pin_local_checkpoint(
         "jaccard_prefix", exploded.join(vocab, ["__grp", "__tok"])
     )

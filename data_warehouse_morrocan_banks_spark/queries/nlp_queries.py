@@ -194,7 +194,9 @@ _LDA_CACHE: dict[str, object] = {}
 def _lda_model(spark: SparkSession, sf_dir: str):
     if sf_dir not in _LDA_CACHE:
         d = table(spark, sf_dir, "documents")
-        _LDA_CACHE[sf_dir] = fit_topics(d, "text", stopwords=_STOPWORDS)
+        _LDA_CACHE[sf_dir] = fit_topics(
+            d, "text", stopwords=_STOPWORDS, canonical_id="doc_id"
+        )
     return _LDA_CACHE[sf_dir]
 
 

@@ -47,14 +47,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched.  The branch is decided from the parquet footer schema —
     no data is read."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
         # double precision, so float division drifts by ±1 µs.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        # Structured Streaming watermarks require TIMESTAMP (LTZ);
+        # with the session timezone pinned UTC (ensure_query_confs)
+        # the NTZ→LTZ cast preserves the instant bit-for-bit, which is
+        # also how the µs-native DuckDB oracle reads the same file.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

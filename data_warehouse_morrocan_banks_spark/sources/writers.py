@@ -10,7 +10,7 @@ pruning for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
@@ -44,3 +44,31 @@ def write_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = No
     df.write.mode("append").option("batchsize", str(batchsize)).jdbc(
         url, table, properties=properties or {}
     )
+
+
+def write_jdbc_validated(df: DataFrame, url: str, table: str,
+                         valid: Column, properties: dict | None = None,
+                         batchsize: int = 10_000):
+    """S8 with the reference's per-row error-skip semantics, set-based.
+
+    The reference wraps each INSERT in try/except, logs and skips the
+    failing row, and reports the inserted count
+    (phase2_transformation_pipeline.py:317-339).  Row-at-a-time
+    recovery doesn't translate to a distributed batched write — and
+    doesn't need to: rows only fail deterministic constraints
+    (nullability, types), so the same split is expressible as a
+    predicate.  Rows satisfying ``valid`` write; the rest come back as
+    a QUARANTINE DataFrame — diverted and countable, never silently
+    dropped.  One scan feeds both sides (the writer and the
+    quarantine share the source frame, and the predicate is
+    whole-stage-codegen).
+
+    Returns ``(written_count, quarantine_df)``.
+    """
+    from pyspark.sql import functions as F
+
+    ok = df.filter(valid)
+    quarantine = df.filter(~F.coalesce(valid, F.lit(False)))
+    n = ok.count()
+    write_jdbc(ok, url, table, properties=properties, batchsize=batchsize)
+    return n, quarantine

@@ -329,3 +329,78 @@ def test_numpy_topk_tie_break_at_batch_cutoff(spark):
     assert got == want
     # ties resolve to the smallest ids, deterministically
     assert [v for _, v, _ in got] == [1, 2, 3, 4, 5]
+
+
+def test_lda_fit_is_partition_invariant_with_canonical_id(spark):
+    """The permanent rows-only residue (N4/N5) must at least be
+    deterministic across cluster layouts: online LDA mini-batches
+    follow the input partitioning, so without canonicalization
+    repartition(1) vs repartition(8) give different models at the
+    same seed.  With canonical_id the fitted assignments must be
+    IDENTICAL (topic id and 6dp probability) from any layout."""
+    from data_warehouse_morrocan_banks_spark.nlp.topics import (
+        fit_topics,
+        transform_topics,
+    )
+
+    d = table(spark, SF_SMOKE, "documents")
+    got = {}
+    for n in (1, 8):
+        dd = d.repartition(n)
+        model = fit_topics(dd, "text", stopwords=["the", "a"],
+                           canonical_id="doc_id")
+        assert model is not None
+        got[n] = {
+            r["doc_id"]: (r["dominant_topic_id"], r["topic_probability"])
+            for r in transform_topics(model, dd, ["doc_id"]).collect()
+        }
+    assert got[1] == got[8]
+
+
+def test_jaccard_vocab_sharding_degenerate_single_group(spark):
+    """The skew guard: with the whole corpus in ONE group, the vocab
+    encode must still produce identical pairs when sharded (the dense
+    bit positions are a bijection either way), and the sharded plan
+    must rank vocabulary per (group, shard) rather than funneling the
+    full vocabulary through one window task."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").withColumn(
+        "one_group", F.lit("g")
+    )
+    base = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", "one_group", threshold=0.9
+    )
+    want = {(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in base.collect()}
+    assert want, "corpus should contain near-dup pairs"
+
+    sharded = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", "one_group", threshold=0.9, vocab_shards=8
+    )
+    got = {(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in sharded.collect()}
+    assert got == want
+
+    # the sharded encode itself: window runs per (group, shard) — not
+    # one task for the whole group — and ranks stay a dense bijection
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        _dense_vocab_ranks,
+    )
+
+    freq = (
+        docs.select(F.lit("g").alias("__grp"),
+                    F.explode(F.array_distinct(
+                        F.split(F.lower(F.trim("text")), r"\s+")
+                    )).alias("__tok"))
+        .groupBy("__grp", "__tok").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    ranked = _dense_vocab_ranks(freq, vocab_shards=8)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+    ranks = sorted(r["__r"] for r in ranked.collect())
+    assert ranks == list(range(len(ranks)))  # dense bijection
+    n_shards_used = freq.select(
+        F.countDistinct(F.pmod(F.xxhash64("__tok"), F.lit(8))).alias("n")
+    ).collect()[0]["n"]
+    assert n_shards_used > 1  # the encode genuinely parallelizes

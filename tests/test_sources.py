@@ -147,3 +147,35 @@ def test_s8_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     back = spark.read.jdbc(url, "reviews", properties=props)
     rows = sorted((r["review_id"], r["rating"]) for r in back.collect())
     assert rows == [(1, 2.0), (1, 2.0), (2, 5.0)]
+
+
+def test_s8_jdbc_validated_quarantines_invalid_rows(spark, tmp_path):
+    """The reference's per-row INSERT try/except skips failing rows and
+    reports the inserted count (phase2_transformation_pipeline.py:
+    317-339).  The set-based form must divert invalid rows to a
+    quarantine frame — counted and inspectable, never silently
+    dropped — and write only the valid ones."""
+    from data_warehouse_morrocan_banks_spark.sources.writers import (
+        write_jdbc_validated,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/s8vdb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.createDataFrame(
+        [(1, "ok", 4.0), (2, None, 3.0), (3, "fine", None), (4, "good", 9.0)],
+        "review_id INT, text STRING, rating DOUBLE",
+    )
+    valid = (
+        F.col("text").isNotNull()
+        & F.col("rating").isNotNull()
+        & F.col("rating").between(0.0, 5.0)
+    )
+    written, quarantine = write_jdbc_validated(
+        df, url, "reviews", valid, properties=props
+    )
+    assert written == 1  # only (1, "ok", 4.0) passes all gates
+    # quarantine carries the full rejected rows, not just a count
+    bad = sorted(r["review_id"] for r in quarantine.collect())
+    assert bad == [2, 3, 4]
+    back = spark.read.jdbc(url, "reviews", properties=props)
+    assert sorted(r["review_id"] for r in back.collect()) == [1]
