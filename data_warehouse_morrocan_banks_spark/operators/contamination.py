@@ -1,0 +1,83 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set.
+
+Standard LLM-data hygiene (the n-gram-overlap method used for GPT-3's
+and PaLM's train/test decontamination): a training document is
+contaminated when it shares at least ``min_hits`` distinct word
+n-grams with any benchmark document.  At 100 TB the corpus side must
+stay map-only — and it does: shingling is a per-row expression, the
+benchmark shingle set is small (benchmarks are thousands of prompts,
+not terabytes) and broadcasts, so the whole check is scan → explode →
+broadcast semi-join → per-doc count.  No corpus shuffle except the
+final per-doc aggregation, whose input is only the MATCHED shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word n-grams of lowercased whitespace tokens, as
+    space-joined strings — pure expressions (sequence + slice +
+    array_join), no UDF.  Documents shorter than ``n`` tokens yield
+    an empty array."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    k = F.size(toks) - F.lit(int(n) - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, int(n)), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str, id_col: str,
+                        bench_text_col: str | None = None,
+                        n: int = 8, min_hits: int = 1) -> DataFrame:
+    """Per-document contamination report against a benchmark set.
+
+    Returns ``(id_col, n_grams, contaminated_ngrams, is_contaminated)``
+    for EVERY corpus document — the non-contaminated majority carries
+    0 / false, so the output can drive both the filter (drop
+    contaminated) and the audit (how much did we drop, per source).
+
+    Plan shape: benchmark → distinct shingles (tiny, broadcast);
+    corpus → shingles exploded, inner-joined to the broadcast set,
+    counted per doc; left join of the counts back onto the slim
+    (id, n_grams) projection.  The full-width corpus row is never
+    shuffled; at scale the matched-shingle frame is ~the
+    contamination rate, not the corpus.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text, n)).alias("__g"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        word_ngrams(text_col, n).alias("__grams"),
+    ).withColumn("n_grams", F.size("__grams"))
+    hits = (
+        doc_grams.select(id_col, F.explode("__grams").alias("__g"))
+        .join(F.broadcast(bench_grams), "__g", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    return (
+        doc_grams.drop("__grams")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("contaminated_ngrams", F.lit(0))
+            .cast("int").alias("contaminated_ngrams"),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) >= min_hits)
+            .alias("is_contaminated"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""PII detection and redaction for training-data curation.
+
+A corpus headed for model training needs personally identifiable
+information scrubbed BEFORE any downstream stage sees it (the
+reference pipeline stores raw Google-reviews author data and only
+aggregates it away in marts — at 100 TB the scrub must be a first
+class map-only operator, not a reporting convention).
+
+Everything here is pure column expressions — Java regexes inside
+whole-stage codegen, no Python in the hot path, order-independent
+and engine-portable (the patterns avoid lookaround so the same regex
+runs in DuckDB's RE2 for oracle checks).
+
+Pattern classes (deliberately conservative — a training-data scrub
+prefers false positives over leaked PII):
+
+- ``email``: RFC-ish local@domain.tld
+- ``phone``: international/Moroccan-style numbers, 9+ digits with
+  optional +, separators tolerated (the reference corpus is Moroccan
+  bank reviews — +212 6.. forms appear in review text)
+- ``ipv4``: dotted quad
+- ``iban``: two letters + 2 digits + 11-30 alphanumerics (covers
+  MA64…-style Moroccan RIB/IBAN strings)
+- ``card``: 13-19 digit runs with optional space/dash groups
+
+Redaction replaces each match with a stable tag (``[EMAIL]`` …) so
+token counts stay bounded and downstream dedup still clusters
+redacted variants together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: structured forms first so the loose phone pattern
+    # doesn't partially eat an IBAN, card number, or dotted quad
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "iban": r"\b[A-Za-z]{2}[0-9]{2}[A-Za-z0-9]{11,30}\b",
+    "card": r"\b(?:[0-9][ -]?){13,19}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"(?:\+|00)?[0-9](?:[ .-]?[0-9]){8,14}",
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One count column per PII class (``pii_email`` …) — the audit
+    signal: scrub pipelines report what they removed."""
+    c = _c(col)
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .alias(f"pii_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(col: Column | str, classes: list[str] | None = None) -> Column:
+    """Replace every PII match with its class tag (``[EMAIL]`` …).
+
+    A chain of ``regexp_replace`` in ``PII_PATTERNS`` order — one
+    codegen'd pass per class, no UDF.  ``classes`` restricts which
+    classes scrub (default: all, in dict order).
+    """
+    out = _c(col)
+    for name, pat in PII_PATTERNS.items():
+        if classes is not None and name not in classes:
+            continue
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def scrub_documents(df: DataFrame, text_col: str,
+                    out_col: str | None = None) -> DataFrame:
+    """Corpus-level scrub: redacted text + per-class counts +
+    ``has_pii`` flag, one map-only projection.
+
+    Keep the counts: at 100 TB the scrub audit ("how many emails did
+    this source leak") is the difference between a compliance story
+    and a shrug.
+    """
+    out_col = out_col or text_col
+    counts = pii_counts(_c(text_col))
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.withColumns({
+        **{f"pii_{name}": cnt for name, cnt in zip(PII_PATTERNS, counts)},
+        "has_pii": (total > 0),
+        out_col: redact_pii(_c(text_col)),
+    })

@@ -1,0 +1,158 @@
+"""PII scrub + benchmark decontamination — training-data curation
+operators.  Redaction parity runs against DuckDB (same RE2-safe
+patterns, 'g' flag) so the scrub is engine-portable like every other
+text op; contamination is pinned against a brute-force Python shingle
+oracle."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.contamination import (
+    ngram_contamination,
+    word_ngrams,
+)
+from data_warehouse_morrocan_banks_spark.operators.privacy import (
+    PII_PATTERNS,
+    redact_pii,
+    scrub_documents,
+)
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+_CRAFTED = [
+    (1, "contact me at aicha.benali@bankmail.ma for the dossier"),
+    (2, "call +212 661-234-567 or 0522 43 21 98 about the ATM"),
+    (3, "RIB MA64011519000001205000534921 was debited twice"),
+    (4, "card 4539 1488 0343 6467 declined at the branch"),
+    (5, "server 192.168.10.44 rejected the transfer"),
+    (6, "great service no complaints at all"),
+    (7, None),
+]
+
+
+def test_redact_pii_crafted_classes(spark):
+    df = spark.createDataFrame(_CRAFTED, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r["red"] for r in
+           df.select("doc_id", redact_pii("text").alias("red")).collect()}
+    assert "[EMAIL]" in got[1] and "@" not in got[1]
+    assert "[PHONE]" in got[2] and not re.search(r"\d{4}", got[2])
+    assert "[IBAN]" in got[3] and "MA64" not in got[3]
+    assert "[CARD]" in got[4] and "4539" not in got[4]
+    assert "[IPV4]" in got[5] and "192.168" not in got[5]
+    assert got[6] == _CRAFTED[5][1]  # clean text untouched
+    assert got[7] is None
+
+
+def test_scrub_documents_counts_and_flag(spark):
+    df = spark.createDataFrame(_CRAFTED, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in
+           scrub_documents(df, "text", out_col="clean").collect()}
+    assert out[1]["pii_email"] == 1 and out[1]["has_pii"]
+    assert out[2]["pii_phone"] >= 1 and out[2]["has_pii"]
+    assert out[6]["has_pii"] is False
+    assert all(out[i][f"pii_{c}"] == 0 for i in (6,) for c in PII_PATTERNS)
+    # scrub is effective: re-scrubbing the clean text finds nothing
+    rescrub = scrub_documents(
+        spark.createDataFrame(
+            [(k, v["clean"]) for k, v in out.items()],
+            "doc_id INT, text STRING",
+        ),
+        "text",
+    )
+    assert rescrub.filter(F.col("has_pii")).count() == 0
+
+
+def test_redact_pii_duckdb_parity_on_corpus(spark):
+    """The regex chain must produce byte-identical redactions in
+    DuckDB (RE2) — no Java-only regex constructs."""
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    crafted = spark.createDataFrame(_CRAFTED, "doc_id INT, text STRING") \
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+            "lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+            "n_chars", F.length("text"))
+    df = docs.limit(200).unionByName(crafted.select(docs.columns))
+    got = {r["doc_id"]: r["red"] for r in
+           df.select("doc_id", redact_pii("text").alias("red")).collect()}
+
+    con = duckdb.connect()
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        tag = f"[{name.upper()}]"
+        expr = f"REGEXP_REPLACE({expr}, '{pat}', '{tag}', 'g')"
+    rows = con.sql(
+        f"SELECT doc_id, {expr} AS red FROM ("
+        f"  SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f"  LIMIT 200)"
+    ).fetchall()
+    for doc_id, red in rows:
+        assert got[doc_id] == red, doc_id
+    con.close()
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_contamination_crafted(spark):
+    bench = spark.createDataFrame(
+        [("what is the capital of morocco answer rabat exactly",)],
+        "text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 8-gram → contaminated
+            (1, "note what is the capital of morocco answer rabat ok"),
+            # shares only a 7-token run → clean at n=8
+            (2, "is the capital of morocco answer rabat"),
+            (3, "totally unrelated banking review text with many words"),
+            (4, "short"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(
+        corpus, bench, "text", "doc_id", n=8).collect()}
+    assert out[1]["is_contaminated"] and out[1]["contaminated_ngrams"] >= 1
+    assert not out[2]["is_contaminated"]
+    assert not out[3]["is_contaminated"]
+    assert out[4]["n_grams"] == 0 and not out[4]["is_contaminated"]
+
+
+def test_ngram_contamination_matches_bruteforce_on_corpus(spark):
+    """Use real documents as both corpus and (a slice as) benchmark:
+    every doc in the benchmark slice must flag (it shares all its own
+    shingles), and counts must equal the Python set-intersection
+    oracle for every doc."""
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") < 20)
+    n = 5
+    got = {r["doc_id"]: r for r in ngram_contamination(
+        docs, bench, "text", "doc_id", n=n).collect()}
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    bench_set = set()
+    for doc_id, text in rows:
+        if doc_id < 20:
+            bench_set |= _py_ngrams(text or "", n)
+    for doc_id, text in rows:
+        mine = _py_ngrams(text or "", n)
+        want = len(mine & bench_set)
+        assert got[doc_id]["contaminated_ngrams"] == want, doc_id
+        assert got[doc_id]["is_contaminated"] == (want >= 1)
+        assert got[doc_id]["n_grams"] == len(mine)
+
+
+def test_word_ngrams_short_and_exact(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "t STRING"
+    )
+    got = [sorted(r["g"]) for r in
+           df.select(word_ngrams("t", 3).alias("g")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+    assert got[2] == []
