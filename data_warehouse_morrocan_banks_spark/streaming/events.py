@@ -118,3 +118,49 @@ def sessionize_streaming(events_stream: DataFrame, gap_minutes: int = 30) -> Dat
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "session_value"))
     )
+
+
+def exact_dedup_batch(docs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Batch semantics oracle for the streaming ingest dedup: one row
+    per distinct key (the key set is what both forms must agree on —
+    WHICH representative survives is first-arrival in the stream,
+    arbitrary-but-one in batch)."""
+    return docs.dropDuplicates(key_cols)
+
+
+def stream_exact_dedup(spark: SparkSession, parquet_path: str,
+                       checkpoint_dir: str, key_cols: list[str],
+                       watermark_col: str = "ts",
+                       delay: str = "1 day",
+                       out_table: str = "stream_dedup",
+                       schema=None) -> None:
+    """Streaming ingest dedup — the first stage of a streaming
+    training-data pipeline: a document whose content key was already
+    seen within the watermark horizon is dropped before any
+    downstream stage pays for it.
+
+    ``dropDuplicatesWithinWatermark`` is the native scale path: state
+    holds one entry per distinct key seen within the horizon and the
+    watermark expires it, so state is bounded by key arrival rate ×
+    horizon, not by stream length (plain ``dropDuplicates`` on a
+    stream would grow state forever).  The shuffle is the hash
+    partition on the key every stateful op pays; content keys
+    (md5 of text) distribute uniformly by construction, so no salting
+    is needed at any scale.
+    """
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
+    q.awaitTermination()

@@ -65,3 +65,35 @@ def test_stateful_user_quota_equals_batch(spark):
         per_user = streamed.groupBy("user_id").count()
         mx = per_user.agg(F.max("count")).collect()[0][0]
         assert mx == 3
+
+
+def test_stream_exact_dedup_equals_batch_keyset(spark):
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark) must
+    emit exactly one row per distinct key — the same key set as the
+    batch dropDuplicates oracle (the surviving representative is
+    first-arrival, so equality is on keys + cardinality)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.streaming.events import (
+        exact_dedup_batch,
+        stream_exact_dedup,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/events"
+        checkpoint = f"{tmp}/ckpt_dedup"
+        ev = table(spark, SF_SMOKE, "events").withColumn(
+            "content_key", F.md5(F.col("event_type"))
+        )
+        ev.write.parquet(landing)
+
+        stream_exact_dedup(spark, landing, checkpoint, ["content_key"],
+                           out_table="t_dedup")
+        streamed = spark.table("t_dedup")
+        batch = exact_dedup_batch(spark.read.parquet(landing), ["content_key"])
+
+        s_keys = sorted(r["content_key"] for r in streamed.collect())
+        b_keys = sorted(r["content_key"] for r in batch.collect())
+        assert len(s_keys) > 0
+        assert s_keys == b_keys           # one survivor per key, same keys
+        assert len(s_keys) == len(set(s_keys))
