@@ -91,8 +91,12 @@ WHERE CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
+    # vocab_shards=8: the dictionary encode parallelizes per (group,
+    # shard) instead of one window task per language group — identical
+    # output (dense-bijection property, pytest-pinned), and the skew
+    # guard is live by default rather than opt-in
     return prefix_filter_jaccard_pairs(
-        d, "text", "doc_id", group_col="lang", threshold=0.9
+        d, "text", "doc_id", group_col="lang", threshold=0.9, vocab_shards=8
     )
 
 
