@@ -98,7 +98,27 @@ def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composite (run_phase2_transformation.py:164-172) — one documents
 # scan.
 
-_F46_ORACLE = r"""
+def _pii_oracle_columns() -> str:
+    """DuckDB mirror of operators.privacy: per-class counts + md5 of
+    the fully redacted text (byte-parity proof under the driver)."""
+    from ..operators.privacy import PII_PATTERNS
+
+    cols = []
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        cols.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{esc}')) AS INT)"
+            f" AS pii_{name}"
+        )
+        redacted = (
+            f"REGEXP_REPLACE({redacted}, '{esc}', '[{name.upper()}]', 'g')"
+        )
+    cols.append(f"MD5({redacted}) AS redacted_md5")
+    return ",\n  ".join(cols)
+
+
+_F46_ORACLE = rf"""
 SELECT
   doc_id,
   TRIM(LOWER(REGEXP_REPLACE(text,
@@ -113,13 +133,21 @@ SELECT
   REGEXP_MATCHES(text, '(?i)fast|quick') AS mentions_fast,
   REGEXP_MATCHES(text, '(?i)slow|wait') AS mentions_slow,
   REGEXP_MATCHES(text, '(?i)spark|stream') AS mentions_engine,
-  (REGEXP_MATCHES(text, '(?i)slow|wait') AND n_chars > 300) AS long_complaint
+  (REGEXP_MATCHES(text, '(?i)slow|wait') AND n_chars > 300) AS long_complaint,
+  {_pii_oracle_columns()}
 FROM documents
 """
 
 
 @register("q_f46_clean_flags", oracle=_F46_ORACLE)
 def q_f46_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean + flag + PII-scrub suite over documents (F4/F6/F7/F10/M5
+    plus operators.privacy): per-class PII counts and the md5 of the
+    fully redacted text ride in the same scan, making the scrub
+    driver-green — the oracle recomputes the identical regex chain in
+    DuckDB, so a single divergent redaction byte fails the hash."""
+    from ..operators.privacy import PII_PATTERNS, pii_counts, redact_pii
+
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     slow = keyword_flag("text", "(?i)slow|wait")
@@ -133,6 +161,9 @@ def q_f46_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         slow.alias("mentions_slow"),
         keyword_flag("text", "(?i)spark|stream").alias("mentions_engine"),
         (slow & (F.col("n_chars") > 300)).alias("long_complaint"),
+        *[c.cast("int").alias(f"pii_{n}")
+          for n, c in zip(PII_PATTERNS, pii_counts("text"))],
+        F.md5(redact_pii("text")).alias("redacted_md5"),
     )
 
 
