@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..numerics import davg, sql_davg
+from ..operators.contamination import ngram_contamination
 from ..operators.dedup import dedup_exact_content
 from ..operators.multimodal import decode_media, media_from_text
 from ..operators.similarity import (
@@ -397,9 +398,37 @@ SELECT s.doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
       / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
       AS DECIMAL(24,12)), 6) AS DOUBLE)
     ELSE 0.0 END AS distinct_token_ratio,
-  COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share
-FROM stats s LEFT JOIN bigram_share b ON s.doc_id = b.doc_id
+  COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share,
+  CAST(LEN(g.g) AS INT) AS n_grams,
+  CAST(LEN(LIST_INTERSECT(g.g, bench.bg)) AS INT) AS contaminated_ngrams,
+  LEN(LIST_INTERSECT(g.g, bench.bg)) >= 1 AS is_contaminated
+FROM stats s
+LEFT JOIN bigram_share b ON s.doc_id = b.doc_id
+JOIN grams g ON s.doc_id = g.doc_id
+CROSS JOIN bench
 """
+
+# contamination CTEs spliced ahead of the final SELECT: per-doc
+# distinct 8-gram shingles + the doc_id<20 slice as the benchmark
+# (operators.contamination mirrored in DuckDB list comprehensions)
+_QUALITY_ORACLE = _QUALITY_ORACLE.replace(
+    ")\nSELECT s.doc_id",
+    r"""),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN LEN(toks) >= 8 THEN
+      LIST_DISTINCT([ARRAY_TO_STRING(toks[i:i+7], ' ')
+                     FOR i IN RANGE(1, LEN(toks) - 6)])
+      ELSE [] END AS g
+  FROM (SELECT doc_id,
+          REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(COALESCE(text, ''))), '\s+') AS toks
+        FROM documents)
+),
+bench AS (
+  SELECT LIST_DISTINCT(FLATTEN(LIST(g))) AS bg FROM grams WHERE doc_id < 20
+)
+SELECT s.doc_id""",
+)
 
 
 @register("q_text_quality", oracle=_QUALITY_ORACLE)
@@ -425,7 +454,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_token_ratio("text").alias("distinct_token_ratio"),
         F.col("text").alias("__text"),
     )
-    return top_bigram_share(base, "__text", "doc_id").drop("__text")
+    quality = top_bigram_share(base, "__text", "doc_id").drop("__text")
+    # benchmark decontamination rides the same suite: doc_id<20 as the
+    # benchmark slice, 8-gram overlap (operators.contamination) — the
+    # oracle rebuilds the shingle sets in DuckDB list comprehensions
+    contamination = ngram_contamination(
+        d.withColumn("text", F.coalesce("text", F.lit(""))),
+        d.filter(F.col("doc_id") < 20)
+        .withColumn("text", F.coalesce("text", F.lit(""))),
+        "text", "doc_id", n=8,
+    )
+    return quality.join(contamination, "doc_id", "inner")
 
 
 # --- multimodal plumbing (oracle-backed mapInPandas stage) -------------------
