@@ -26,8 +26,12 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     """Distinct word n-grams of lowercased whitespace tokens, as
     space-joined strings — pure expressions (sequence + slice +
     array_join), no UDF.  Documents shorter than ``n`` tokens yield
-    an empty array."""
-    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    an empty array — including the empty/whitespace-only document,
+    whose ``split`` artifact ``['']`` would otherwise surface as one
+    empty "gram" at n=1 (hypothesis-found)."""
+    trimmed = F.trim(_c(col))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(trimmed), r"\s+"))
     k = F.size(toks) - F.lit(int(n) - 1)
     grams = F.when(k > 0, F.transform(
         F.sequence(F.lit(1), k),

@@ -203,3 +203,66 @@ def test_prefix_filter_jaccard_property(spark, corpora):
         ).collect()
     }
     assert got == expected
+
+
+_PII_SNIPPETS = [
+    "x.y@bank.ma", "+212 661 234 567", "MA64011519000001205000534921",
+    "4539 1488 0343 6467", "10.0.0.255",
+]
+_WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    min_size=0, max_size=12,
+)
+_TEXT_WITH_PII = st.tuples(
+    _WORDS, st.lists(st.sampled_from(_PII_SNIPPETS), max_size=3)
+).map(lambda t: " ".join(t[0] + t[1]))
+
+
+@given(st.lists(_TEXT_WITH_PII, min_size=1, max_size=25))
+@_SETTINGS
+def test_redact_pii_matches_duckdb_on_random_text(spark, texts):
+    """Spark and DuckDB must produce byte-identical redactions for
+    arbitrary word salads with injected PII snippets — the regex
+    chain stays in the RE2 ∩ Java-regex portable subset."""
+    import duckdb
+
+    from data_warehouse_morrocan_banks_spark.operators.privacy import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i INT, t STRING")
+    got = {r["i"]: r["red"] for r in
+           df.select("i", redact_pii("t").alias("red")).collect()}
+
+    con = duckdb.connect()
+    expr = "t"
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        expr = f"REGEXP_REPLACE({expr}, '{esc}', '[{name.upper()}]', 'g')"
+    for i, t in enumerate(texts):
+        want = con.sql(f"SELECT {expr} AS r FROM (SELECT ? AS t)",
+                       params=[t]).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+    con.close()
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=6))
+@_SETTINGS
+def test_word_ngrams_matches_python_oracle(spark, token_lists, n):
+    from data_warehouse_morrocan_banks_spark.operators.contamination import (
+        word_ngrams,
+    )
+
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i INT, t STRING")
+    got = {r["i"]: sorted(r["g"]) for r in
+           df.select("i", word_ngrams("t", n).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        want = sorted({" ".join(toks[j:j + n])
+                       for j in range(len(toks) - n + 1)})
+        assert got[i] == want, (t, n)
