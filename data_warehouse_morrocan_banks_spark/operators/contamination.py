@@ -28,10 +28,13 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     array_join), no UDF.  Documents shorter than ``n`` tokens yield
     an empty array — including the empty/whitespace-only document,
     whose ``split`` artifact ``['']`` would otherwise surface as one
-    empty "gram" at n=1 (hypothesis-found)."""
-    trimmed = F.trim(_c(col))
-    toks = F.when(trimmed == "", F.array().cast("array<string>")) \
-        .otherwise(F.split(F.lower(trimmed), r"\s+"))
+    empty "gram" at n=1 (hypothesis-found).  The strip is the
+    explicit ``[ \\t\\n\\r]`` class (``F.trim`` removes spaces only,
+    so a tab/newline-edged document would keep an empty edge token →
+    phantom n-grams; same pitfall functions/text.word_count pins)."""
+    stripped = F.regexp_replace(_c(col), r"^[ \t\n\r]+|[ \t\n\r]+$", "")
+    toks = F.when(stripped == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(stripped), r"[ \t\n\r]+"))
     k = F.size(toks) - F.lit(int(n) - 1)
     grams = F.when(k > 0, F.transform(
         F.sequence(F.lit(1), k),

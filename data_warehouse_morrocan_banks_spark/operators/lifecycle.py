@@ -50,8 +50,19 @@ def begin(key: str) -> None:
     for release in _GENERATIONS.pop(key, []):
         try:
             release()
-        except Exception:  # session already stopped — nothing to free
-            pass
+        except Exception as ex:
+            # a stopped session means the blocks are already gone —
+            # anything else deserves a signal: the generation entry is
+            # popped, so a silently failed release would pin its
+            # blocks for the session lifetime (the exact leak this
+            # module exists to prevent)
+            import warnings
+
+            warnings.warn(
+                f"lifecycle.begin({key!r}): release failed, blocks may "
+                f"stay pinned: {type(ex).__name__}: {ex}",
+                RuntimeWarning, stacklevel=2,
+            )
 
 
 def pin(key: str, df: DataFrame,

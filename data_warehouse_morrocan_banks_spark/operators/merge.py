@@ -260,8 +260,13 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
     for that ``__bucket`` — and dynamic partition overwrite only
     rewrites partitions present in the output, so the stale bucket
     directory would survive and its deleted rows reappear on the next
-    read.  Those buckets are deleted explicitly (Hadoop FS API, so
-    any filesystem works) before the overwrite.
+    read.  Each such bucket directory is overwritten with an EMPTY
+    schema-bearing parquet (Spark's zero-partition write emits one
+    footer-only part file): the rows are gone, the partition-dir
+    layout stays uniform, and — unlike deleting the directory — a
+    delete batch that empties EVERY bucket still leaves a readable
+    zero-row table instead of a directory with no parquet files at
+    all ("Unable to infer schema" on the next read).
 
     The staging checkpoint's blocks release as soon as the write (and
     empty-bucket delete) lands — repeated merges in one session hold
@@ -295,15 +300,14 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
     try:
         # touched buckets absent from the merged output: emptied by the
-        # merge — dynamic overwrite won't visit them, delete explicitly
+        # merge — dynamic overwrite won't visit them, so overwrite each
+        # with an empty schema-bearing parquet (see docstring)
         present = {
             r["__bucket"] for r in merged.select("__bucket").distinct().collect()
         }
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
+        empty = merged.drop("__bucket").limit(0)
         for b in set(buckets) - present:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/__bucket={b}")
-            p.getFileSystem(hconf).delete(p, True)
+            empty.write.mode("overwrite").parquet(f"{path}/__bucket={b}")
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

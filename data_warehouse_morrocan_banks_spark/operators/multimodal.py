@@ -108,6 +108,7 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator) -> Iterator:
         import hashlib
+        import math
 
         import pandas as pd
 
@@ -128,7 +129,6 @@ def decode_media(df: DataFrame) -> DataFrame:
             acc = 0
             for ch in payload.decode("utf-8", errors="replace")[:1024]:
                 acc = (acc * 31 + ord(ch)) % 1_000_003
-            import math
             return math.floor(acc / 1_000_003 * 1e6 + 0.5) / 1e6, 8
 
         def parse_dims(payload: bytes):

@@ -50,13 +50,24 @@ def _c(col: Column | str) -> Column:
 
 def pii_counts(col: Column | str) -> list[Column]:
     """One count column per PII class (``pii_email`` …) — the audit
-    signal: scrub pipelines report what they removed."""
-    c = _c(col)
-    return [
-        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-        .alias(f"pii_{name}")
-        for name, pat in PII_PATTERNS.items()
-    ]
+    signal: scrub pipelines report what they removed.
+
+    Counts are STAGED: each class counts matches in the text as the
+    redaction chain would see it (previous classes already replaced),
+    so the counts are exactly what :func:`redact_pii` removes.
+    Counting every pattern against the raw text instead would
+    double-book — the loose phone pattern also matches inside an
+    IBAN, a card number, or a dotted quad, and a compliance report
+    would claim phone numbers in documents containing none."""
+    staged = _c(col)
+    out = []
+    for name, pat in PII_PATTERNS.items():
+        out.append(
+            F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0)))
+            .alias(f"pii_{name}")
+        )
+        staged = F.regexp_replace(staged, pat, f"[{name.upper()}]")
+    return out
 
 
 def redact_pii(col: Column | str, classes: list[str] | None = None) -> Column:

@@ -421,8 +421,13 @@ grams AS (
                      FOR i IN RANGE(1, LEN(toks) - 6)])
       ELSE [] END AS g
   FROM (SELECT doc_id,
-          REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(COALESCE(text, ''))), '\s+') AS toks
-        FROM documents)
+          CASE WHEN stripped = '' THEN []
+               ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(stripped), '[ \t\n\r]+')
+          END AS toks
+        FROM (SELECT doc_id,
+                REGEXP_REPLACE(COALESCE(text, ''),
+                               '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS stripped
+              FROM documents))
 ),
 bench AS (
   SELECT LIST_DISTINCT(FLATTEN(LIST(g))) AS bg FROM grams WHERE doc_id < 20

@@ -99,22 +99,24 @@ def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan.
 
 def _pii_oracle_columns() -> str:
-    """DuckDB mirror of operators.privacy: per-class counts + md5 of
-    the fully redacted text (byte-parity proof under the driver)."""
+    """DuckDB mirror of operators.privacy: STAGED per-class counts
+    (each class counts on the text with previous classes already
+    redacted, exactly what the chain removes) + md5 of the fully
+    redacted text (byte-parity proof under the driver)."""
     from ..operators.privacy import PII_PATTERNS
 
     cols = []
-    redacted = "text"
+    staged = "text"
     for name, pat in PII_PATTERNS.items():
         esc = pat.replace("'", "''")
         cols.append(
-            f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{esc}')) AS INT)"
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({staged}, '{esc}')) AS INT)"
             f" AS pii_{name}"
         )
-        redacted = (
-            f"REGEXP_REPLACE({redacted}, '{esc}', '[{name.upper()}]', 'g')"
+        staged = (
+            f"REGEXP_REPLACE({staged}, '{esc}', '[{name.upper()}]', 'g')"
         )
-    cols.append(f"MD5({redacted}) AS redacted_md5")
+    cols.append(f"MD5({staged}) AS redacted_md5")
     return ",\n  ".join(cols)
 
 

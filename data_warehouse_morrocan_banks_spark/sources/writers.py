@@ -59,16 +59,22 @@ def write_jdbc_validated(df: DataFrame, url: str, table: str,
     (nullability, types), so the same split is expressible as a
     predicate.  Rows satisfying ``valid`` write; the rest come back as
     a QUARANTINE DataFrame — diverted and countable, never silently
-    dropped.  One scan feeds both sides (the writer and the
-    quarantine share the source frame, and the predicate is
-    whole-stage-codegen).
+    dropped.  The valid side is ``persist``-ed around the count + the
+    JDBC write so both see ONE materialization — without it they are
+    independent jobs and the returned count could diverge from the
+    rows actually written if the upstream is nondeterministic or
+    changes between jobs.  The quarantine frame stays lazy (the
+    caller decides whether to pay for it).
 
     Returns ``(written_count, quarantine_df)``.
     """
     from pyspark.sql import functions as F
 
-    ok = df.filter(valid)
+    ok = df.filter(valid).persist()
     quarantine = df.filter(~F.coalesce(valid, F.lit(False)))
-    n = ok.count()
-    write_jdbc(ok, url, table, properties=properties, batchsize=batchsize)
+    try:
+        n = ok.count()
+        write_jdbc(ok, url, table, properties=properties, batchsize=batchsize)
+    finally:
+        ok.unpersist()
     return n, quarantine

@@ -147,6 +147,16 @@ def stream_exact_dedup(spark: SparkSession, parquet_path: str,
     partition on the key every stateful op pays; content keys
     (md5 of text) distribute uniformly by construction, so no salting
     is needed at any scale.
+
+    The bounded state is a CONTRACT, not just an optimization: a key
+    recurring more than ``delay`` after its watermark-expired first
+    occurrence is emitted AGAIN (its state is gone), and rows arriving
+    later than the advanced watermark drop.  "Exact" therefore means
+    exactly-one-survivor per key WITHIN any horizon window — the
+    right semantics for ingest dedup where re-crawls cluster in time;
+    global forever-dedup belongs to the batch operators
+    (``dedup_exact_content``), which is also why the batch-equality
+    test runs single-micro-batch, where the two contracts coincide.
     """
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema

@@ -75,7 +75,9 @@ def test_redact_pii_duckdb_parity_on_corpus(spark):
         .withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
             "lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
             "n_chars", F.length("text"))
-    df = docs.limit(200).unionByName(crafted.select(docs.columns))
+    # deterministic slice (bare LIMIT picks engine-dependent rows)
+    df = docs.filter(F.col("doc_id") < 200) \
+        .unionByName(crafted.select(docs.columns))
     got = {r["doc_id"]: r["red"] for r in
            df.select("doc_id", redact_pii("text").alias("red")).collect()}
 
@@ -87,7 +89,7 @@ def test_redact_pii_duckdb_parity_on_corpus(spark):
     rows = con.sql(
         f"SELECT doc_id, {expr} AS red FROM ("
         f"  SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
-        f"  LIMIT 200)"
+        f"  WHERE doc_id < 200)"
     ).fetchall()
     for doc_id, red in rows:
         assert got[doc_id] == red, doc_id

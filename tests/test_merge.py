@@ -230,9 +230,11 @@ def test_scd2_repeated_apply_is_idempotent_for_noop(spark):
 
 
 def test_partitioned_merge_write_deletes_emptied_bucket(spark, tmp_path):
-    """A delete batch that empties a whole bucket must remove the
-    bucket DIRECTORY — dynamic partition overwrite alone would leave
-    the stale files and the deleted rows would reappear on read."""
+    """A delete batch that empties a whole bucket must actually remove
+    its rows — dynamic partition overwrite alone would leave the stale
+    files and the deleted rows would reappear on read.  The emptied
+    bucket dir is overwritten with a schema-bearing empty parquet so
+    the layout stays uniform."""
     path = str(tmp_path / "target")
     base = spark.range(0, 200).select(
         F.col("id").cast("int").alias("id"),
@@ -255,10 +257,36 @@ def test_partitioned_merge_write_deletes_emptied_bucket(spark, tmp_path):
     )
     assert n == 1  # only bucket 0 touched
 
-    assert not os.path.exists(os.path.join(path, "__bucket=0"))
     after = spark.read.parquet(path)
     assert after.count() == 200 - len(b0_ids)
     assert after.filter(F.col("id").isin(b0_ids)).count() == 0
+    assert after.filter(F.col("__bucket") == 0).count() == 0
+
+
+def test_partitioned_merge_write_delete_everything_stays_readable(spark, tmp_path):
+    """A delete batch that empties EVERY bucket must leave a readable
+    zero-row table with the original schema — not a directory with no
+    parquet files ('Unable to infer schema' on the next read, which
+    would also brick the next merge's target scan)."""
+    path = str(tmp_path / "target")
+    base = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("id"), F.lit("live").alias("op"),
+    )
+    bucketed_target_write(base, path, ["id"], n_buckets=4)
+    batch = base.withColumn("op", F.lit("delete"))
+    n = partitioned_merge_write(
+        spark, path, batch, ["id"], n_buckets=4,
+        insert=False, delete_condition=F.col("op") == "delete",
+    )
+    assert n == 4
+    after = spark.read.parquet(path)
+    assert after.count() == 0
+    assert set(after.columns) == {"id", "op", "__bucket"}
+
+    # and the table is still mergeable: a fresh insert batch lands
+    batch2 = spark.createDataFrame([(7, "live")], "id INT, op STRING")
+    partitioned_merge_write(spark, path, batch2, ["id"], n_buckets=4)
+    assert [r["id"] for r in spark.read.parquet(path).collect()] == [7]
 
 
 def test_merge_into_broadcast_form_equivalent_and_broadcasts(spark):
