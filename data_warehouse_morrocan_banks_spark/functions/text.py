@@ -45,20 +45,30 @@ def clean_text_whitelist(col: Column | str) -> Column:
     )
 
 
-def word_count(col: Column | str) -> Column:
-    """F7: whitespace word count, pandas semantics (blank or
-    whitespace-only → 0).
+def whitespace_tokens(col: Column | str) -> Column:
+    """THE engine's whitespace tokenization: strip + split on the
+    explicit ``[ \\t\\n\\r]`` class; empty/whitespace-only → empty
+    array (never the ``['']`` split artifact).
 
-    Explicit ``[ \\t\\n\\r]`` class rather than ``\\s``: SQL TRIM
-    strips spaces only (a "\\n" input would otherwise count 2), and
-    Java/RE2 disagree on ``\\s`` membership (\\x0B) — the explicit
-    class is identical in Spark, DuckDB, and the pandas reference.
+    Explicit class rather than ``\\s``: SQL TRIM strips spaces only,
+    and Java/RE2 disagree on ``\\s`` membership (``\\x0B``) — the
+    explicit class is identical in Spark, DuckDB, and the pandas
+    reference.  The deliberate boundary: ``\\f``/``\\x0B`` are NOT
+    separators in any engine here (they cannot appear in the
+    driver-generated ASCII corpus; a corpus where they matter should
+    widen the class in THIS helper — every tokenizing operator routes
+    through it, so the change lands everywhere at once).
     """
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"^[ \t\n\r]+|[ \t\n\r]+$", "")
-    return F.when(stripped == "", F.lit(0)).otherwise(
-        F.size(F.split(stripped, r"[ \t\n\r]+"))
-    )
+    return F.when(stripped == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(stripped, r"[ \t\n\r]+"))
+
+
+def word_count(col: Column | str) -> Column:
+    """F7: whitespace word count, pandas semantics (blank or
+    whitespace-only → 0).  Tokenization: :func:`whitespace_tokens`."""
+    return F.size(whitespace_tokens(col))
 
 
 def char_count(col: Column | str) -> Column:

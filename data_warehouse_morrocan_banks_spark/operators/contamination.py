@@ -28,13 +28,12 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     array_join), no UDF.  Documents shorter than ``n`` tokens yield
     an empty array — including the empty/whitespace-only document,
     whose ``split`` artifact ``['']`` would otherwise surface as one
-    empty "gram" at n=1 (hypothesis-found).  The strip is the
-    explicit ``[ \\t\\n\\r]`` class (``F.trim`` removes spaces only,
-    so a tab/newline-edged document would keep an empty edge token →
-    phantom n-grams; same pitfall functions/text.word_count pins)."""
-    stripped = F.regexp_replace(_c(col), r"^[ \t\n\r]+|[ \t\n\r]+$", "")
-    toks = F.when(stripped == "", F.array().cast("array<string>")) \
-        .otherwise(F.split(F.lower(stripped), r"[ \t\n\r]+"))
+    empty "gram" at n=1 (hypothesis-found).  Tokenization routes
+    through :func:`..functions.text.whitespace_tokens` — the engine's
+    single pinned whitespace convention."""
+    from ..functions.text import whitespace_tokens
+
+    toks = whitespace_tokens(F.lower(_c(col)))
     k = F.size(toks) - F.lit(int(n) - 1)
     grams = F.when(k > 0, F.transform(
         F.sequence(F.lit(1), k),

@@ -47,20 +47,29 @@ def begin(key: str) -> None:
     ``localCheckpoint``-pinned frames (lineage truncated) a previous
     invocation's *returned* DataFrame becomes invalid once a new
     invocation begins — the operator docstrings state this contract."""
+    failures = []
     for release in _GENERATIONS.pop(key, []):
         try:
             release()
-        except Exception as ex:
-            # a stopped session means the blocks are already gone —
-            # anything else deserves a signal: the generation entry is
-            # popped, so a silently failed release would pin its
-            # blocks for the session lifetime (the exact leak this
-            # module exists to prevent)
+        except Exception as ex:  # never abort the loop mid-generation
+            failures.append(ex)
+    if failures:
+        # a stopped session means the blocks are already gone — stay
+        # silent.  Anything else deserves a signal: the generation
+        # entry is popped, so a silently failed release would pin its
+        # blocks for the session lifetime (the exact leak this module
+        # exists to prevent).  Warn once AFTER the loop so a
+        # warnings-as-error configuration cannot skip sibling releases.
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is not None:
             import warnings
 
+            ex = failures[0]
             warnings.warn(
-                f"lifecycle.begin({key!r}): release failed, blocks may "
-                f"stay pinned: {type(ex).__name__}: {ex}",
+                f"lifecycle.begin({key!r}): {len(failures)} release(s) "
+                f"failed, blocks may stay pinned: "
+                f"{type(ex).__name__}: {ex}",
                 RuntimeWarning, stacklevel=2,
             )
 

@@ -269,8 +269,8 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
     all ("Unable to infer schema" on the next read).
 
     The staging checkpoint's blocks release as soon as the write (and
-    empty-bucket delete) lands — repeated merges in one session hold
-    no residual storage memory.
+    the emptied-bucket overwrite) lands — repeated merges in one
+    session hold no residual storage memory.
 
     Returns the number of buckets rewritten.  Untouched bucket
     directories are not read, not rewritten, byte-identical after.

@@ -18,11 +18,10 @@ def _c(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
-    # explicit class, not \s — see functions.text.word_count
-    stripped = F.regexp_replace(_c(col), r"^[ \t\n\r]+|[ \t\n\r]+$", "")
-    return F.when(stripped == "", F.lit(0)).otherwise(
-        F.size(F.split(stripped, r"[ \t\n\r]+"))
-    )
+    # explicit class, not \s — see functions.text.whitespace_tokens
+    from ..functions.text import whitespace_tokens
+
+    return F.size(whitespace_tokens(col))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

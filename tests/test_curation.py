@@ -91,13 +91,30 @@ def test_redact_pii_duckdb_parity_on_corpus(spark):
         f"  SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
         f"  WHERE doc_id < 200)"
     ).fetchall()
+    # the crafted adversarial rows go through the SAME DuckDB chain —
+    # without this they would exist only on the Spark side and add no
+    # parity coverage
+    expr_t = "t"
+    for name, pat in PII_PATTERNS.items():
+        expr_t = f"REGEXP_REPLACE({expr_t}, '{pat}', '[{name.upper()}]', 'g')"
+    for i, t in _CRAFTED:
+        if t is None:
+            continue
+        want = con.sql(f"SELECT {expr_t} AS red FROM (SELECT ? AS t)",
+                       params=[t]).fetchone()[0]
+        rows.append((i + 1_000_000, want))
+    assert len(rows) == 200 + 6
     for doc_id, red in rows:
         assert got[doc_id] == red, doc_id
     con.close()
 
 
 def _py_ngrams(text: str, n: int) -> set[str]:
-    toks = text.strip().lower().split()
+    # the engine's pinned whitespace class (functions.text.
+    # whitespace_tokens), NOT str.split() — python splits on \f/\v/
+    # unicode whitespace where the engine deliberately does not
+    stripped = text.strip(" \t\n\r").lower()
+    toks = re.split(r"[ \t\n\r]+", stripped) if stripped else []
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
