@@ -95,3 +95,17 @@ def test_repetition_metrics_crafted_inputs(spark):
     assert out[3]["top_bigram_share"] == 1.0     # "spam spam" ×3 of 3
     assert out[2]["top_bigram_share"] == 0.5     # 2 bigrams, each ×1
     assert out[4]["dlf"] == 0.0 and out[4]["top_bigram_share"] == 0.0
+
+
+def test_simhash_query_plan_single_token_scan(spark):
+    """The r2 regression: bucket_size via groupBy + self-join computed
+    the explode/md5/17-agg subtree twice (broadcast build side cannot
+    reuse the probe's shuffle exchange).  The window form must keep
+    exactly ONE explode (Generate) in the physical plan."""
+    from data_warehouse_morrocan_banks_spark import registry
+
+    qs = registry.all_queries()
+    df = qs["q_dedup_simhash"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan[:2000]
+    assert "Window" in plan
