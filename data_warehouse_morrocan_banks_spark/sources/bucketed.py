@@ -1,0 +1,57 @@
+"""Bucketed-table layout for co-located (exchange-free) joins.
+
+The big-join cost at 100 TB is the shuffle: a fact ⋈ fact join on a
+shared key hashes BOTH sides across the cluster every query.  Spark's
+bucketed tables amortize that shuffle into the write: both tables are
+written ``bucketBy(N, key)`` (+ ``sortBy`` for merge-join order), and
+every subsequent equi-join on the key with a matching bucket count
+runs with NO Exchange on either side — each task merge-joins bucket i
+against bucket i where it already sits (plan-asserted in
+tests/test_bucketed.py).
+
+This is the table-layout complement to the other join strategies in
+the engine: broadcast for small dims (operators/joins), salting for
+skew (operators/scale), directory-bucket pruning for incremental
+MERGE (operators/merge) — bucketed tables are for the repeated
+big ⋈ big joins where neither side broadcasts and the key is stable.
+
+Bucketed writes need a table catalog (``saveAsTable``; bucket
+metadata lives in the metastore, not in parquet footers) — the
+embedded Derby metastore Spark ships suffices locally, a Hive/Glue/
+Unity catalog in production, same call sites.  Bucket counts must
+match across join sides (or divide evenly with
+``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(df: DataFrame, name: str, keys: list[str],
+                         n_buckets: int, sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Materialize ``df`` as a bucketed (+ optionally sorted) parquet
+    table in the session catalog.
+
+    ``sort_cols`` defaults to ``keys`` — bucketed AND sorted means a
+    later join needs neither Exchange nor Sort (pure streamed merge
+    per bucket).
+    """
+    w = (
+        df.write.mode(mode).format("parquet")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*(sort_cols if sort_cols is not None else keys))
+    )
+    w.saveAsTable(name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket keys.
+
+    A plain ``join`` — the exchange elimination comes from the table
+    layout, not from this code; the helper exists so call sites (and
+    the plan test) document the intent.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,87 @@
+"""Bucketed-table co-located joins: the written layout must eliminate
+the per-query shuffle — the physical join plan carries NO Exchange on
+either side, and with sorted buckets no Sort either."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture
+def bucketed_pair(spark):
+    # saveAsTable uses the session warehouse dir; managed tables are
+    # deleted on DROP TABLE below, so nothing persists
+    orders = table(spark, SF_SMOKE, "orders")
+    lineitem = table(spark, SF_SMOKE, "lineitem")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "t_orders_b", ["o_orderkey"], 8,
+    )
+    write_bucketed_table(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey"),
+                        "l_quantity", "l_extendedprice"),
+        "t_lineitem_b", ["o_orderkey"], 8,
+    )
+    yield orders, lineitem
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    orders, lineitem = bucketed_pair
+    # disable AQE for the plan assertion: AQE wraps the plan before
+    # execution and hides the static exchange decision being tested
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the sf0.001 tables are small enough to auto-broadcast, which
+        # sidesteps bucketing entirely; at the layout's design scale
+        # neither side broadcasts — force the merge-join path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b",
+                               ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+
+        # and the values are the plain-join values
+        want = (
+            orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "o_orderkey",
+            ).count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
+    """groupBy on the bucket key also rides the layout: partial and
+    final aggregation collapse into one stage, no shuffle."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        agg = (
+            spark.table("t_lineitem_b")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("sq"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert agg.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
