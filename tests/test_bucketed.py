@@ -4,8 +4,6 @@ either side, and with sorted buckets no Sort either."""
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import os
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_morrocan_banks_spark.operators.merge import (
