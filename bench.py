@@ -39,6 +39,8 @@ HEADLINE = [
     "q_stream_sessionize",
     "q_llm_prep_pipeline",
     "q_merge_scd_suite",
+    "q_text_quality",
+    "q_f46_clean_flags",
 ]
 
 
