@@ -278,6 +278,10 @@ def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
     ~10× faster at sf0.1 and the right plan at any scale (map-side
     partial aggregation carries bits+1 ints per id).
     """
+    if not 1 <= bits <= 32:
+        # same guard as simhash(): one md5 hex char per bit — a silent
+        # substring past char 32 would zero-fill the high bits
+        raise ValueError("bits must be 1..32 (one hex char per bit)")
     hashed = df.select(id_col, F.explode(tokens).alias("__t")).select(
         id_col, F.md5("__t").alias("__h")
     )
@@ -430,11 +434,13 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     from .lifecycle import begin, pin_local_checkpoint
 
     begin("jaccard_prefix")
+    from ..functions.text import whitespace_tokens
+
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.col(group_col).alias("__grp"),
         F.array_distinct(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            whitespace_tokens(F.lower(F.col(text_col)))
         ).alias("__t"),
     ).withColumn("__n", F.size("__t"))
 
@@ -452,19 +458,25 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         "jaccard_prefix", exploded.join(vocab, ["__grp", "__tok"])
     )
 
+    # all per-document state keys on (__grp, __id): id_col only needs
+    # to be unique WITHIN a group — a duplicate id across groups would
+    # otherwise interleave two documents' prefix windows and OR their
+    # bitmaps together
     chunked = (
         enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
         .withColumn("__bit", F.expr("shiftleft(CAST(1 AS BIGINT), __r % 64)"))
-        .groupBy("__id", "__n", "__chunk")
+        .groupBy("__grp", "__id", "__n", "__chunk")
         .agg(F.expr("bit_or(__bit)").alias("__mask"))
     )
-    masks = pin_local_checkpoint("jaccard_prefix", chunked.groupBy("__id", "__n").agg(
+    masks = pin_local_checkpoint("jaccard_prefix", chunked.groupBy(
+        "__grp", "__id", "__n"
+    ).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
         ).alias("__mm")
     ))
 
-    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    w = Window.partitionBy("__grp", "__id").orderBy("__df", "__tok")
     prefix = pin_local_checkpoint("jaccard_prefix", (
         enc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
@@ -496,13 +508,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             & (F.col("pa.__n") >= alpha(F.col("pb.__n")))
         )
         .filter(positional_ok)
-        .select(F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb"))
+        .select(F.col("pa.__grp").alias("__grp"),
+                F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb"))
         .distinct()
     )
-    ma = masks.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na"),
-                      F.col("__mm").alias("__ma"))
-    mb = masks.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb"),
-                      F.col("__mm").alias("__mb"))
+    ma = masks.select(F.col("__grp"), F.col("__id").alias("__ida"),
+                      F.col("__n").alias("__na"), F.col("__mm").alias("__ma"))
+    mb = masks.select(F.col("__grp"), F.col("__id").alias("__idb"),
+                      F.col("__n").alias("__nb"), F.col("__mm").alias("__mb"))
     inter = F.aggregate(
         F.map_values(F.map_zip_with(
             F.col("__ma"), F.col("__mb"),
@@ -517,8 +530,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
     ).cast("double")
     return (
-        cands.join(ma, "__ida", "inner")
-        .join(mb, "__idb", "inner")
+        cands.join(ma, ["__grp", "__ida"], "inner")
+        .join(mb, ["__grp", "__idb"], "inner")
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
@@ -683,26 +696,27 @@ def cosine_near_dup_pairs(corpus: DataFrame,
 
     Scale: shuffle keys are bucket ids; vectors ride the candidate
     join once, there is no all-pairs comparison and no Python.
+    Scoring is one ``transform`` lambda over the shared
+    centroid-matrix literal (same K× planning-cost fix as
+    ``ivf_assign``) — this runs over the FULL corpus, the largest
+    input of the IVF family.
     """
-    import math
-
     v = as_double_array(vec_col)
     tagged = corpus.select(
         F.col(id_col), v.alias("__v")
     ).withColumn("__vnorm", l2_norm(F.col("__v")))
-    scores = []
-    for cid, cvec in sorted(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
-        scores.append(F.struct(
+    scores = F.transform(
+        _centroid_matrix(sorted(centroids)),
+        lambda c: F.struct(
             F.round(
-                dot(F.col("__v"), arr) / (F.col("__vnorm") * F.lit(cnorm)), 6
+                dot(F.col("__v"), c["cv"]) / (F.col("__vnorm") * c["cn"]), 6
             ).alias("sim"),
-            F.lit(cid).alias("bucket_id"),
-        ))
+            c["cid"].alias("bucket_id"),
+        ),
+    )
     probed = (
         tagged.withColumn("__cand", F.explode(F.slice(
-            F.sort_array(F.array(*scores), asc=False), 1, nprobe)))
+            F.sort_array(scores, asc=False), 1, nprobe)))
         .select(id_col, "__v", "__vnorm",
                 F.col("__cand.bucket_id").alias("__bucket"))
     )
@@ -763,11 +777,17 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
     ).collect()
     q_ids = [r[id_col] for r in q_rows]
     q_mat = [list(r["__q"]) for r in q_rows]
+    # query_id carries QUERY-side ids — type from the queries frame
+    # (id types may differ across the two frames)
     out_schema = (
-        f"{query_id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        f"{query_id_col} {queries.schema[id_col].dataType.simpleString()}, "
         f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
         f"cosine_sim double"
     )
+    if not q_rows:
+        # expression-form contract: empty query set → empty result
+        # (an empty numpy matrix would crash axis-1 norms in every task)
+        return corpus.sparkSession.createDataFrame([], out_schema)
     kk, ndd = int(k), int(nd)
 
     def score_partition(batches):

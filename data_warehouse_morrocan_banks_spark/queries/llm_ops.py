@@ -74,8 +74,11 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, lang,
-    LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS t
-  FROM documents
+    LIST_DISTINCT(CASE WHEN stripped = '' THEN []
+      ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(stripped), '[ \t\n\r]+') END) AS t
+  FROM (SELECT doc_id, lang,
+          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS stripped
+        FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(ROUND(CAST(CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
@@ -83,8 +86,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     AS DECIMAL(24,12)), 6) AS DOUBLE) AS jaccard_sim
 FROM toks a
 JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
-      (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t))) >= 0.9
+WHERE CAST(ROUND(CAST(CAST(LEN(LIST_INTERSECT(a.t, b.t)) AS DOUBLE) /
+    (LEN(a.t) + LEN(b.t) - LEN(LIST_INTERSECT(a.t, b.t)))
+    AS DECIMAL(24,12)), 6) AS DOUBLE) >= 0.9
 """
 
 
@@ -120,9 +124,13 @@ def _simhash_sql(bits: int) -> str:
 _SIMHASH_ORACLE = rf"""
 WITH base AS (
   SELECT doc_id,
-    LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
-                   t -> MD5(t)) AS hs
-  FROM documents
+    LIST_TRANSFORM(
+      CASE WHEN stripped = '' THEN []
+           ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(stripped), '[ \t\n\r]+') END,
+      t -> MD5(t)) AS hs
+  FROM (SELECT doc_id,
+          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS stripped
+        FROM documents)
 ),
 hashed AS (
   SELECT doc_id, CAST({_simhash_sql(_SIMHASH_BITS)} AS BIGINT) AS simhash16
@@ -149,9 +157,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffle magnitude the groupBy needed anyway — strictly less
     work at any scale.
     """
+    from ..functions.text import whitespace_tokens
+
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = whitespace_tokens(F.lower(F.col("text")))
     hashed = simhash_agg(d, "doc_id", toks, bits=_SIMHASH_BITS) \
         .withColumnRenamed("simhash", "simhash16")
     return hashed.select(
@@ -273,7 +283,11 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     # the 8 seeded centroids are a fixed property of the corpus —
-    # collect once per sf_dir (8 rows), like an IVF index's metadata
+    # collect once per sf_dir (8 rows), like an IVF index's metadata.
+    # Process-lifetime cache (same contract as _LDA_CACHE): testdata
+    # regeneration happens between driver rounds, i.e. across process
+    # restarts — a path whose CONTENT changes within one process would
+    # serve stale centroids
     if sf_dir not in _IVF_CENTROID_CACHE:
         _IVF_CENTROID_CACHE[sf_dir] = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])

@@ -404,3 +404,30 @@ def test_jaccard_vocab_sharding_degenerate_single_group(spark):
         F.countDistinct(F.pmod(F.xxhash64("__tok"), F.lit(8))).alias("n")
     ).collect()[0]["n"]
     assert n_shards_used > 1  # the encode genuinely parallelizes
+
+
+def test_jaccard_ids_unique_per_group_only(spark):
+    """id_col only needs to be unique WITHIN a group: the same id in
+    two groups must not interleave prefix windows or OR bitmaps
+    together (all per-document state keys on (group, id))."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        # group en: ids 1,2 near-identical
+        (1, "en", "atm card visa fee wait slow teller branch queue cash"),
+        (2, "en", "atm card visa fee wait slow teller branch queue cash"),
+        # group fr: SAME ids, disjoint vocab, also near-identical
+        (1, "fr", "guichet carte frais attente lent caissier agence file espece banque"),
+        (2, "fr", "guichet carte frais attente lent caissier agence file espece banque"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, grp STRING, text STRING")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", "grp", threshold=0.9
+        ).collect()
+    )
+    # one exact-dup pair per group, nothing cross-group
+    assert got == [(1, 2, 1.0), (1, 2, 1.0)]
