@@ -54,11 +54,20 @@ def content_hash(col: Column | str, normalize: bool = True) -> Column:
     """128-bit content fingerprint for exact near-zero-collision dedup.
 
     md5 (not Spark's xxhash64) so the value is engine-portable — the
-    DuckDB oracle computes the identical digest.
+    DuckDB oracle computes the identical digest.  Normalization uses
+    the explicit ``[ \\t\\n\\r]`` class (Java and RE2 ``\\s`` disagree
+    on ``\\x0B`` — CLAUDE.md regex rule), and NULL text coalesces to
+    ``''`` first: NULL and empty documents share the no-content
+    family rather than NULL digests collapsing every null-text
+    document into one pseudo-duplicate group under SQL NULL-grouping.
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     if normalize:
-        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        c = F.lower(F.regexp_replace(
+            F.regexp_replace(c, r"^[ \t\n\r]+|[ \t\n\r]+$", ""),
+            r"[ \t\n\r]+", " ",
+        ))
     return F.md5(c)
 
 

@@ -57,6 +57,8 @@ def pack_streaming(df: DataFrame, tokens: Column | str,
     """
     from pyspark.sql import Window
 
+    if int(budget) <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     groups = group_by if isinstance(group_by, (list, tuple)) else [group_by]
     orders = order_by if isinstance(order_by, (list, tuple)) else [order_by]
@@ -82,12 +84,15 @@ def pack_first_fit(df: DataFrame, tokens: str, id_col: str, group_by: str,
     """Greedy first-fit-decreasing packing: whole documents, no straddle.
 
     Returns (group, shard, pack_id, doc ids…) one row per document:
-    ``[group_by, id_col, tokens, __shard, pack_id, pack_fill]`` where
+    ``[group_by, id_col, tokens, shard, pack_id, pack_fill]`` where
     ``pack_fill`` is the pack's total token count (same value on every
-    member row).  Invariant: ``pack_fill ≤ budget`` unless the pack
-    holds a single document larger than the budget (which gets a pack
-    of its own rather than being dropped — the caller decides whether
-    to truncate or discard).
+    member row).  ``pack_id`` is unique per (group, shard) — global
+    pack identity is the (group, shard, pack_id) triple.  Invariant:
+    ``pack_fill ≤ budget`` unless the pack holds a single document
+    larger than the budget (which gets a pack of its own rather than
+    being dropped — the caller decides whether to truncate or
+    discard).  Rows with NULL token counts are rejected with a clear
+    error (a NaN would silently poison a shard's fills).
 
     Shards bound both parallelism and pack quality: packs never span
     shards, so more shards = more parallelism but marginally more
@@ -105,6 +110,11 @@ def pack_first_fit(df: DataFrame, tokens: str, id_col: str, group_by: str,
     cap = int(budget)
 
     def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[tokens].isna().any():
+            raise ValueError(
+                f"pack_first_fit: NULL values in token column {tokens!r} — "
+                "filter or impute upstream (a NaN fill never fits any pack)"
+            )
         pdf = pdf.sort_values(
             [tokens, id_col], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
@@ -143,9 +153,19 @@ def pack_first_fit(df: DataFrame, tokens: str, id_col: str, group_by: str,
 def pack_stats(packed: DataFrame, group_cols: Iterable[str],
                pack_col: str = "pack_id", fill_col: str = "pack_fill",
                budget: int | None = None) -> DataFrame:
-    """Per-group packing efficiency: packs, docs, mean fill ratio."""
+    """Per-group packing efficiency: packs, docs, mean fill ratio.
+
+    ``pack_first_fit`` pack ids are only unique per (group, shard), so
+    when a ``shard`` column is present it joins the pack identity
+    automatically — without it, same-numbered packs from different
+    shards would merge: doc counts double, ``F.first(fill)`` picks an
+    arbitrary shard's fill (nondeterministic), and n_packs undercounts.
+    """
     keys = list(group_cols)
-    per_pack = packed.groupBy(*keys, pack_col).agg(
+    pack_identity = [pack_col]
+    if "shard" in packed.columns and "shard" not in keys:
+        pack_identity = ["shard", pack_col]
+    per_pack = packed.groupBy(*keys, *pack_identity).agg(
         F.count(F.lit(1)).alias("docs"),
         F.first(fill_col).alias("fill"),
     )

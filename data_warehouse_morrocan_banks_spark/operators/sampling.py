@@ -32,16 +32,28 @@ from pyspark.sql import functions as F
 HASH_SPACE = 1 << 60
 
 
+#: Unit-separator byte between key and salt: without a delimiter,
+#: distinct (key, salt) pairs can collide (md5('Xsplit'||'') ==
+#: md5('X'||'split')) and the cross-operator independence guarantee
+#: breaks for suffix-related string keys.  0x1F cannot appear in a
+#: decimal-cast numeric key and is vanishingly unlikely in real ids.
+HASH_SEP = "\x1f"
+
+
 def hash_uniform_int(key: Column | str, salt: str = "") -> Column:
-    """60-bit uniform integer from md5(key || salt), portable to SQL.
+    """60-bit uniform integer from md5(key || 0x1F || salt), portable
+    to SQL.
 
     DuckDB equivalent (bit-identical):
-    ``('0x' || substr(md5(CAST(k AS VARCHAR) || 'salt'), 1, 15))::BIGINT``.
-    Different salts give independent decisions from the same key (keep
-    vs split vs shard), so composed operators don't correlate.
+    ``('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31) || 'salt'),
+    1, 15))::BIGINT``.  Different salts give independent decisions
+    from the same key (keep vs split vs shard), so composed operators
+    don't correlate.  A NULL key hashes to NULL — every consumer
+    below treats that explicitly (samples never select null keys;
+    splits label them NULL).
     """
     c = F.col(key) if isinstance(key, str) else key
-    keyed = F.concat(c.cast("string"), F.lit(salt))
+    keyed = F.concat(c.cast("string"), F.lit(HASH_SEP + salt))
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
 
 
@@ -64,6 +76,11 @@ def deterministic_sample(df: DataFrame, key: Column | str, fraction: float,
     stable across runs, partitionings and appends, and the same key is
     kept or dropped consistently in every table it appears in (useful
     for joining sampled facts to sampled logs).
+
+    NULL keys are never selected — even at fraction 1.0 (a null hash
+    fails every comparison).  A row with no identity has no stable
+    sampling decision; filter nulls or assign surrogate keys upstream
+    if they must participate.
     """
     return df.filter(hash_uniform_int(key, salt) < F.lit(threshold_for(fraction)))
 
@@ -93,6 +110,10 @@ def split_by_hash(df: DataFrame, key: Column | str,
     Ranges are assigned in sorted-label order so the layout is
     reproducible from the spec alone.  Map-only; a row's split never
     changes when data is appended.
+
+    NULL keys get a NULL label — without the guard they would all
+    fall through the when-ladder into the sorted-LAST split and
+    silently contaminate it (a null hash fails every range test).
     """
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
@@ -108,6 +129,7 @@ def split_by_hash(df: DataFrame, key: Column | str,
     expr: Column = F.lit(bounds[-1][0])
     for label, upper in reversed(bounds[:-1]):
         expr = F.when(h < F.lit(upper), F.lit(label)).otherwise(expr)
+    expr = F.when(h.isNull(), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 
@@ -133,11 +155,17 @@ def proportional_mix(df: DataFrame, key: Column | str, stratum: Column | str,
         .collect()
         if r["__s"] in weights
     }
-    missing = set(weights) - set(counts)
+    # zero-weight strata contribute nothing — absence from the data is
+    # fine; only positively-weighted strata must exist
+    missing = {k for k, w in weights.items() if w > 0} - set(counts)
     if missing:
         raise ValueError(f"strata absent from data: {sorted(missing)}")
+    if not any(w > 0 for w in weights.values()):
+        raise ValueError("at least one stratum weight must be positive")
     scale = min(counts[k] / w for k, w in weights.items() if w > 0)
     fractions = {
-        k: min(1.0, (w * scale) / counts[k]) for k, w in weights.items()
+        k: min(1.0, (w * scale) / counts[k])
+        for k, w in weights.items() if w > 0
     }
+    # zero-weight strata ride the default=0.0 rate (dropped entirely)
     return stratified_sample(df, key, s, fractions, default=0.0, salt=salt)

@@ -46,7 +46,9 @@ _SIMHASH_BITS = 16
 
 _EXACT_ORACLE = r"""
 SELECT
-  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS content_md5,
+  MD5(LOWER(REGEXP_REPLACE(
+    REGEXP_REPLACE(COALESCE(text, ''), '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
+    '[ \t\n\r]+', ' ', 'g'))) AS content_md5,
   MIN(doc_id) AS canonical_id,
   COUNT(*) AS n_copies
 FROM documents

@@ -51,11 +51,11 @@ WITH toks AS (
 ),
 sampled AS (
   SELECT doc_id, lang, n_tokens,
-    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15))::BIGINT
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 15))::BIGINT
               < {threshold_for(_SPLITS["eval"])}
          THEN 'eval' ELSE 'train' END AS split
   FROM toks
-  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))::BIGINT
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'mix'), 1, 15))::BIGINT
         < CASE lang
             WHEN 'en' THEN {threshold_for(_MIX["en"])}
             WHEN 'es' THEN {threshold_for(_MIX["es"])}
