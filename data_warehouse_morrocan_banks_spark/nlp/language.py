@@ -41,8 +41,15 @@ def ngram_langid(df, text_col: str, label_col: str, id_col: str,
                  profile_size: int = 200):
     """N-gram-heuristic language ID (the classic trigram-profile
     classifier) as ONE lazy plan: train per-language frequency
-    profiles from the labeled corpus, then classify every document by
+    profiles from the labeled corpus, then classify each document by
     frequency-weighted profile match.
+
+    Contract: only documents sharing ≥1 trigram with some profile
+    appear in the output (the profile join is inner, mirrored by the
+    oracle) — a document with no trigrams (< 3 chars) or fully
+    out-of-vocabulary text has no evidence to classify and is OMITTED
+    rather than guessed; left-join the result back to the corpus if
+    unclassified rows must surface.
 
     Distributed shape: profile fit is explode → two hash aggregates →
     per-language top-k window; classification joins doc-trigram counts

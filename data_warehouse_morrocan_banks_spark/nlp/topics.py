@@ -45,9 +45,9 @@ def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None,
                canonical_id: str | None = None):
     """N4: fit the tokenize→stop→vectorize→LDA pipeline.
 
-    Returns (PipelineModel, vocabulary) or None when the corpus is
-    smaller than the reference's 10-doc gate
-    (nlp_processor_simple.py:188-195).
+    Returns the fitted PipelineModel (vocabulary is
+    ``model.stages[2].vocabulary``) or None when the corpus is smaller
+    than the reference's 10-doc gate (nlp_processor_simple.py:188-195).
 
     Reproducibility (two independent nondeterminism sources, both
     fixed here):

@@ -31,9 +31,18 @@ def upsert_partitions(spark: SparkSession, batch: DataFrame, path: str,
                       partition_col: str) -> None:
     """Overwrite only the partitions the batch touches (dynamic mode);
     all other partitions are untouched — the incremental form of the
-    reference's idempotent rebuild."""
+    reference's idempotent rebuild.
+
+    The overwrite-mode conf is scoped to this write and restored — a
+    session left in dynamic mode would silently turn every later
+    static partitioned overwrite into a partial one (stale partitions
+    surviving a supposed full replace)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    try:
+        batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def streaming_upsert(spark: SparkSession, source_path: str, target_path: str,

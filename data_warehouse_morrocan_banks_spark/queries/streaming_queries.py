@@ -46,8 +46,7 @@ WITH ordered AS (
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL
-                 OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                  - CAST(FLOOR(EPOCH(prev_ts)) AS BIGINT) > 1800
+                 OR EPOCH(ts) - EPOCH(prev_ts) >= 1800
             THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),

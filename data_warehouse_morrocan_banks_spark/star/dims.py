@@ -121,7 +121,24 @@ def derived_dim(source: DataFrame, business_keys: list[str],
     """D3 + W1: distinct-projection dim build with a surrogate key —
     the dim_bank/dim_branch shape (complete_data_pipeline_fixed.py:
     184-216): SELECT DISTINCT business keys + attributes, then
-    ROW_NUMBER key.  Dim-scale only (ordered window)."""
+    ROW_NUMBER key.  Dim-scale only (ordered window).
+
+    The dim is ONE ROW PER BUSINESS KEY by construction: if an
+    attribute varies for the same key (two spellings of a branch
+    name), a bare DISTINCT would mint two surrogate keys and the fact
+    join would fan out, silently corrupting the fact grain.  The
+    deterministic pick is the first row under (attrs ASC) per key.
+    """
     distinct = source.select(*business_keys, *attrs).distinct()
+    if attrs:
+        attr_names = [c for c in distinct.columns if c not in business_keys]
+        wk = Window.partitionBy(*business_keys).orderBy(
+            *[F.col(c) for c in attr_names]
+        )
+        distinct = (
+            distinct.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     w = Window.orderBy(*key_order)
     return distinct.withColumn(key_name, F.row_number().over(w))

@@ -58,7 +58,12 @@ def build_fact(
     if measures is not None:
         fact = fact.select(*measures)
 
-    if surrogate == "dim" and surrogate_order:
+    if surrogate == "dim":
+        if not surrogate_order:
+            raise ValueError(
+                "surrogate='dim' needs surrogate_order — without it the "
+                "fact would silently ship with no row_key at all"
+            )
         w = Window.orderBy(*surrogate_order)
         fact = fact.withColumn("row_key", F.row_number().over(w))
     elif surrogate == "distributed":

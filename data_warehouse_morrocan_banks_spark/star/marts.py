@@ -72,16 +72,19 @@ def geographic_mart(reviews: DataFrame, city_col: str = "city",
 
 def monthly_trends_mart(reviews: DataFrame) -> DataFrame:
     """vw_monthly_trends / vw_monthly_performance (pyc phase3): month ×
-    bank grain with LAG deltas."""
+    bank grain with LAG deltas.  Grain is review_month ('yyyy-MM' from
+    the feature block) — an earlier draft grouped by review_quarter,
+    collapsing 12 data points per year into 4 while claiming monthly.
+    """
     monthly = (
-        reviews.groupBy("bank_name", "review_year", "review_quarter")
+        reviews.groupBy("bank_name", "review_year", "review_month")
         .agg(
             F.count(F.lit(1)).alias("n_reviews"),
             davg("rating", "avg_rating"),
             davg("sentiment_score", "avg_sentiment"),
         )
     )
-    w = Window.partitionBy("bank_name").orderBy("review_year", "review_quarter")
+    w = Window.partitionBy("bank_name").orderBy("review_year", "review_month")
     return (
         monthly.withColumn("prev_avg_sentiment", F.lag("avg_sentiment").over(w))
         .withColumn(

@@ -105,8 +105,13 @@ def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
         return preflight_rowcount(raw_reviews, min_rows, "raw_reviews")
 
     def stage_silver(outputs):
-        silver = enrich_reviews(raw_reviews)
-        silver.cache()  # G7: intermediate=table policy → cached once
+        from ..operators.lifecycle import begin, pin
+
+        # G7: intermediate=table policy → cached once; lifecycle pin
+        # so a rebuild in the same session releases the previous
+        # build's blocks instead of stacking generations
+        begin("warehouse_silver")
+        silver = pin("warehouse_silver", enrich_reviews(raw_reviews))
         silver.count()
         return silver
 
@@ -127,9 +132,14 @@ def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
 
     def stage_fact(outputs):
         silver, dims = outputs["silver"], outputs["dims"]
+        # the fact joins dims for their SURROGATE KEYS only — carrying
+        # dim attributes would duplicate silver columns (branch_name
+        # existed on both sides: every select of it was ambiguous)
+        bank_keys = dims["dim_bank"].select("bank_name", "bank_key")
+        branch_keys = dims["dim_branch"].select("place_id", "branch_key")
         return (
-            silver.join(F.broadcast(dims["dim_bank"]), "bank_name", "left")
-            .join(F.broadcast(dims["dim_branch"]), "place_id", "left")
+            silver.join(F.broadcast(bank_keys), "bank_name", "left")
+            .join(F.broadcast(branch_keys), "place_id", "left")
             .withColumn(
                 "sentiment_key",
                 sentiment_key_expr("sentiment_score", dims["dim_sentiment"]),
@@ -146,7 +156,10 @@ def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
             "monthly_trends": monthly_trends_mart(silver),
             "geographic": geographic_mart(
                 silver.withColumn(
-                    "city", F.regexp_extract("branch_name", r"(\w+)$", 1)
+                    # \p{L}\p{N}, not \w: Java \w is ASCII-only, so city
+                # names ending in accented letters (Salé, Fès) would
+                # extract as '' and collapse into one phantom city
+                "city", F.regexp_extract("branch_name", r"([\p{L}\p{N}]+)$", 1)
                 )
             ),
             "topic_analysis": topic_analysis_mart(silver),

@@ -81,7 +81,14 @@ def stream_daily_rollup(spark: SparkSession, parquet_path: str,
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gaps-and-islands sessionization (the batch/SQL-oracle form of
     ``F.session_window``): a new session starts when the gap to the
-    previous event of the same user exceeds ``gap_minutes``.
+    previous event of the same user reaches ``gap_minutes``.
+
+    The gap test matches ``session_window`` EXACTLY: full-precision
+    epoch seconds (a double cast keeps microseconds; ``unix_timestamp``
+    truncates to whole seconds and would merge a 1800.5 s gap the
+    streaming form splits) and ``>= gap`` (session windows are
+    end-exclusive ``[t, t+gap)``, so an event landing exactly on the
+    boundary starts a NEW session in both forms).
 
     One shuffle on user_id; cumulative-sum window assigns session ids.
     """
@@ -90,7 +97,8 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = (
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_s)
+        | ((F.col("ts").cast("double") - prev_ts.cast("double"))
+           >= F.lit(float(gap_s)))
     ).cast("int")
     with_ids = events.withColumn(
         "session_seq",
