@@ -111,5 +111,9 @@ def like_ladder(col: Column | str, mapping: list[tuple[str, str]],
     up = F.upper(c)
     expr = F.lit(default)
     for token, label in reversed(mapping):
-        expr = F.when(up.like(f"%{token.upper()}%"), F.lit(label)).otherwise(expr)
+        # escape LIKE metacharacters so a token containing '_' or '%'
+        # matches literally, not as a wildcard
+        esc = token.upper().replace("\\", "\\\\") \
+            .replace("%", "\\%").replace("_", "\\_")
+        expr = F.when(up.like(f"%{esc}%"), F.lit(label)).otherwise(expr)
     return expr

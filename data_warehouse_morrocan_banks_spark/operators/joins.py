@@ -36,7 +36,9 @@ def range_bucket_join(fact: DataFrame, dim: DataFrame, value_col: str,
     star.dims.sentiment_key_expr for the CASE-ladder resolution that
     pins the reference's semantics.
     """
-    cond = (F.col(value_col) >= dim[lo_col]) & (F.col(value_col) <= dim[hi_col])
+    # qualify the fact side explicitly — an unqualified F.col would be
+    # ambiguous whenever the dim carries a same-named column
+    cond = (fact[value_col] >= dim[lo_col]) & (fact[value_col] <= dim[hi_col])
     return fact.join(F.broadcast(dim), cond, how)
 
 
@@ -82,7 +84,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     """
     from pyspark.sql import Window
 
-    r_tag = right.select(
+    # a NULL-ts right row would sort NULLS FIRST ahead of the whole
+    # partition and its struct would be carried into left rows with no
+    # true prior match (DuckDB ASOF evaluates ts >= NULL as no-match)
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
         F.struct(
             F.col(ts).alias("__r_ts"),
@@ -110,10 +115,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         F.last("__r", ignorenulls=True).over(w).alias("__r"),
     ).filter(F.col("__side") == 1)
     if tolerance_s is not None:
+        # full-precision epoch diff: unix_timestamp truncates to whole
+        # seconds, keeping matches up to ~1s outside the window
         in_window = (
             F.col("__r").isNotNull()
-            & ((F.unix_timestamp("__ts") - F.unix_timestamp("__r.__r_ts"))
-               <= tolerance_s)
+            & ((F.col("__ts").cast("double")
+                - F.col("__r.__r_ts").cast("double"))
+               <= F.lit(float(tolerance_s)))
         )
         carried = carried.withColumn(
             "__r", F.when(in_window, F.col("__r"))

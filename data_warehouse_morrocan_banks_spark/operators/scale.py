@@ -54,10 +54,20 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
                    path: str | None = None) -> None:
     """Bucket + sort-on-write (the 'index'): downstream equi-joins and
     point lookups on ``bucket_col`` skip the shuffle entirely when
-    both sides share the bucketing."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
-    if sort_col:
-        w = w.sortBy(sort_col)
+    both sides share the bucketing.
+
+    Sorting defaults ON (by the bucket column) — unsorted buckets
+    still skip the Exchange but pay a Sort in every merge join, which
+    defeats half the point of paying for layout at write time.  For
+    multi-key layouts use :func:`..sources.bucketed.write_bucketed_table`
+    (the canonical implementation; this is the single-key/explicit-path
+    convenience form).
+    """
+    w = (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col if sort_col is not None else bucket_col)
+    )
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)

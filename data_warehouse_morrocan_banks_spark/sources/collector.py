@@ -36,6 +36,7 @@ class CollectionStats:
     locations: int = 0
     reviews: int = 0
     skipped_duplicates: int = 0
+    skipped_invalid: int = 0
     per_bank: dict[str, int] = field(default_factory=dict)
 
 
@@ -61,6 +62,12 @@ def collect(
     reviews: list[tuple] = []
     stats = CollectionStats()
 
+    # materialize once: a one-shot iterable (generator) would be
+    # exhausted by the first bank's loop and every later bank would
+    # silently collect nothing
+    banks = list(banks)
+    cities = list(cities)
+
     for bank in banks:
         for city in cities:
             stats.api_calls += 1
@@ -83,6 +90,13 @@ def collect(
                 fetched = fetch_reviews(pid)[:max_reviews_per_location]
                 sleep(delay_s)
                 for rv in fetched:
+                    # per-record error-skip (the reference's semantics:
+                    # one malformed record must not abort a whole paid
+                    # collection pass) — 'time' and 'collected_at' are
+                    # the identity/audit fields a record cannot lack
+                    if rv.get("time") is None or rv.get("collected_at") is None:
+                        stats.skipped_invalid += 1
+                        continue
                     # D5: synthetic composite key
                     rid = f"{pid}_{rv['time']}_{rv.get('author_name', '')}"
                     reviews.append((

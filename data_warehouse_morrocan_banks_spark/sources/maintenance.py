@@ -17,7 +17,12 @@ from dataclasses import dataclass
 
 from ..config import RETENTION_DATA_DAYS, RETENTION_LOG_DAYS
 
-_TS_PATTERN = re.compile(r"(\d{8})")  # yyyymmdd embedded in the name
+# delimiter-bounded run date ('reviews_20240101.json',
+# '<table>_backup_20240101') — a bare \d{8} anywhere would parse any
+# 8-digit id as a date; the year sanity gate below rejects the rest
+# (e.g. job id 12040506 → 'year 1204' → fall back to mtime) so
+# retention cleanup never deletes fresh files on a mis-parsed name
+_TS_PATTERN = re.compile(r"(?:^|_)(\d{8})(?=$|[._-])")
 
 
 @dataclass
@@ -30,7 +35,7 @@ def _age_days(path: str, now: float) -> float:
     """Prefer the timestamp embedded in the filename (the reference
     parses it, S14); fall back to mtime."""
     m = _TS_PATTERN.search(os.path.basename(path))
-    if m:
+    if m and "1990" <= m.group(1)[:4] <= "2100":
         try:
             ts = time.mktime(time.strptime(m.group(1), "%Y%m%d"))
             return (now - ts) / 86400.0

@@ -49,8 +49,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        # MICROS/native files read without touching session conf
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer: the vectorized reader rejects it —
+        # only THEN flip nanosAsLong (execution needs it too, so it
+        # stays set for the session; setting it unconditionally would
+        # silently change how unrelated NANOS reads surface)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
         # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
