@@ -60,20 +60,30 @@ def mean_word_length(col: Column | str) -> Column:
             .otherwise(0.0)
 
 
-def quality_score(col: Column | str, stopwords: list[str],
-                  min_words: int = 10, max_words: int = 2000) -> Column:
-    """Composite [0,1] quality heuristic: length-in-range + healthy
-    stopword rate + sane punctuation + plausible mean word length —
-    the standard pretraining-corpus gate (each term 0/0.25)."""
-    wc = whitespace_token_count(col)
-    sr = stopword_ratio(col, stopwords)
-    pr = punct_ratio(col)
-    mwl = mean_word_length(col)
+def quality_score_from_parts(wc: Column, sr: Column, pr: Column,
+                             mwl: Column, min_words: int = 10,
+                             max_words: int = 2000) -> Column:
+    """Score from ALREADY-COMPUTED metric columns — use this when the
+    select also projects the metrics: higher-order functions sit
+    outside common-subexpression elimination, so deriving the score
+    from raw text next to the metric columns pays the whole
+    tokenize/filter/aggregate chain twice per row."""
     length_ok = wc.between(min_words, max_words).cast("double") * 0.25
     stop_ok = sr.between(0.01, 0.6).cast("double") * 0.25
     punct_ok = (pr <= 0.2).cast("double") * 0.25
     word_ok = mwl.between(2.0, 12.0).cast("double") * 0.25
     return F.round(length_ok + stop_ok + punct_ok + word_ok, 2)
+
+
+def quality_score(col: Column | str, stopwords: list[str],
+                  min_words: int = 10, max_words: int = 2000) -> Column:
+    """Composite [0,1] quality heuristic: length-in-range + healthy
+    stopword rate + sane punctuation + plausible mean word length —
+    the standard pretraining-corpus gate (each term 0/0.25)."""
+    return quality_score_from_parts(
+        whitespace_token_count(col), stopword_ratio(col, stopwords),
+        punct_ratio(col), mean_word_length(col), min_words, max_words,
+    )
 
 
 def rolling_hash(col: Column | str, mod: int = 2147483647, base: int = 31) -> Column:

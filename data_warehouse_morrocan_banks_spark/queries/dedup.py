@@ -104,8 +104,13 @@ def q_d123_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("keep_first_events").alias("src"),
         F.col("event_id").cast("string").alias("k1"),
-        synthetic_key(
-            ["user_id", F.unix_timestamp("ts"), "event_type"]
+        # NULL-propagating concat to match the oracle's '||' exactly —
+        # synthetic_key (concat_ws) SKIPS null parts, so one
+        # null-user_id event would hash-diverge the whole row
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("_"),
+            F.unix_timestamp("ts").cast("string"), F.lit("_"),
+            F.col("event_type"),
         ).alias("k2"),
         business_hours_bucket("ts").alias("k3"),
         F.unix_timestamp("ts").cast("double").alias("ts_epoch"),

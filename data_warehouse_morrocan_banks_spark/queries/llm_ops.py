@@ -29,7 +29,6 @@ from ..operators.textstats import (
     bpe_ish_token_count,
     mean_word_length,
     punct_ratio,
-    quality_score,
     rolling_hash,
     stopword_ratio,
     whitespace_token_count,
@@ -166,7 +165,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = whitespace_tokens(F.lower(F.col("text")))
     hashed = simhash_agg(d, "doc_id", toks, bits=_SIMHASH_BITS) \
         .withColumnRenamed("simhash", "simhash16")
-    return hashed.select(
+    # zero-token documents vanish in the explode but the oracle folds
+    # their empty hash list to fingerprint 0 — join them back so both
+    # sides emit one row per non-NULL-text document (NULL text drops
+    # identically in both: NULL token array here, NULL join key there)
+    all_docs = d.filter(toks.isNotNull()).select("doc_id")
+    fingerprints = all_docs.join(hashed, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash16", F.lit(0)).alias("simhash16")
+    )
+    return fingerprints.select(
         "doc_id",
         "simhash16",
         F.count(F.lit(1)).over(Window.partitionBy("simhash16"))
@@ -460,6 +467,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_bigram_share,
     )
 
+    from ..operators.textstats import quality_score_from_parts
+
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     base = d.select(
@@ -468,12 +477,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio("text").alias("punct_ratio"),
         stopword_ratio("text", _STOPWORDS).alias("stopword_ratio"),
         mean_word_length("text").alias("mean_word_len"),
-        quality_score("text", _STOPWORDS).alias("quality_score"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
         rolling_hash("text").alias("rolling_hash_fp"),
         dup_line_fraction("text").alias("dup_line_fraction"),
         distinct_token_ratio("text").alias("distinct_token_ratio"),
         F.col("text").alias("__text"),
+    )
+    # score from the already-projected metric columns: HOFs sit
+    # outside subexpression elimination, so quality_score("text")
+    # alongside the metrics would tokenize every document twice
+    base = base.withColumn(
+        "quality_score",
+        quality_score_from_parts(
+            F.col("n_words"), F.col("stopword_ratio"),
+            F.col("punct_ratio"), F.col("mean_word_len"),
+        ),
     )
     quality = top_bigram_share(base, "__text", "doc_id").drop("__text")
     # benchmark decontamination rides the same suite: doc_id<20 as the

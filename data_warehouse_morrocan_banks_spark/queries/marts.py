@@ -102,7 +102,7 @@ SELECT
   region_name,
   CAST(SUM(nation_customers) AS BIGINT) AS total_customers,
   CAST(SUM(nation_orders) AS BIGINT) AS total_orders,
-  CAST(ROUND(SUM(nation_revenue), 4) AS DOUBLE) AS total_revenue,
+  {sql_dsum('nation_revenue', 'total_revenue')},
   COUNT(*) AS nations_present,
   MAX(CASE WHEN rn = 1 THEN nation_name END) AS top_nation
 FROM ranked
@@ -142,7 +142,7 @@ def q_mart_geographic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("nation_customers").alias("total_customers"),
             F.sum("nation_orders").alias("total_orders"),
-            F.round(F.sum("nation_revenue"), 4).alias("total_revenue"),
+            dsum("nation_revenue", "total_revenue"),
             F.count(F.lit(1)).alias("nations_present"),
             F.max(F.when(F.col("rn") == 1, F.col("nation_name"))).alias("top_nation"),
         )

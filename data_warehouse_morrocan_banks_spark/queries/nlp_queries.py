@@ -157,16 +157,14 @@ FROM cleaned
 
 @register("q_n3_lda_preprocess", oracle=_N3_ORACLE)
 def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text_whitelist
+
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    cleaned = F.trim(
-        F.lower(
-            F.regexp_replace(
-                F.col("text"), "[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\\s]", " "
-            )
-        )
-    )
+    # the single accent-whitelist implementation — an inline copy here
+    # would silently diverge if the whitelist is ever widened
+    cleaned = clean_text_whitelist("text")
     tokens = F.filter(
         F.split(cleaned, r"\s+"),
         lambda t: (F.length(t) > 2) & ~F.array_contains(stop_arr, t),
@@ -216,7 +214,13 @@ def q_n5_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_n6_topic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 words per topic from the fitted model (SURVEY N6)."""
     ensure_query_confs(spark)
-    return topic_summary(_lda_model(spark, sf_dir), 10)
+    model = _lda_model(spark, sf_dir)
+    if model is None:  # corpus under the 10-doc gate (same guard as q_n5)
+        return spark.createDataFrame(
+            [], "topic_id INT, topic_label STRING, "
+                "top_words STRING, weights_json STRING"
+        )
+    return topic_summary(model, 10)
 
 
 # --- n-gram-heuristic language ID (text-analysis extension) -----------------

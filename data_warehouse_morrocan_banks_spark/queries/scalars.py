@@ -84,8 +84,10 @@ def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         slug("p_type").alias("type_slug"),
         char_count("p_name").alias("name_chars"),
         stable_hash_key("p_brand", "p_size").alias("part_hash_key"),
-        F.concat_ws("_", F.col("p_partkey").cast("string"), F.col("p_brand"))
-        .alias("synthetic_id"),
+        # NULL-propagating concat to mirror the oracle's '||' (concat_ws
+        # would silently skip a NULL p_brand and hash-diverge)
+        F.concat(F.col("p_partkey").cast("string"), F.lit("_"),
+                 F.col("p_brand")).alias("synthetic_id"),
         like_ladder("p_type", _F5_LADDER, "Other").alias("type_category"),
     )
 

@@ -64,12 +64,17 @@ def q_w12_nation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_mktsegment").alias("distinct_segments"),
         davg("c_acctbal", "avg_acctbal"),
     )
-    keyed = surrogate_key(n, "nation_key", [F.col("n_name")], scale="dim")
-    joined = keyed.join(
+    # surrogate key AFTER the inner join: the oracle's ROW_NUMBER runs
+    # over the join result, so a nation with zero customers must not
+    # consume a key — numbering before the join would shift every
+    # later nation's key the moment such a nation appears
+    joined = n.join(
         F.broadcast(stats),
-        keyed["n_nationkey"] == stats["c_nationkey"],
+        n["n_nationkey"] == stats["c_nationkey"],
         "inner",
     )
+    joined = surrogate_key(joined, "nation_key", [F.col("n_name")],
+                           scale="dim")
     ranked = rank_by(
         joined, "balance_rank",
         [F.col("avg_acctbal").desc(), F.col("n_nationkey")],

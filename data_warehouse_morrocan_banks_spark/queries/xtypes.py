@@ -61,7 +61,6 @@ def q_x_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     ev = table(spark, sf_dir, "events")
 
-    services = F.lit(None).cast("array<string>")
     expr = F.array(F.lit("Support"))
     for etype, svcs in reversed(list(_SERVICES.items())):
         if etype == "error":
