@@ -44,6 +44,11 @@ def add_review_features(df: DataFrame, text_col: str = "text",
             .otherwise("Brief"),
         )
     )
+    # match against lower(text): Java's inline (?i) folds ASCII only,
+    # so 'EMPLOYÉ'/'COÛT' would never hit the accented patterns —
+    # lower() is Unicode-aware and the pattern keywords are lowercase
     for flag, pattern in MENTION_PATTERNS.items():
-        out = out.withColumn(flag, keyword_flag(text_col, pattern))
+        out = out.withColumn(
+            flag, keyword_flag(F.lower(F.col(text_col)), pattern)
+        )
     return out

@@ -41,8 +41,14 @@ def lexicon_sentiment_cols(
     """Deterministic lexicon sentiment: score/label/confidence exprs."""
     c = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(c)
-    pos = contains_hits(lowered, positive or POSITIVE_LEXICON)
-    neg = contains_hits(lowered, negative or NEGATIVE_LEXICON)
+    # coalesce: NULL text must yield ZERO evidence — without it the
+    # NULL hit count propagates into confidence where least(NULL, 1.0)
+    # SKIPS the null (both engines) and a no-evidence row reports full
+    # confidence 1.0
+    pos = F.coalesce(contains_hits(lowered, positive or POSITIVE_LEXICON),
+                     F.lit(0))
+    neg = F.coalesce(contains_hits(lowered, negative or NEGATIVE_LEXICON),
+                     F.lit(0))
 
     w = F.lit(SENTIMENT_WORD_WEIGHT)
     cap = F.lit(SENTIMENT_SCORE_CAP)

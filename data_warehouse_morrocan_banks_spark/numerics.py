@@ -115,7 +115,12 @@ def dstddev(col: Column | str, alias: str) -> Column:
         .cast("decimal(18,0)")
         .cast("double")
     )
-    sd = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    # the ROUNDED moment sums can make the radicand slightly negative
+    # for small-magnitude groups (e.g. two values of 0.01: sxx rounds
+    # to 0 while sx does not) — clamp at 0: Spark's sqrt would return
+    # NaN but DuckDB SQRT hard-errors, aborting the whole oracle query
+    rad = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    sd = F.sqrt(rad / (n * (n - F.lit(1.0))))
     # STDDEV_SAMP is NULL for n<2 (PG/DuckDB); without the guard the
     # closing math yields 0/0 = NaN.
     return F.when(n >= 2, sd).alias(alias)
@@ -176,5 +181,10 @@ def sql_dstddev(expr: str, alias: str) -> str:
         f" CAST({expr} AS {_DEC_WIDE}) AS {_DEC_WIDE})), 0)"
         f" AS DECIMAL(18,0)) AS DOUBLE)"
     )
-    sd = f"SQRT(({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1.0)))"
+    # GREATEST clamp mirrors the Spark side: rounded moments can go
+    # fractionally negative and DuckDB SQRT raises on negatives
+    sd = (
+        f"SQRT(GREATEST({n} * {sxx} - {sx} * {sx}, 0.0)"
+        f" / ({n} * ({n} - 1.0)))"
+    )
     return f"CASE WHEN {n} >= 2 THEN {sd} END AS {alias}"

@@ -37,6 +37,12 @@ def upsert_partitions(spark: SparkSession, batch: DataFrame, path: str,
     session left in dynamic mode would silently turn every later
     static partitioned overwrite into a partial one (stale partitions
     surviving a supposed full replace)."""
+    from ..session import ensure_query_confs
+
+    # pin the session timezone: the partition date derives from a
+    # TZ-dependent timestamp→date cast, and two runs under different
+    # session zones would land the same event in different partitions
+    ensure_query_confs(spark)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -47,16 +53,53 @@ def upsert_partitions(spark: SparkSession, batch: DataFrame, path: str,
 
 def streaming_upsert(spark: SparkSession, source_path: str, target_path: str,
                      checkpoint: str, partition_col: str,
-                     transform=None) -> None:
+                     transform=None, key_cols: list[str] | None = None) -> None:
     """foreachBatch incremental load: land micro-batches into the
-    partitioned target with partition-scoped overwrite semantics."""
+    partitioned target with partition-scoped overwrite semantics.
+
+    Each batch MERGES with the target rows already in its touched
+    partitions before the dynamic overwrite — a bare overwrite would
+    silently drop previously-landed rows whenever one partition's
+    data spans more than one micro-batch (maxFilesPerTrigger, or two
+    successive incremental runs landing parts of the same day).  With
+    ``key_cols`` the batch replaces same-key target rows (true
+    upsert, retry-idempotent); without, rows union in (append with
+    partition atomicity).
+    """
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
     if transform is not None:
         stream = transform(stream)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        upsert_partitions(spark, batch, target_path, partition_col)
+        from ..operators.lifecycle import (
+            release_rdd_ids,
+            tracked_local_checkpoint,
+        )
+
+        dates = [r[0] for r in batch.select(partition_col).distinct().collect()]
+        if not dates:
+            return
+        try:
+            existing = spark.read.parquet(target_path).filter(
+                F.col(partition_col).isin(dates)
+            )
+        except Exception:  # first batch: target does not exist yet
+            existing = None
+        merged = batch
+        if existing is not None:
+            if key_cols:
+                existing = existing.join(
+                    batch.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+            merged = existing.unionByName(batch)
+        # materialize before the write: parquet cannot overwrite a path
+        # it is lazily reading from (same staging rule as merge.py)
+        merged, ids = tracked_local_checkpoint(merged, eager=True)
+        try:
+            upsert_partitions(spark, merged, target_path, partition_col)
+        finally:
+            release_rdd_ids(merged, ids)
 
     (
         stream.writeStream.trigger(availableNow=True)

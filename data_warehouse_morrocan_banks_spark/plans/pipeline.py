@@ -55,7 +55,7 @@ class PipelineRunner:
             info: dict[str, Any] = {"attempts": 0}
             t0 = time.perf_counter()
             last_err: str | None = None
-            for _ in range(stage.retries + 1):
+            for attempt in range(stage.retries + 1):
                 info["attempts"] += 1
                 try:
                     result = stage.fn(manifest.outputs)
@@ -65,7 +65,8 @@ class PipelineRunner:
                     break
                 except Exception:
                     last_err = traceback.format_exc()
-                    time.sleep(stage.retry_delay_s)
+                    if attempt < stage.retries:  # no sleep after the last try
+                        time.sleep(stage.retry_delay_s)
             info["seconds"] = round(time.perf_counter() - t0, 3)
             info["status"] = "failed" if last_err else "ok"
             if last_err:

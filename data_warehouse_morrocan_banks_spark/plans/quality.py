@@ -57,15 +57,21 @@ def check_table(
     if conds:
         report.checks.update(_violations(df, conds))
 
+    # dbt's unique test excludes NULL keys (they are the not_null
+    # test's business); one aggregate covers min_rows and every unique
+    # column in a single pass — count(c) counts non-null values,
+    # count_distinct(c) the distinct ones, so the difference is the
+    # number of surplus duplicate rows
+    uniq_aggs = [F.count(F.lit(1)).alias("__n")]
     for c in unique or []:
-        dup = (
-            df.groupBy(c).count().filter(F.col("count") > 1)
-            .agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+        uniq_aggs.append(
+            (F.count(F.col(c)) - F.countDistinct(F.col(c)))
+            .alias(f"__dup_{c}")
         )
-        report.checks[f"unique:{c}"] = int(dup)
-
-    n = df.count()
-    report.checks["min_rows"] = 0 if n >= min_rows else 1
+    row = df.agg(*uniq_aggs).collect()[0]
+    for c in unique or []:
+        report.checks[f"unique:{c}"] = int(row[f"__dup_{c}"])
+    report.checks["min_rows"] = 0 if row["__n"] >= min_rows else 1
     return report
 
 

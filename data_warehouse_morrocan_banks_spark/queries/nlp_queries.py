@@ -67,8 +67,8 @@ hits AS (
   SELECT doc_id, n_words,
     {_sql_contains_hits('lt', _LANG_A)} AS hits_a,
     {_sql_contains_hits('text', _LANG_B)} AS hits_b,
-    {_sql_contains_hits('lt', _POS_LEX)} AS positive_hits,
-    {_sql_contains_hits('lt', _NEG_LEX)} AS negative_hits,
+    COALESCE({_sql_contains_hits('lt', _POS_LEX)}, 0) AS positive_hits,
+    COALESCE({_sql_contains_hits('lt', _NEG_LEX)}, 0) AS negative_hits,
     LENGTH(TRIM(text)) AS n_chars
   FROM base
 )
