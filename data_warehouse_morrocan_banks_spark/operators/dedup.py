@@ -215,3 +215,107 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("family_id"))
     )
+
+
+def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 8, carry: list[str] | None = None) -> DataFrame:
+    """Exact k-token span dedup, keep-first — the corpus-rewrite form
+    of duplicate removal (vs. :func:`dedup_exact_content`, which drops
+    whole documents): every k-gram that occurs more than once in the
+    corpus survives only at its first occurrence; all other
+    occurrences' token spans are cut and each document is rebuilt from
+    its remaining tokens.  This is the declarative re-expression of
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") with a fixed span
+    width instead of a suffix array — near-duplicate documents keep
+    their unique content but shed the boilerplate they share.
+
+    Semantics (content-only — no partition-layout dependence):
+
+    - tokens are :func:`..functions.text.whitespace_tokens` of the
+      (NULL-coalesced) text; gram keys are md5 over the LOWERED
+      ``\\x1f``-joined k-token slice, so matching is case-insensitive
+      while the rebuilt text preserves original casing;
+    - the surviving occurrence of a gram is the global argmin by
+      (id, start) — deterministic keep-first, and a document whose
+      k-gram repeats internally self-dedups (all but the first
+      occurrence cut);
+    - a token is cut iff ANY removed gram covers it; overlapping
+      removed spans union (coverage, not per-span slicing);
+    - documents shorter than k tokens pass through untouched;
+    - rebuilt text joins kept tokens with single spaces (tokenizer
+      rebuild — inter-token whitespace is normalized, same convention
+      as :func:`content_hash`).
+
+    Plan shape at 100 TB: one scan explodes to a slim (id, start,
+    hash128) gram table — documents themselves never shuffle; the
+    argmin is one partial-aggregating groupBy on the gram hash
+    (map-side combine absorbs hot boilerplate grams, the skew-safe
+    form — deliberately NOT a per-key window); winners join back on
+    the hash (AQE broadcasts while small); removed starts aggregate
+    per document (ONE row per doc, bounded by n/1 starts) and join
+    back id-to-id.  The per-document cut is a linear higher-order
+    filter, O(n·|removed|) worst case — for pathological |removed|
+    pre-merge the sorted starts into disjoint intervals first; at the
+    default k=8 the bench corpus averages <1 removed span per doc.
+
+    ``id_col`` must be globally unique and non-negative (the argmin
+    order and the DuckDB oracle's zero-padded composite agree only on
+    non-negative ids).
+
+    Output: (id_col, *carry, text_dedup, n_tokens_raw, n_tokens_kept,
+    n_spans_removed).
+    """
+    from ..functions.text import whitespace_tokens
+
+    carry = list(carry or [])
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry],
+        whitespace_tokens(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+
+    # 1-based gram starts (matches the oracle's DuckDB list slicing);
+    # guarded when() because sequence(1, 0) would DESCEND, not empty.
+    starts = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        toks.select("__id", "__t", F.explode(starts).alias("__s"))
+        .select(
+            "__id", "__s",
+            F.md5(F.lower(F.concat_ws(
+                "\x1f", F.slice(F.col("__t"), F.col("__s"), k)
+            ))).alias("__h"),
+        )
+    )
+    winners = grams.groupBy("__h").agg(
+        F.min(F.struct("__id", "__s")).alias("__w")
+    )
+    removed = (
+        grams.join(winners, "__h", "inner")
+        .filter(F.struct("__id", "__s") != F.col("__w"))
+        .select("__id", "__s")
+    )
+    rem_starts = removed.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__s")).alias("__S")
+    )
+
+    covered = lambda i: F.exists(  # noqa: E731 — i is the 0-based token index
+        F.col("__S"), lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k))
+    )
+    return (
+        toks.join(rem_starts, "__id", "left")
+        .withColumn("__S", F.coalesce("__S", F.array().cast("array<int>")))
+        .withColumn("__kept", F.filter("__t", lambda t, i: ~covered(i)))
+        .select(
+            F.col("__id").alias(id_col),
+            *[F.col(c) for c in carry],
+            F.concat_ws(" ", "__kept").alias("text_dedup"),
+            F.col("__n").alias("n_tokens_raw"),
+            F.size("__kept").alias("n_tokens_kept"),
+            F.size("__S").alias("n_spans_removed"),
+        )
+    )

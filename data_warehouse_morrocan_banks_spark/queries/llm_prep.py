@@ -1,23 +1,30 @@
 """Training-data prep pipeline query (LLM-pipeline ext).
 
-``q_llm_prep_pipeline`` chains the three prep operators a pretraining
+``q_llm_prep_pipeline`` chains the prep operators a pretraining
 pipeline runs between raw documents and the token loader, end-to-end
 in one declarative plan:
 
-1. token counting (F7 word-count semantics, one scan of documents),
-2. deterministic data mixing — per-language keep rates via the
+1. exact k-token span dedup, keep-first (``operators/dedup.
+   dedup_spans_exact`` — the Lee-et-al. exact-substring rewrite:
+   boilerplate shared between near-duplicate documents is cut at
+   every occurrence but its first, and token counts downstream are
+   the DEDUPED counts),
+2. token counting (F7 word-count semantics over the kept tokens),
+3. deterministic data mixing — per-language keep rates via the
    portable md5 hash (``operators/sampling.stratified_sample``),
-3. train/eval split on an independent salt
+4. train/eval split on an independent salt
    (``operators/sampling.split_by_hash``),
-4. streaming sequence packing into 512-token context windows per
+5. streaming sequence packing into 512-token context windows per
    (lang, split) stream (``operators/packing.pack_streaming``).
 
-Everything is exact integer math over a portable hash, so the DuckDB
-oracle reproduces the full pipeline bit-for-bit — sampling decisions,
-split labels, window ids and offsets.  Plan shape: one scan →
-map-only filter/label → ONE shuffle (the pack window partition).
-At 100 TB the (lang, split) stream key becomes (source, shard) so no
-single window partition dominates; the operators are key-agnostic.
+Everything is exact integer math over portable hashes, so the DuckDB
+oracle reproduces the full pipeline bit-for-bit — span cuts, sampling
+decisions, split labels, window ids and offsets.  Plan shape: one
+scan → slim gram table (id, start, hash — documents never shuffle) →
+skew-safe hash-groupBy argmin + join-back → map-only filter/label →
+ONE wide shuffle (the pack window partition).  At 100 TB the
+(lang, split) stream key becomes (source, shard) so no single window
+partition dominates; the operators are key-agnostic.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import word_count
+from ..operators.dedup import dedup_spans_exact
 from ..operators.packing import pack_streaming
 from ..operators.sampling import split_by_hash, stratified_sample, threshold_for
 from ..registry import register
@@ -37,20 +44,42 @@ _MIX = {"en": 0.5, "es": 0.75, "fr": 1.0, "zh": 0.25}
 _DEFAULT_RATE = 0.1
 _SPLITS = {"train": 0.9, "eval": 0.1}
 _BUDGET = 512
+_SPAN_K = 8
 
 _ORACLE = rf"""
-WITH toks AS (
+WITH docs AS (SELECT doc_id, lang, COALESCE(text, '') AS text FROM documents),
+toks0 AS (
   SELECT doc_id, lang,
-    CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = ''
-         THEN 0
-         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
-           REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
-           '[ \t\n\r]+')) AS INT)
-    END AS n_tokens
-  FROM documents
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE REGEXP_SPLIT_TO_ARRAY(s, '[ \t\n\r]+') END AS t
+  FROM (SELECT doc_id, lang,
+          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS s
+        FROM docs)
+),
+grams AS (
+  SELECT doc_id, u.s AS s,
+    MD5(LOWER(LIST_AGGREGATE(t[u.s:u.s+{_SPAN_K - 1}], 'string_agg', CHR(31)))) AS h
+  FROM toks0, UNNEST(CASE WHEN LEN(t) >= {_SPAN_K}
+                          THEN RANGE(1, LEN(t) - {_SPAN_K - 2})
+                          ELSE [] END) AS u(s)
+),
+win AS (SELECT h, MIN(PRINTF('%020d|%010d', doc_id, s)) AS w FROM grams GROUP BY h),
+rem AS (SELECT g.doc_id, g.s FROM grams g JOIN win USING(h)
+        WHERE PRINTF('%020d|%010d', g.doc_id, g.s) <> w),
+cov AS (SELECT doc_id, COUNT(DISTINCT i) AS c FROM
+          (SELECT r.doc_id, u.i FROM rem r,
+             UNNEST(RANGE(r.s, r.s + {_SPAN_K})) AS u(i))
+        GROUP BY doc_id),
+spans AS (SELECT doc_id, COUNT(*) AS ns FROM rem GROUP BY doc_id),
+toks AS (
+  SELECT t.doc_id, t.lang,
+    CAST(LEN(t.t) - COALESCE(c, 0) AS INT) AS n_tokens,
+    CAST(LEN(t.t) AS INT) AS n_tokens_raw,
+    CAST(COALESCE(ns, 0) AS INT) AS n_spans_removed
+  FROM toks0 t LEFT JOIN cov USING(doc_id) LEFT JOIN spans USING(doc_id)
 ),
 sampled AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, lang, n_tokens, n_tokens_raw, n_spans_removed,
     CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split'), 1, 15))::BIGINT
               < {threshold_for(_SPLITS["eval"])}
          THEN 'eval' ELSE 'train' END AS split
@@ -71,7 +100,7 @@ packed AS (
   ) AS cum
   FROM sampled
 )
-SELECT doc_id, lang, split, n_tokens,
+SELECT doc_id, lang, split, n_tokens, n_tokens_raw, n_spans_removed,
   CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS pack_id,
   CAST((cum - n_tokens) % {_BUDGET} AS BIGINT) AS pack_offset,
   CAST((cum - 1) // {_BUDGET} AS BIGINT) AS pack_end
@@ -83,8 +112,15 @@ FROM packed
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", word_count("text").alias("n_tokens")
+    # stage 0: exact-span dedup — downstream token counts are the
+    # DEDUPED counts, so near-duplicate boilerplate doesn't spend
+    # packing budget twice (n_tokens_kept == word_count of the
+    # rebuilt text: kept tokens contain no whitespace)
+    spans = dedup_spans_exact(d, "text", "doc_id", k=_SPAN_K, carry=["lang"])
+    toks = spans.select(
+        "doc_id", "lang",
+        F.col("n_tokens_kept").alias("n_tokens"),
+        "n_tokens_raw", "n_spans_removed",
     )
     sampled = stratified_sample(
         toks, "doc_id", "lang", _MIX, default=_DEFAULT_RATE, salt="mix"
@@ -96,5 +132,6 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id", "lang", "split", "n_tokens",
+        "n_tokens_raw", "n_spans_removed",
         "pack_id", "pack_offset", "pack_end",
     )

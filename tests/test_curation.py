@@ -175,3 +175,84 @@ def test_word_ngrams_short_and_exact(spark):
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == []
     assert got[2] == []
+
+
+# --- exact k-token span dedup (keep-first) ----------------------------------
+
+def _spans(spark, rows, k=3):
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    return {
+        r["doc_id"]: r
+        for r in dedup_spans_exact(df, "text", "doc_id", k=k).collect()
+    }
+
+
+def test_span_dedup_keep_first_and_rebuild(spark):
+    # doc 1 owns the shared 3-gram "a b c"; doc 2 loses exactly that
+    # span and keeps its unique suffix; doc 3 shares nothing.
+    got = _spans(spark, [
+        (1, "a b c x y z"),
+        (2, "a b c q r s"),
+        (3, "unrelated words entirely here"),
+    ])
+    assert got[1]["text_dedup"] == "a b c x y z"
+    assert got[1]["n_spans_removed"] == 0
+    assert got[2]["text_dedup"] == "q r s"
+    assert (got[2]["n_tokens_raw"], got[2]["n_tokens_kept"]) == (6, 3)
+    assert got[2]["n_spans_removed"] == 1
+    assert got[3]["text_dedup"] == "unrelated words entirely here"
+
+
+def test_span_dedup_overlapping_spans_union_coverage(spark):
+    # doc 2 repeats doc 1's whole text: every 3-gram start (4 of them)
+    # is a removed span; covered tokens union to the full document,
+    # not 4*k slices.
+    got = _spans(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    assert got[1]["text_dedup"] == "a b c d e f"
+    assert got[2]["text_dedup"] == ""
+    assert got[2]["n_tokens_kept"] == 0
+    assert got[2]["n_spans_removed"] == 4
+
+
+def test_span_dedup_internal_repetition_self_dedups(spark):
+    # one document, one repeated phrase: the second occurrence's gram
+    # is cut even though both live in the SAME doc (argmin is by
+    # (id, start), so within-doc later starts lose too).
+    got = _spans(spark, [(1, "stop me stop me stop")], k=2)
+    # 2-grams: (stop,me)@1 (me,stop)@2 (stop,me)@3 (me,stop)@4 —
+    # starts 3 and 4 are dups; their coverage unions to tokens 3..5
+    assert got[1]["text_dedup"] == "stop me"
+    assert got[1]["n_spans_removed"] == 2
+
+
+def test_span_dedup_short_null_and_case(spark):
+    got = _spans(spark, [
+        (1, "too short"),          # n < k: passes through untouched
+        (2, None),                 # NULL coalesces to empty
+        (3, "A B C d"),            # case-insensitive match key...
+        (4, "a b c e"),
+    ])
+    assert got[1]["text_dedup"] == "too short"
+    assert got[2]["text_dedup"] == "" and got[2]["n_tokens_raw"] == 0
+    # ...but the SURVIVOR keeps its original casing
+    assert got[3]["text_dedup"] == "A B C d"
+    assert got[4]["text_dedup"] == "e"
+
+
+def test_span_dedup_layout_invariant_on_corpus(spark):
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    a = dedup_spans_exact(d.repartition(1), "text", "doc_id").orderBy(
+        "doc_id").collect()
+    b = dedup_spans_exact(d.repartition(13), "text", "doc_id").orderBy(
+        "doc_id").collect()
+    assert a == b
+    assert any(r["n_spans_removed"] > 0 for r in a) or len(a) < 100
