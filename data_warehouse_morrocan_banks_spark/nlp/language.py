@@ -26,7 +26,16 @@ from ..config import ARABIC_INDICATORS, FRENCH_INDICATORS
 
 def char_trigrams(text: Column) -> Column:
     """Character trigram array (lowered); empty for texts < 3 chars
-    (guarded — Spark's sequence(1, n) DESCENDS when n < 1)."""
+    (guarded — Spark's sequence(1, n) DESCENDS when n < 1).
+
+    Scale note: the ``transform`` lambda references the argument
+    expression per position, and HOF lambdas sit outside codegen
+    subexpression elimination — pass a MATERIALIZED column (project
+    any lower/regex work into its own select first, as
+    :func:`ngram_langid` does), or the argument expression re-runs
+    once per character (O(len²) per document).  The per-element
+    ``lower`` here is the one unavoidable pass; it is idempotent, so
+    pre-lowered input is both correct and cheapest."""
     lt = F.lower(text)
     n = F.length(lt)
     grams = F.transform(
@@ -66,10 +75,27 @@ def ngram_langid(df, text_col: str, label_col: str, id_col: str,
 
     from ..numerics import dsum
 
+    # positions-explode form of explode(char_trigrams(...)): lower the
+    # text ONCE into a materialized column, explode cheap start
+    # positions, substr post-Generate — the inline-generator form
+    # re-lowers the document per character position (HOF lambdas sit
+    # outside codegen subexpression elimination), and Catalyst's
+    # inferred size(generator)>0 filter would re-run the whole
+    # per-position transform once more per row
+    n_lt = F.length("__lt")
     grams = df.select(
         F.col(id_col),
         F.col(label_col).alias("true_lang"),
-        F.explode(char_trigrams(F.col(text_col))).alias("g"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        id_col, "true_lang", "__lt",
+        F.explode(
+            F.when(n_lt >= 3, F.sequence(F.lit(1), n_lt - 2))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col, "true_lang",
+        F.col("__lt").substr(F.col("__i"), F.lit(3)).alias("g"),
     )
     lang_counts = (
         grams.groupBy("true_lang", "g")

@@ -102,6 +102,12 @@ def main():
         return pack_streaming(d.withColumn("n_tok", toks), "n_tok",
                               "doc_id", "lang", budget=2048)
 
+    def span_dedup(d):
+        from data_warehouse_morrocan_banks_spark.operators.dedup import (
+            dedup_spans_exact,
+        )
+        return dedup_spans_exact(d, "text", "doc_id")
+
     def strat(lineitem):
         from data_warehouse_morrocan_banks_spark.operators.sampling import (
             stratified_sample,
@@ -138,6 +144,7 @@ def main():
         shapes = (
             ("q1_agg", q1, li_s), ("argmax_join", argmax, li_s),
             ("jaccard_pairs", jaccard, d_s), ("pack_streaming", pack, d_s),
+            ("span_dedup", span_dedup, d_s),
             ("stratified_sample", strat, li_s), ("scd2_merge", scd2, c_s),
         )
         for name, fn, frame in shapes:
@@ -151,7 +158,8 @@ def main():
         li_s.unpersist(); d_s.unpersist(); c_s.unpersist()
 
     for name in ("q1_agg", "argmax_join", "jaccard_pairs",
-                 "pack_streaming", "stratified_sample", "scd2_merge"):
+                 "pack_streaming", "span_dedup",
+                 "stratified_sample", "scd2_merge"):
         results[f"{name}_scaling_ratio"] = round(
             results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
         )
