@@ -66,13 +66,22 @@ def main() -> None:
     # codegen; steady-state throughput is the engine metric, and the
     # min makes round-over-round regressions attributable rather than
     # scheduler noise.
+    #
+    # Materialization is a noop-sink WRITE, not count(): under
+    # count() Catalyst prunes everything row-count doesn't need —
+    # aggregate functions collapse to their grouping keys and
+    # left-join subtrees are eliminated outright (q_text_quality's
+    # contamination branch never ran at all; its count()-timed 1.2 s
+    # hid a 7 s subtree until it was restructured).  The noop sink
+    # evaluates every output column and discards the bytes, so the
+    # number is the cost a consumer of the full result pays.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            df.count()  # materialize fully without driver collect
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
