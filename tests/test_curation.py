@@ -256,3 +256,61 @@ def test_span_dedup_layout_invariant_on_corpus(spark):
         "doc_id").collect()
     assert a == b
     assert any(r["n_spans_removed"] > 0 for r in a) or len(a) < 100
+
+
+def test_span_dedup_matches_bruteforce_property(spark):
+    """Hypothesis sweep: dedup_spans_exact ≡ a Python brute force of
+    the same contract (keep-first by (id, start), coverage union,
+    case-insensitive keys, original-casing rebuild) on tiny random
+    corpora over a 3-word vocabulary — small alphabet forces heavy
+    gram collisions, within-doc repeats, and whole-doc dupes."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    K = 2
+    words = st.sampled_from(["ab", "AB", "cd"])
+    doc = st.lists(words, min_size=0, max_size=7).map(" ".join)
+
+    def brute(rows):
+        toks = {i: [t for t in _re.split(r"[ \t\n\r]+", txt.strip()) if t]
+                for i, txt in rows}
+        occ = {}
+        for i in sorted(toks):
+            ts = toks[i]
+            for s in range(len(ts) - K + 1):
+                key = tuple(w.lower() for w in ts[s:s + K])
+                occ.setdefault(key, []).append((i, s))
+        removed = {i: set() for i in toks}
+        for key, places in occ.items():
+            win = min(places)
+            for p in places:
+                if p != win:
+                    removed[p[0]].add(p[1])
+        out = {}
+        for i, ts in toks.items():
+            cov = {j for s in removed[i] for j in range(s, s + K)}
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            out[i] = (" ".join(kept), len(ts), len(kept),
+                      len(removed[i]))
+        return out
+
+    @given(st.lists(doc, min_size=1, max_size=6))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_tokens_raw"],
+                          r["n_tokens_kept"], r["n_spans_removed"])
+            for r in dedup_spans_exact(df, "text", "doc_id", k=K).collect()
+        }
+        assert got == brute(rows)
+
+    run()
