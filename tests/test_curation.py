@@ -314,3 +314,24 @@ def test_span_dedup_matches_bruteforce_property(spark):
         assert got == brute(rows)
 
     run()
+
+
+def test_span_dedup_plan_shape(spark):
+    """The 100 TB contract: no Window operator anywhere (the argmin is
+    a partial-aggregating groupBy, skew-safe under hot boilerplate
+    grams), no cartesian join, and map-side combine present on the
+    gram aggregate (partial_min before the exchange)."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    out = dedup_spans_exact(d, "text", "doc_id")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
