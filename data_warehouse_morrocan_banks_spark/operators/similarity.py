@@ -851,3 +851,111 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def srp_hyperplanes(dim: int, planes: int = 16,
+                    seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-random-projection LSH —
+    numpy's MT19937 stream is stable across platforms/versions by
+    spec, so the planes (and every downstream signature) are
+    deterministic for a given (dim, planes, seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row]
+            for row in rng.standard_normal((planes, dim))]
+
+
+def srp_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """SRP (sign-random-projection) signature: one bit per hyperplane —
+    sign of the dot product (≥ 0 → 1) — packed MSB-first into a
+    bigint.  P[bit matches] = 1 − θ/π for vectors at angle θ: the
+    classic LSH family for cosine similarity (Charikar 2002)."""
+    if len(hyperplanes) > 63:
+        raise ValueError("signature must fit a signed bigint: planes <= 63")
+    planes_lit = F.array(*[
+        F.array(*[F.lit(x) for x in p]) for p in hyperplanes
+    ])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit(1).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b
+    )
+
+
+def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
+                  planes: int = 16, bands: int = 4, seed: int = 42,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH banding — the
+    no-training LSH alternative to the IVF-bucketed
+    :func:`cosine_near_dup_pairs` (no centroid fit, no sample pass:
+    the bucketing structure is a seeded literal, so this path works on
+    a cold corpus and composes with streaming ingest).
+
+    Candidates are pairs agreeing on ALL bits of at least one of the
+    ``bands`` contiguous signature bands (band width = planes/bands);
+    the exact rounded cosine verifies every candidate, so precision is
+    exact and only recall is probabilistic:
+    ``1 − (1 − p^w)^bands`` with ``p = 1 − θ/π`` — at threshold 0.9
+    (θ ≈ 26°), 16 planes in 4×4-bit bands give ≈ 0.95 expected recall
+    (measured floor pinned in tests/test_similarity.py, never
+    assumed).  Raise ``bands`` (narrower bands) for recall, lower it
+    for fewer candidates.
+
+    Scale: signatures are one map-only pass (one ``transform`` over
+    the broadcast-literal plane matrix — same single-analysis shape as
+    ``ivf_assign``); candidates shuffle on (band_idx, band_value) —
+    2 ints per vector per band, vectors ride the verify join once;
+    no all-pairs comparison, no Python, no fitted state.
+    """
+    if planes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide planes ({planes})")
+    width = planes // bands
+
+    v = as_double_array(vec_col)
+    signed = corpus.select(
+        F.col(id_col), v.alias("__v"),
+    ).withColumn("__vnorm", l2_norm(F.col("__v"))).withColumn(
+        "__sig", srp_signature(F.col("__v"), srp_hyperplanes(dim, planes, seed))
+    )
+    band_cols = []
+    for b in range(bands):
+        lo = b * width
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col("__sig"), lo)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+        ))
+    banded = signed.select(
+        id_col, "__v", "__vnorm",
+        F.explode(F.array(*band_cols)).alias("__band"),
+    ).select(
+        id_col, "__v", "__vnorm",
+        F.col("__band.band_idx").alias("__bidx"),
+        F.col("__band.band_val").alias("__bval"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    sim = F.round(
+        dot(F.col("ba.__v"), F.col("bb.__v"))
+        / (F.col("ba.__vnorm") * F.col("bb.__vnorm")), 6
+    )
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.__bidx") == F.col("bb.__bidx"))
+            & (F.col("ba.__bval") == F.col("bb.__bval"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .distinct()
+        .filter(F.col("cosine_sim") >= threshold)
+    )

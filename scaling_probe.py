@@ -151,7 +151,10 @@ def main():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(frame).count()
+                # noop sink, not count(): count lets Catalyst prune
+                # aggregate functions and left-join subtrees, so the
+                # probed shape would partly not run (see bench.py)
+                fn(frame).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[f"{name}_{scale}x"] = round(best, 2)
         results[f"rows_{scale}x"] = n_rows

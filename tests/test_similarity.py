@@ -431,3 +431,92 @@ def test_jaccard_ids_unique_per_group_only(spark):
     )
     # one exact-dup pair per group, nothing cross-group
     assert got == [(1, 2, 1.0), (1, 2, 1.0)]
+
+
+def test_srp_lsh_recall_precision_and_determinism(spark):
+    """SRP-LSH near-dup vs the exact pair set on the sf0.001
+    embeddings: precision is exact by construction (every candidate is
+    verified with the same rounded cosine) and recall must clear the
+    analytic floor for 16 planes / 4 bands at threshold 0.4.  Output
+    is layout-invariant (signatures are a seeded literal — nothing
+    depends on partitioning)."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    got_rows = srp_lsh_pairs(
+        emb, dim=64, threshold=0.4, planes=16, bands=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+    v = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("__v")
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(
+        dot(F.col("a.__v"), F.col("b.__v"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")), 6
+    )
+    true = {
+        (r["id_a"], r["id_b"]): r["s"] for r in
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
+        .filter(F.col("s") >= 0.4)
+        .collect()
+    }
+    assert len(true) > 0
+    assert got <= set(true)       # precision 1.0: exact verify
+    recall = len(got & set(true)) / len(true)
+    # 8 bands of 2 bits: p = 1 - acos(s)/pi >= 0.64 at s=0.4 →
+    # 1-(1-p^2)^8 ≈ 0.99 expected; floor well below
+    assert recall >= 0.7, f"srp-lsh recall {recall:.2f}"
+
+    again = {
+        (r["id_a"], r["id_b"]) for r in srp_lsh_pairs(
+            emb.repartition(13), dim=64, threshold=0.4,
+            planes=16, bands=8,
+        ).collect()
+    }
+    assert again == got
+
+
+def test_srp_signature_deterministic_and_guarded(spark):
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_hyperplanes,
+        srp_lsh_pairs,
+        srp_signature,
+    )
+
+    planes = srp_hyperplanes(4, planes=8, seed=42)
+    assert planes == srp_hyperplanes(4, planes=8, seed=42)
+    assert planes != srp_hyperplanes(4, planes=8, seed=43)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+         (3, [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        as_double_array,
+    )
+    sigs = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id",
+        srp_signature(as_double_array("embedding"), planes).alias("s"),
+    ).collect()}
+    assert sigs[1] == sigs[2]     # identical vectors, identical signature
+    assert sigs[1] != sigs[3]     # antipodal vectors flip every strict bit
+
+    # identical vectors are always a candidate pair (all bands equal)
+    pairs = srp_lsh_pairs(df, dim=4, threshold=0.99, planes=8, bands=4)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        srp_lsh_pairs(df, dim=4, planes=10, bands=4)
