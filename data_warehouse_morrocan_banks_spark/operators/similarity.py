@@ -282,9 +282,13 @@ def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
         # same guard as simhash(): one md5 hex char per bit — a silent
         # substring past char 32 would zero-fill the high bits
         raise ValueError("bits must be 1..32 (one hex char per bit)")
-    hashed = df.select(id_col, F.explode(tokens).alias("__t")).select(
-        id_col, F.md5("__t").alias("__h")
-    )
+    # materialize the token array before the Generate: exploding the
+    # tokenizer expression inline would re-run it in Catalyst's
+    # inferred size(generator)>0 filter once more per row (the
+    # HOF-explode hazard, CLAUDE.md)
+    hashed = df.select(id_col, tokens.alias("__tok_arr")).select(
+        id_col, F.explode("__tok_arr").alias("__t")
+    ).select(id_col, F.md5("__t").alias("__h"))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i in range(bits):
         aggs.append(

@@ -137,15 +137,22 @@ def top_bigram_share(df, text_col: str, id_col: str,
     plan anyway — the shuffle is keyed on doc_id, carrying one long
     per (doc, bigram).  Docs with < 2 tokens get 0.0.
     """
+    # tokenize ONCE into a materialized column before the Generate:
+    # inlining the split in the generator evaluates it per slice/size
+    # reference plus once more in Catalyst's inferred
+    # size(generator)>0 filter (the HOF-explode hazard, CLAUDE.md)
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(tokens)
+    toks_df = df.select(
+        F.col(id_col).alias("__tbs_id"), tokens.alias("__tbs_t")
+    )
+    n = F.size("__tbs_t")
     bigrams = F.zip_with(
-        F.slice(tokens, 1, n - 1),
-        F.slice(tokens, 2, n - 1),
+        F.slice(F.col("__tbs_t"), 1, n - 1),
+        F.slice(F.col("__tbs_t"), 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    exploded = df.select(
-        F.col(id_col).alias("__tbs_id"), F.explode(bigrams).alias("__bg")
+    exploded = toks_df.select(
+        "__tbs_id", F.explode(bigrams).alias("__bg")
     )
     counts = exploded.groupBy("__tbs_id", "__bg").agg(
         F.count(F.lit(1)).alias("__c")
