@@ -69,3 +69,34 @@ def test_dedup_families_from_jaccard_pairs(spark):
     # the corpus genuinely shrinks: there are non-canonical docs
     n_canon = sum(r["is_canonical"] for r in rows)
     assert 0 < n_canon < len(rows)
+
+
+def test_dedup_families_from_srp_pairs(spark):
+    """End-to-end semantic dedup: SRP-LSH near-dup pairs over the
+    embeddings corpus resolve into families whose members actually
+    share a pair chain, canonical = min id, singletons self-canonical."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_families,
+    )
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    pairs = srp_lsh_pairs(emb, dim=64, threshold=0.4, planes=16, bands=8)
+    fams = dedup_families(emb, pairs, "vec_id").collect()
+
+    assert len(fams) == emb.count()
+    by_id = {r["vec_id"]: r for r in fams}
+    # canonical representative is the family minimum
+    fam_members: dict = {}
+    for r in fams:
+        fam_members.setdefault(r["family_id"], []).append(r["vec_id"])
+    for fid, members in fam_members.items():
+        assert fid == min(members)
+        for m in members:
+            assert by_id[m]["is_canonical"] == (m == fid)
+    # every paired vertex shares a family with its partner
+    for p in pairs.collect():
+        assert by_id[p["id_a"]]["family_id"] == by_id[p["id_b"]]["family_id"]
