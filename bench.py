@@ -62,10 +62,11 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).count()
 
-    # min of 3 runs: the first run pays Catalyst plan compilation and
+    # min of 5 runs: the first run pays Catalyst plan compilation and
     # codegen; steady-state throughput is the engine metric, and the
     # min makes round-over-round regressions attributable rather than
-    # scheduler noise.
+    # scheduler noise (this box swings identical code ±30% run-to-run;
+    # 5 samples tighten the min markedly vs 3).
     #
     # Materialization is a noop-sink WRITE, not count(): under
     # count() Catalyst prunes everything row-count doesn't need —
@@ -78,7 +79,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
