@@ -254,10 +254,11 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     form — deliberately NOT a per-key window); winners join back on
     the hash (AQE broadcasts while small); removed starts aggregate
     per document (ONE row per doc, bounded by n/1 starts) and join
-    back id-to-id.  The per-document cut is a linear higher-order
-    filter, O(n·|removed|) worst case — for pathological |removed|
-    pre-merge the sorted starts into disjoint intervals first; at the
-    default k=8 the bench corpus averages <1 removed span per doc.
+    back id-to-id.  The per-document cut pre-merges the sorted
+    removed starts into disjoint coverage intervals (one fold), so
+    the higher-order filter is O(n·|intervals|) — a pathologically
+    repetitive document whose every gram is a duplicate collapses to
+    ONE interval, keeping the rebuild linear instead of quadratic.
 
     ``id_col`` must be globally unique and non-negative (the argmin
     order and the DuckDB oracle's zero-padded composite agree only on
@@ -303,12 +304,38 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
         F.array_sort(F.collect_list("__s")).alias("__S")
     )
 
+    # merge the sorted removed starts into disjoint coverage intervals
+    # (a left fold: starts ascend, so each [s, s+k-1] either extends
+    # the last interval or opens a new one) — the per-token check is
+    # then O(|intervals|), not O(|removed|): a pathologically
+    # repetitive document (every gram a duplicate) collapses to ONE
+    # interval instead of n starts, keeping the rebuild linear.
+    _iv_t = "array<struct<lo:int,hi:int>>"
+
+    def _merge(acc: Column, s: Column) -> Column:
+        lo, hi = s, s + F.lit(k - 1)
+        last = F.element_at(acc, -1)
+        ext = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["lo"].alias("lo"), hi.alias("hi"))),
+        )
+        new = F.concat(acc, F.array(
+            F.struct(lo.alias("lo"), hi.alias("hi"))
+        ))
+        return F.when(
+            (F.size(acc) > 0) & (lo <= last["hi"] + 1), ext
+        ).otherwise(new)
+
+    intervals = F.aggregate(
+        F.col("__S"), F.array().cast(_iv_t), _merge
+    )
     covered = lambda i: F.exists(  # noqa: E731 — i is the 0-based token index
-        F.col("__S"), lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k))
+        F.col("__iv"), lambda iv: (iv["lo"] <= i + 1) & (i + 1 <= iv["hi"])
     )
     return (
         toks.join(rem_starts, "__id", "left")
         .withColumn("__S", F.coalesce("__S", F.array().cast("array<int>")))
+        .withColumn("__iv", intervals)
         .withColumn("__kept", F.filter("__t", lambda t, i: ~covered(i)))
         .select(
             F.col("__id").alias(id_col),

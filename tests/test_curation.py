@@ -335,3 +335,23 @@ def test_span_dedup_plan_shape(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_span_dedup_pathological_repetition_is_linear(spark):
+    """A 3000-token single-word document: every 3-gram after the first
+    is a within-doc duplicate (2997 removed starts), whose coverage
+    must merge to ONE interval — output keeps exactly the first token,
+    and the rebuild stays linear (the pre-merge fold is what makes
+    O(n·|removed|) collapse; this corpus would be ~9M lambda evals
+    without it)."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    df = spark.createDataFrame([(1, " ".join(["x"] * 3000))],
+                               "doc_id INT, text STRING")
+    r = dedup_spans_exact(df, "text", "doc_id", k=3).collect()[0]
+    assert r["text_dedup"] == "x"
+    assert r["n_tokens_raw"] == 3000
+    assert r["n_tokens_kept"] == 1
+    assert r["n_spans_removed"] == 2997
