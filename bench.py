@@ -60,7 +60,10 @@ def main() -> None:
     from data_warehouse_morrocan_banks_spark.sources.readers import TABLES, table
 
     for t in TABLES:
-        table(spark, sf_dir, t).count()
+        # noop write, not count(): parquet count() is answered from
+        # row-group metadata without reading the data pages, so the
+        # fs cache would stay cold
+        table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     # min of 5 runs: the first run pays Catalyst plan compilation and
     # codegen; steady-state throughput is the engine metric, and the
