@@ -99,16 +99,31 @@ def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None,
         stopWords=stopwords if stopwords is not None else FRENCH_STOPWORDS,
     )
     # deterministic vocabulary (see docstring): minDF=2 docs, top
-    # vocabSize terms by (total count DESC, term ASC)
+    # vocabSize terms by (total count DESC, term ASC).  Document
+    # frequency needs a per-document identity; a row id next to the
+    # explode is evaluated PER EXPLODED ROW (monotonically_increasing_id
+    # alongside explode gives each term occurrence its own "document",
+    # collapsing docFreq into total count).  Instead each document
+    # emits (term, in-doc count) pairs — deterministic, id-free — so
+    # count(1) over pairs IS docFreq and sum(cnt) IS total count.
     filtered = remover.transform(tokenizer.transform(df))
-    terms = filtered.select(
-        F.monotonically_increasing_id().alias("__doc"),
-        F.explode("__filtered").alias("__term"),
+    pairs = filtered.select(
+        F.transform(
+            F.array_distinct("__filtered"),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(F.col("__filtered"), lambda x: x == t))
+                .alias("cnt"),
+            ),
+        ).alias("__pairs")
+    )
+    terms = pairs.select(F.explode("__pairs").alias("__p")).select(
+        F.col("__p.term").alias("__term"), F.col("__p.cnt").alias("__cnt")
     )
     vocab_rows = (
         terms.groupBy("__term")
-        .agg(F.count(F.lit(1)).alias("__n"),
-             F.countDistinct("__doc").alias("__df"))
+        .agg(F.sum("__cnt").alias("__n"),
+             F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
         .orderBy(F.col("__n").desc(), F.col("__term"))
         .limit(LDA_VOCAB_SIZE)

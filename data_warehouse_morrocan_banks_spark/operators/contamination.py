@@ -71,8 +71,29 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     from ..functions.text import whitespace_tokens
 
     bench_text = bench_text_col or text_col
+    # benchmark side uses the same positions-explode discipline as the
+    # corpus side: explode(word_ngrams(...)) would inline the tokenizer
+    # into the generator and re-run it per gram position (the
+    # HOF-explode hazard).  Benchmarks are small, but a
+    # thousands-of-prompts benchmark with long prompts pays the same
+    # O(tokens²) the corpus side was restructured to avoid.
+    btoks = benchmark.select(
+        whitespace_tokens(F.lower(_c(bench_text))).alias("__toks")
+    )
+    bk = F.size("__toks") - F.lit(int(n) - 1)
+    bpos = btoks.select(
+        "__toks",
+        F.explode(
+            F.when(bk > 0, F.sequence(F.lit(1), bk))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(bench_text, n)).alias("__g"))
+        bpos.select(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__i"), int(n)), " "
+            ).alias("__g")
+        )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

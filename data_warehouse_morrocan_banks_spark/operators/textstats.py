@@ -9,8 +9,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# GPT-2-style simplification: letter runs | single digits | non-space symbols
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# GPT-2-style simplification: letter runs | single digits | non-space
+# symbols.  Whitespace is the explicit [ \t\n\r] class, not \s: the
+# pattern is interpolated verbatim into the DuckDB oracle, and Java and
+# RE2 disagree on \s membership of \x0B (functions.text.whitespace_tokens).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]"
 
 
 def _c(col: Column | str) -> Column:
@@ -37,14 +40,18 @@ def _round6_det(x: Column) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
+    # explicit whitespace class, not \s — oracle-checked path
+    # (CLAUDE.md regex-portability rule)
     c = _c(col)
-    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w \t\n\r]"), F.lit(0)))
     return F.when(F.length(c) > 0,
                   _round6_det(punct.cast("double") / F.length(c))).otherwise(0.0)
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
-    tokens = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    from ..functions.text import whitespace_tokens
+
+    tokens = whitespace_tokens(F.lower(_c(col)))
     arr = F.array(*[F.lit(w) for w in stopwords])
     hits = F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
     n = F.size(tokens)
@@ -53,7 +60,9 @@ def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
 
 
 def mean_word_length(col: Column | str) -> Column:
-    tokens = F.split(F.trim(_c(col)), r"\s+")
+    from ..functions.text import whitespace_tokens
+
+    tokens = whitespace_tokens(_c(col))
     total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
     n = F.size(tokens)
     return F.when(n > 0, _round6_det(total.cast("double") / n.cast("double"))) \
@@ -115,8 +124,12 @@ def dup_line_fraction(col: Column | str) -> Column:
 
 def distinct_token_ratio(col: Column | str) -> Column:
     """Type-token ratio (distinct words / words): the cheap lexical-
-    diversity signal — keyword-stuffed or looping text scores low."""
-    tokens = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    diversity signal — keyword-stuffed or looping text scores low.
+    Blank/whitespace-only documents score 0.0 (no tokens, not the
+    [''] split artifact's 1.0)."""
+    from ..functions.text import whitespace_tokens
+
+    tokens = whitespace_tokens(F.lower(_c(col)))
     n = F.size(tokens)
     return F.when(
         n > 0,
@@ -137,20 +150,27 @@ def top_bigram_share(df, text_col: str, id_col: str,
     plan anyway — the shuffle is keyed on doc_id, carrying one long
     per (doc, bigram).  Docs with < 2 tokens get 0.0.
     """
+    from ..functions.text import whitespace_tokens
+
     # tokenize ONCE into a materialized column before the Generate:
     # inlining the split in the generator evaluates it per slice/size
     # reference plus once more in Catalyst's inferred
     # size(generator)>0 filter (the HOF-explode hazard, CLAUDE.md)
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokens = whitespace_tokens(F.lower(F.col(text_col)))
     toks_df = df.select(
         F.col(id_col).alias("__tbs_id"), tokens.alias("__tbs_t")
     )
     n = F.size("__tbs_t")
-    bigrams = F.zip_with(
-        F.slice(F.col("__tbs_t"), 1, n - 1),
-        F.slice(F.col("__tbs_t"), 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    # guard n >= 2: whitespace_tokens yields [] for blank docs, and
+    # slice(col, 1, n-1) with n = 0 would throw on the negative length
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__tbs_t"), 1, n - 1),
+            F.slice(F.col("__tbs_t"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = toks_df.select(
         "__tbs_id", F.explode(bigrams).alias("__bg")
     )

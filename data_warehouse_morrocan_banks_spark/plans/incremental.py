@@ -18,6 +18,7 @@ incremental path:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,7 +85,18 @@ def streaming_upsert(spark: SparkSession, source_path: str, target_path: str,
             existing = spark.read.parquet(target_path).filter(
                 F.col(partition_col).isin(dates)
             )
-        except Exception:  # first batch: target does not exist yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch".  Any other read
+            # failure (transient listing error, corrupt footer,
+            # permissions) must abort the batch: treating it as
+            # first-batch would dynamic-overwrite the touched
+            # partitions with batch-only rows, silently dropping
+            # previously-landed data.
+            if "PATH_NOT_FOUND" not in (
+                (e.getCondition() or "") if hasattr(e, "getCondition")
+                else str(e)
+            ) and "Path does not exist" not in str(e):
+                raise
             existing = None
         merged = batch
         if existing is not None:

@@ -346,33 +346,47 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share one).
 
 _QUALITY_ORACLE = rf"""
-WITH stats AS (
+WITH tok AS (
+  -- THE whitespace convention (functions.text.whitespace_tokens):
+  -- strip + split on the explicit [ \t\n\r] class; blank -> [] (never
+  -- the [''] split artifact).  ltoks lowered for case-insensitive
+  -- metrics; rtoks raw for length-based ones (LOWER can change
+  -- LENGTH outside ASCII).
   SELECT doc_id, text,
-    CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
-         ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
-           REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),
-           '[ \t\n\r]+')) AS INT)
-    END AS n_words,
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(s), '[ \t\n\r]+') END AS ltoks,
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE REGEXP_SPLIT_TO_ARRAY(s, '[ \t\n\r]+') END AS rtoks
+  FROM (SELECT doc_id, text,
+          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') AS s
+        FROM documents)
+),
+stats AS (
+  SELECT doc_id, text,
+    CAST(LEN(ltoks) AS INT) AS n_words,
     CASE WHEN LENGTH(text) > 0 THEN
-      CAST(ROUND(CAST(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE)
+      CAST(ROUND(CAST(
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w \t\n\r]')) AS DOUBLE)
             / LENGTH(text) AS DECIMAL(24,12)), 6) AS DOUBLE)
       ELSE 0.0 END AS punct_ratio,
-    CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) > 0 THEN
+    CASE WHEN LEN(ltoks) > 0 THEN
       CAST(ROUND(CAST(
-        CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+        CAST(LEN(LIST_FILTER(ltoks,
                  t -> LIST_CONTAINS(['the', 'a'], t))) AS DOUBLE)
-        / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
-        AS DECIMAL(24,12)), 6) AS DOUBLE)
+        / LEN(ltoks) AS DECIMAL(24,12)), 6) AS DOUBLE)
       ELSE 0.0 END AS stopword_ratio,
-    CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) > 0 THEN
+    CASE WHEN LEN(rtoks) > 0 THEN
       CAST(ROUND(CAST(
         CAST(LIST_REDUCE(
-          LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
-                         t -> LENGTH(t)), (x, y) -> x + y) AS DOUBLE)
-        / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
-        AS DECIMAL(24,12)), 6) AS DOUBLE)
-      ELSE 0.0 END AS mean_word_len
-  FROM documents
+          LIST_TRANSFORM(rtoks, t -> LENGTH(t)), (x, y) -> x + y) AS DOUBLE)
+        / LEN(rtoks) AS DECIMAL(24,12)), 6) AS DOUBLE)
+      ELSE 0.0 END AS mean_word_len,
+    CASE WHEN LEN(ltoks) > 0 THEN
+      CAST(ROUND(CAST(
+        CAST(LEN(LIST_DISTINCT(ltoks)) AS DOUBLE)
+        / LEN(ltoks) AS DECIMAL(24,12)), 6) AS DOUBLE)
+      ELSE 0.0 END AS distinct_token_ratio
+  FROM tok
 ),
 bigram_share AS (
   SELECT doc_id,
@@ -383,13 +397,9 @@ bigram_share AS (
     FROM (
       SELECT doc_id,
         UNNEST(LIST_TRANSFORM(
-          LIST_ZIP(toks[1:LEN(toks)-1], toks[2:LEN(toks)]),
+          LIST_ZIP(ltoks[1:LEN(ltoks)-1], ltoks[2:LEN(ltoks)]),
           p -> p[1] || ' ' || p[2])) AS bg
-      FROM (
-        SELECT doc_id,
-          REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
-        FROM documents
-      )
+      FROM tok
     )
     GROUP BY doc_id, bg
   )
@@ -414,13 +424,7 @@ SELECT s.doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
       / LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'),
                         t -> TRIM(t) != '')) AS DECIMAL(24,12)), 6) AS DOUBLE)
     ELSE 0.0 END AS dup_line_fraction,
-  CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) > 0 THEN
-    CAST(ROUND(CAST(
-      CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')))
-        AS DOUBLE)
-      / LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
-      AS DECIMAL(24,12)), 6) AS DOUBLE)
-    ELSE 0.0 END AS distinct_token_ratio,
+  s.distinct_token_ratio,
   COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share,
   CAST(LEN(g.g) AS INT) AS n_grams,
   CAST(LEN(LIST_INTERSECT(g.g, bench.bg)) AS INT) AS contaminated_ngrams,

@@ -39,12 +39,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
     def deco(fn: QueryFn) -> QueryFn:
         prev = _QUERIES.get(name)
-        if prev is not None and prev.__module__ != fn.__module__:
-            # collision between two different modules is a real bug;
-            # same-module re-registration is Python re-importing a
-            # module whose first import failed partway — erroring here
-            # would mask the ORIGINAL import error with a misleading
-            # duplicate-name message
+        if prev is not None and (
+            prev.__module__ != fn.__module__
+            or prev.__qualname__ != fn.__qualname__
+        ):
+            # Collision between two different FUNCTIONS is a real bug
+            # (cross-module, or a copy-paste duplicate @register in one
+            # module, which would otherwise silently last-win).  The
+            # same (module, qualname) re-registering is Python
+            # re-importing a module whose first import failed partway —
+            # erroring there would mask the ORIGINAL import error with
+            # a misleading duplicate-name message.
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:

@@ -89,6 +89,7 @@ def collect(
                 stats.api_calls += 1
                 fetched = fetch_reviews(pid)[:max_reviews_per_location]
                 sleep(delay_s)
+                kept_before = len(reviews)
                 for rv in fetched:
                     # per-record error-skip (the reference's semantics:
                     # one malformed record must not abort a whole paid
@@ -109,7 +110,12 @@ def collect(
                         rv.get("relative_time_description"),
                         rv["collected_at"],
                     ))
-                stats.per_bank[bank] = stats.per_bank.get(bank, 0) + len(fetched)
+                # count KEPT rows, not len(fetched): records the
+                # per-record error-skip discarded must not inflate the
+                # per-bank audit, or sum(per_bank) != stats.reviews
+                stats.per_bank[bank] = (
+                    stats.per_bank.get(bank, 0) + len(reviews) - kept_before
+                )
 
     stats.locations = len(locations)
     stats.reviews = len(reviews)

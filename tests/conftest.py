@@ -7,8 +7,10 @@ import pytest
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# THE test-corpus locations — suites import these rather than
+# re-deriving the env default, so a corpus move lands in one place.
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_ORACLE", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

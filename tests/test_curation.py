@@ -22,7 +22,7 @@ from data_warehouse_morrocan_banks_spark.operators.privacy import (
     scrub_documents,
 )
 
-SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+from .conftest import SF_SMOKE
 
 _CRAFTED = [
     (1, "contact me at aicha.benali@bankmail.ma for the dossier"),

@@ -22,7 +22,7 @@ from data_warehouse_morrocan_banks_spark.operators.similarity import (
     prefix_filter_jaccard_pairs,
 )
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+from .conftest import SF_SMOKE as SF_DIR
 
 
 def _pinned(spark) -> int:

@@ -234,6 +234,27 @@ def test_lda_structural_invariants(spark):
     assert all(len(r["top_words"].split(" ")) == 10 for r in srows)
 
 
+def test_lda_vocab_min_df_counts_documents_not_occurrences(spark):
+    """minDF regression: a term repeated >=2 times inside ONE document
+    must NOT pass the docFreq >= 2 vocabulary gate, while a term that
+    appears once in each of two documents must.  (The broken form —
+    monotonically_increasing_id() projected alongside explode() — is
+    evaluated per exploded row, so docFreq degenerated into total
+    occurrence count.)"""
+    from data_warehouse_morrocan_banks_spark.nlp.topics import fit_topics
+
+    rows = [(1, "zzzrepeat zzzrepeat zzzrepeat common words here"),
+            (2, "sharedterm common words here"),
+            (3, "sharedterm common words here")]
+    rows += [(i, f"common words here unique{i:03d}") for i in range(4, 15)]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    model = fit_topics(d, "text", stopwords=["the", "a"])
+    vocab = set(model.stages[2].vocabulary)
+    assert "sharedterm" in vocab          # 2 docs, 2 occurrences
+    assert "zzzrepeat" not in vocab       # 1 doc, 3 occurrences
+    assert {"common", "words", "here"} <= vocab
+
+
 def test_ngram_langid_beats_random(spark):
     """Trigram-profile classifier must beat the 5-class random floor on
     the synthetic corpus (vocab is shared across langs — ~33% is the

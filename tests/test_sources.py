@@ -80,6 +80,59 @@ def test_collect_loop_dedup_and_stats(spark):
     assert any("locations" in w for w in warnings)  # < 50
 
 
+def test_collect_per_bank_counts_reconcile_with_skips(spark):
+    """per_bank must count KEPT reviews: records the per-record
+    error-skip discards must not inflate the per-bank audit, so
+    sum(per_bank) == stats.reviews always holds."""
+    fl, _ = _fake_clients()
+
+    def fetch_reviews(place_id):
+        good = [
+            {"author_name": f"user{j}", "rating": 4, "text": "ok",
+             "time": 1_600_000_000 + j, "language": "fr",
+             "collected_at": datetime(2024, 1, 1, tzinfo=timezone.utc)}
+            for j in range(2)
+        ]
+        # one malformed record per location (no 'time')
+        return good + [{"author_name": "ghost", "rating": 1, "text": "bad",
+                        "collected_at": None}]
+
+    _, rev, stats = collect(
+        spark, ["BankA"], ["Casa"], fl, fetch_reviews,
+        delay_s=0.0, sleep=lambda _s: None,
+    )
+    assert stats.skipped_invalid == 3            # 3 locations × 1 bad record
+    assert rev.count() == stats.reviews == 6
+    assert sum(stats.per_bank.values()) == stats.reviews
+
+
+def test_register_rejects_same_module_duplicate_name():
+    """A copy-paste duplicate @register(name) on a DIFFERENT function
+    must raise (silent last-wins would drop a query from the driver
+    gate); re-registering the SAME function (module re-import after a
+    partial failure) must stay idempotent."""
+    import pytest as _pytest
+
+    from data_warehouse_morrocan_banks_spark import registry
+
+    name = "__test_dup_query__"
+    try:
+        @registry.register(name)
+        def q_one(spark, sf_dir):  # pragma: no cover - never run
+            raise NotImplementedError
+
+        # same function object re-registered (re-import shape): allowed
+        registry.register(name)(q_one)
+
+        with _pytest.raises(ValueError, match="duplicate query name"):
+            @registry.register(name)
+            def q_two(spark, sf_dir):  # pragma: no cover - never run
+                raise NotImplementedError
+    finally:
+        registry._QUERIES.pop(name, None)
+        registry._ORACLES.pop(name, None)
+
+
 def test_sink_reader_roundtrips(spark, tmp_path):
     df = raw_reviews_df(spark, n=50)
     # S10 CTAS parquet
