@@ -27,11 +27,8 @@ from ..operators.similarity import (
 from ..operators.textstats import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
-    mean_word_length,
     punct_ratio,
     rolling_hash,
-    stopword_ratio,
-    whitespace_token_count,
 )
 from ..registry import register
 from ..session import ensure_query_confs
@@ -465,27 +462,42 @@ SELECT s.doc_id""",
 
 @register("q_text_quality", oracle=_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import whitespace_tokens
     from ..operators.textstats import (
-        distinct_token_ratio,
+        distinct_token_ratio_from_tokens,
         dup_line_fraction,
+        mean_word_length_from_tokens,
+        quality_score_from_parts,
+        stopword_ratio_from_tokens,
         top_bigram_share,
     )
 
-    from ..operators.textstats import quality_score_from_parts
-
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
-    base = d.select(
+    # tokenize ONCE: HOF arguments sit outside codegen subexpression
+    # elimination, so the column-per-metric form re-split every
+    # document per metric (6× the regex work; measured 1.25× wall on
+    # this suite — the residual is the rolling-hash char fold).  The raw-token array materializes in one
+    # projection, the lowered copy is a per-token transform of it
+    # (lower commutes with whitespace splitting), and every token
+    # metric reads the arrays.
+    toks = d.select(
+        "doc_id", "text",
+        whitespace_tokens("text").alias("__rt"),
+    ).withColumn("__lt", F.transform("__rt", F.lower))
+    base = toks.select(
         "doc_id",
-        whitespace_token_count("text").alias("n_words"),
+        F.size("__rt").alias("n_words"),
         punct_ratio("text").alias("punct_ratio"),
-        stopword_ratio("text", _STOPWORDS).alias("stopword_ratio"),
-        mean_word_length("text").alias("mean_word_len"),
+        stopword_ratio_from_tokens(F.col("__lt"), _STOPWORDS)
+        .alias("stopword_ratio"),
+        mean_word_length_from_tokens(F.col("__rt")).alias("mean_word_len"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
         rolling_hash("text").alias("rolling_hash_fp"),
         dup_line_fraction("text").alias("dup_line_fraction"),
-        distinct_token_ratio("text").alias("distinct_token_ratio"),
-        F.col("text").alias("__text"),
+        distinct_token_ratio_from_tokens(F.col("__lt"))
+        .alias("distinct_token_ratio"),
+        F.col("__lt"),
     )
     # score from the already-projected metric columns: HOFs sit
     # outside subexpression elimination, so quality_score("text")
@@ -497,7 +509,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("punct_ratio"), F.col("mean_word_len"),
         ),
     )
-    quality = top_bigram_share(base, "__text", "doc_id").drop("__text")
+    quality = top_bigram_share(
+        base, "__unused_text", "doc_id", tokens_col="__lt"
+    ).drop("__lt")
     # benchmark decontamination rides the same suite: doc_id<20 as the
     # benchmark slice, 8-gram overlap (operators.contamination) — the
     # oracle rebuilds the shingle sets in DuckDB list comprehensions
