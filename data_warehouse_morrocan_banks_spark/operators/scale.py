@@ -79,3 +79,22 @@ def distinct_count(col: str, exact: bool = False, rsd: float = 0.05) -> Column:
         F.countDistinct(col) if exact
         else F.approx_count_distinct(col, rsd=rsd)
     )
+
+
+def quantiles(col: str, probabilities: list[float], exact: bool = False,
+              accuracy: int = 10000) -> Column:
+    """A10/A12 dual mode, the percentile analogue of :func:`distinct_count`:
+    exact ``percentile`` for dims and oracle-checked audits (full sort
+    of the group's values — fine at dim scale, a non-plan at 100 TB),
+    ``percentile_approx`` (Greenwald-Khanna sketch, state bounded by
+    ``accuracy`` per group, mergeable map-side) as the scale default.
+    ``accuracy=10000`` bounds rank error at 1/accuracy = 0.01 % —
+    sketches merge in the partial-aggregate phase, so the shuffle
+    carries one sketch per group, never the values.
+
+    Returns an array column aligned with ``probabilities``.
+    """
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    if exact:
+        return F.percentile(F.col(col), probs)
+    return F.percentile_approx(F.col(col), probs, F.lit(int(accuracy)))

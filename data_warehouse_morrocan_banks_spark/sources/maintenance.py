@@ -73,3 +73,49 @@ def cleanup_old_logs(root: str, now: float | None = None) -> CleanupResult:
 def snapshot_path(base: str, table: str, run_date: str) -> str:
     """S13: per-run-date CSV snapshot directory naming."""
     return os.path.join(base, f"{table}_backup_{run_date}")
+
+
+def compact_parquet(spark, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files.  The standing maintenance job every
+    incremental pipeline needs — streaming upserts, per-batch appends,
+    and bucket-pruned merges each land files sized by the BATCH, and
+    at 100 TB a scan's task count (and the namenode's metadata load)
+    is proportional to file count, not data size.  A table-format
+    layer (Delta OPTIMIZE / Iceberg rewrite_data_files) replaces this
+    with a transactional equivalent at the same call site.
+
+    Sizing reads the filesystem (Hadoop ``getContentSummary``, so it
+    works on HDFS/S3A, not just local), targets ``ceil(bytes/target)``
+    files, and rewrites via round-robin ``repartition(n)`` — even
+    output sizes, one shuffle whose width IS the output layout.
+    Parquet cannot overwrite a path it is lazily reading from, so the
+    rewrite lands in a sibling temp dir and swaps in via FS rename
+    (atomic on HDFS; two renames elsewhere).
+
+    Partitioned layouts compact per partition DIRECTORY (pass the
+    partition path) — compacting across partitions would destroy the
+    partition pruning the layout exists for.
+
+    Returns the number of files written.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(jtmp):  # crashed prior run: temp is disposable
+        fs.delete(jtmp, True)
+    spark.read.parquet(path).repartition(n_files) \
+        .write.mode("overwrite").parquet(tmp)
+    fs.delete(jpath, True)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
+    return n_files

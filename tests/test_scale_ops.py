@@ -57,6 +57,63 @@ def test_approx_distinct_tolerance(spark):
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
 
 
+def test_quantiles_dual_mode_tolerance(spark):
+    """Sketch quantiles honor the Greenwald-Khanna rank bound: the
+    returned value (an actual data value — the exact mode
+    interpolates, so value-space comparison is the wrong envelope)
+    has a rank within eps = 1/accuracy of the target probability."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import quantiles
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    probs = [0.25, 0.5, 0.75, 0.95]
+    eps = 1.0 / 10000  # default accuracy
+    row = li.agg(
+        quantiles("l_extendedprice", probs, exact=True).alias("exact"),
+        quantiles("l_extendedprice", probs).alias("approx"),
+    ).collect()[0]
+    assert n > 0 and len(row["approx"]) == len(probs)
+    ranks = li.agg(*[
+        F.count(F.when(F.col("l_extendedprice") < F.lit(a), 1)).alias(f"lt{i}")
+        for i, a in enumerate(row["approx"])
+    ] + [
+        F.count(F.when(F.col("l_extendedprice") <= F.lit(a), 1)).alias(f"le{i}")
+        for i, a in enumerate(row["approx"])
+    ]).collect()[0]
+    for i, p in enumerate(probs):
+        # some rank of the returned value must land within eps of p,
+        # plus one 1/n step for the discrete-rank convention (the
+        # sketch targets p·(n−1)-style integer ranks)
+        slack = eps + 1.0 / n
+        assert ranks[f"lt{i}"] / n - slack <= p <= ranks[f"le{i}"] / n + slack, (
+            p, row["approx"][i], ranks[f"lt{i}"] / n, ranks[f"le{i}"] / n)
+
+
+def test_compact_parquet_restores_file_count(spark, tmp_path):
+    """64 batch-sized files compact to the target layout with the data
+    byte-identical as a multiset."""
+    import glob
+
+    from data_warehouse_morrocan_banks_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    o = table(spark, SF_SMOKE, "orders")
+    o.repartition(64).write.parquet(path)
+    before_files = glob.glob(path + "/*.parquet")
+    assert len(before_files) == 64
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1                                 # tiny table, one file
+    after_files = glob.glob(path + "/*.parquet")
+    assert len(after_files) == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # idempotent: compacting a compacted table is a no-op layout-wise
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == 1
+
+
 def test_repetition_metrics_crafted_inputs(spark):
     """Gopher-style curation signals on crafted texts (the synthetic
     corpus has no newlines, so dup_line_fraction's non-trivial path
