@@ -132,6 +132,54 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     )
 
 
+def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
+                  lo_col: str, hi_col: str, bucket_width: float,
+                  key: str | None = None) -> DataFrame:
+    """Point-in-interval join when BOTH sides are large.
+
+    ``range_bucket_join`` (J6) broadcasts a handful of dim ranges; a
+    big×big non-equi join has no good native plan in Spark — Catalyst
+    falls back to BroadcastNestedLoopJoin (needs one side in memory)
+    or a cartesian product.  The scale form bucketizes the value
+    domain: every interval replicates across the fixed-width buckets
+    it overlaps, every point lands in exactly ONE bucket, and the join
+    becomes an EQUI-join on (key?, bucket) verified by the exact
+    BETWEEN filter.  Because each point exists in one bucket, a
+    (point, interval) pair can only meet once — no post-join dedup.
+
+    Shuffle keys are buckets (plus the optional equi ``key``, e.g.
+    user_id for session×event joins); per-point candidates are the
+    intervals overlapping its bucket.  ``bucket_width`` is the cost
+    dial: replicas per interval ≈ len/width + 1, candidates per point
+    grow with width — set it near the median interval length.
+    Timestamps join on their epoch seconds (cast before calling).
+
+    Inner semantics; one output row per matching (point, interval).
+    Emits ``points.*`` plus the interval's columns (name-collision
+    beyond ``key`` is the caller's rename).
+    """
+    wb = F.lit(float(bucket_width))
+    p = points.withColumn(
+        "__ij_bkt", F.floor(F.col(point_col) / wb).cast("long")
+    )
+    lo_b = F.floor(F.col(lo_col) / wb).cast("long")
+    hi_b = F.floor(F.col(hi_col) / wb).cast("long")
+    iv = (
+        intervals.filter(F.col(lo_col) <= F.col(hi_col))
+        # materialize the bucket array, THEN explode the cheap longs
+        # (HOF-explode discipline; the sequence itself is trivial here)
+        .withColumn("__ij_bkts", F.sequence(lo_b, hi_b))
+        .withColumn("__ij_bkt", F.explode("__ij_bkts"))
+        .drop("__ij_bkts")
+    )
+    on = ["__ij_bkt"] + ([key] if key else [])
+    matched = p.join(iv, on=on, how="inner").filter(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
+    )
+    return matched.drop("__ij_bkt")
+
+
 def agg_back_join(detail: DataFrame, keys: list[str], aggs: list[Column],
                   how: str = "left") -> DataFrame:
     """J4: group the detail, join the aggregates back onto row grain.

@@ -1,0 +1,148 @@
+"""Incremental aggregate (rollup) maintenance.
+
+The reference rebuilds every mart from scratch each run (DROP CASCADE
++ CTAS).  At 100 TB a grouped rollup over the full fact is the most
+expensive recurring job in the warehouse, while the day's churn is a
+fraction of a percent — so the engine maintains the rollup FROM THE
+CHANGES: cost proportional to the change set, not the table.
+
+Algebra: COUNT and SUM are commutative-group aggregates — every
+change applies as a signed delta (insert = +row, delete = −row,
+update = −old +new), and group-key changes fall out naturally (the
+−old lands in the old group, the +new in the new one).  AVG derives
+as sum/count at read time.  MIN/MAX are NOT group-invertible (a
+deleted minimum needs a rescan of its group) and are deliberately
+not offered here — re-aggregate the affected groups, or keep them
+approximate.
+
+Exactness is load-bearing, not cosmetic: maintained state must equal
+a from-scratch rebuild BIT-FOR-BIT or replayed pipelines drift one
+ULP per batch (float addition is not associative, and +x followed by
+−x does not always restore a double).  State sums therefore live in
+the ``numerics`` scaled-long domain — exact integers, associative,
+codegen-friendly — and convert to presentation doubles only at read
+time (:func:`rollup_values`, same closing arithmetic as
+``numerics.dsum``).
+
+Plan shape: ``signed_changes`` is one full-outer join of the two
+snapshots on the row key (the same shuffle CDC already pays —
+co-located if both sides are bucketed on the key);
+``apply_rollup_delta`` aggregates the signed batch (shuffle
+proportional to the BATCH) and full-outer joins the delta onto the
+state on the group key.  The state table is small by construction
+(one row per group), so that join usually broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..numerics import _SCALE_FACTOR, round_det
+
+_SIGN = "__sign"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _scaled(col: Column | str) -> Column:
+    # the numerics scaled-long representation: exact integer numerator
+    return F.round(_c(col) * F.lit(float(_SCALE_FACTOR)), 0).cast("long")
+
+
+def build_rollup(df: DataFrame, group_keys: list[str],
+                 measures: list[str]) -> DataFrame:
+    """Materialize the rollup STATE: per group, ``n_rows`` plus one
+    exact scaled-long sum per measure (``sum_<m>__scaled``).  The
+    state is what you persist; :func:`rollup_values` derives the
+    presentation columns."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in measures:
+        aggs.append(F.sum(_scaled(m)).alias(f"sum_{m}__scaled"))
+    return df.groupBy(*group_keys).agg(*aggs)
+
+
+def signed_changes(old: DataFrame, new: DataFrame, keys: list[str],
+                   cols: list[str]) -> DataFrame:
+    """CDC between two snapshots as ±1 rows over ``cols``: a deleted
+    row emits sign −1 with its old values, an inserted row +1 with its
+    new values, an updated row BOTH (so a measure or group-key change
+    nets out exactly).  Unchanged rows emit nothing — the output is
+    proportional to the churn.
+
+    One full-outer join on the row key; each side's values ride in
+    one struct, and the ± fan-out explodes a ≤2-element array of
+    (sign, struct) pairs — no second join, no second scan.
+    """
+    o = old.select(*keys, F.struct(*[_c(c) for c in cols]).alias("__ov"))
+    n = new.select(*keys, F.struct(*[_c(c) for c in cols]).alias("__nv"))
+    j = o.join(n, on=keys, how="full_outer")
+    in_old = F.col("__ov").isNotNull()
+    in_new = F.col("__nv").isNotNull()
+    changed = in_old & in_new & ~F.col("__ov").eqNullSafe(F.col("__nv"))
+    minus = F.struct(F.lit(-1).alias(_SIGN), F.col("__ov").alias("__v"))
+    plus = F.struct(F.lit(1).alias(_SIGN), F.col("__nv").alias("__v"))
+    # unchanged rows fall through every branch to NULL, which explode
+    # drops — the no-churn row costs nothing downstream
+    pairs = (
+        F.when(changed, F.array(minus, plus))
+        .when(in_old & ~in_new, F.array(minus))
+        .when(in_new & ~in_old, F.array(plus))
+    )
+    exploded = j.select(F.explode(pairs).alias("__p"))
+    return exploded.select(
+        F.col(f"__p.{_SIGN}").alias(_SIGN),
+        *[F.col(f"__p.__v.{c}").alias(c) for c in cols],
+    )
+
+
+def apply_rollup_delta(state: DataFrame, signed: DataFrame,
+                       group_keys: list[str],
+                       measures: list[str]) -> DataFrame:
+    """Fold a signed change batch into the rollup state.
+
+    The batch aggregates to one delta row per touched group (shuffle
+    proportional to the batch), full-outer joins the state on the
+    group key, and the new state is exact integer addition.  Groups
+    whose row count reaches zero disappear — identical to what a
+    rebuild would produce.
+    """
+    d_aggs = [F.sum(F.col(_SIGN).cast("long")).alias("__d_n")]
+    for m in measures:
+        d_aggs.append(
+            F.sum(F.col(_SIGN).cast("long") * _scaled(m))
+            .alias(f"__d_{m}")
+        )
+    delta = signed.groupBy(*group_keys).agg(*d_aggs)
+    j = state.join(delta, on=group_keys, how="full_outer")
+    out_cols: list[Column] = [
+        (F.coalesce(F.col("n_rows"), F.lit(0))
+         + F.coalesce(F.col("__d_n"), F.lit(0))).alias("n_rows")
+    ]
+    for m in measures:
+        out_cols.append(
+            (F.coalesce(F.col(f"sum_{m}__scaled"), F.lit(0))
+             + F.coalesce(F.col(f"__d_{m}"), F.lit(0)))
+            .alias(f"sum_{m}__scaled")
+        )
+    return (
+        j.select(*group_keys, *out_cols)
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+def rollup_values(state: DataFrame, measures: list[str]) -> DataFrame:
+    """Presentation view of the state: per measure, the deterministic
+    double ``sum_<m>`` (same closing arithmetic as ``numerics.dsum``)
+    and ``avg_<m>``."""
+    cols: list[Column] = [F.col(c) for c in state.columns
+                          if not c.endswith("__scaled")]
+    for m in measures:
+        s = round_det(
+            F.col(f"sum_{m}__scaled").cast("double") / _SCALE_FACTOR
+        )
+        cols.append(s.alias(f"sum_{m}"))
+        cols.append((s / F.col("n_rows")).alias(f"avg_{m}"))
+    return state.select(*cols)

@@ -52,3 +52,86 @@ def test_streaming_upsert_matches_batch(spark, tmp_path):
     out = spark.read.parquet(tgt)
     assert out.count() == ev.count()
     assert sorted(out.columns) == sorted(ev.columns)
+
+
+# --- incremental rollup maintenance -----------------------------------------
+
+def _rollup_rows(spark, df, keys, measures):
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        build_rollup,
+    )
+
+    return sorted(map(tuple, build_rollup(df, keys, measures).collect()))
+
+
+def test_rollup_delta_matches_rebuild_exactly(spark):
+    """Maintained state must equal a from-scratch rebuild BIT-FOR-BIT
+    across chained change batches covering every churn shape: measure
+    update, group-moving update, NULL-field update, delete (including
+    one that empties a group), insert (including a brand-new group)."""
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        apply_rollup_delta,
+        build_rollup,
+        signed_changes,
+    )
+
+    schema = "id INT, grp STRING, val DOUBLE"
+    base_rows = [
+        (1, "a", 10.25), (2, "a", 0.01), (3, "b", 5.5),
+        (4, "b", None), (5, "c", 7.77), (6, "c", 2.23),
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    state = build_rollup(base, ["grp"], ["val"])
+
+    batch1_rows = [
+        (1, "a", 11.25),          # measure update
+        (2, "b", 0.01),           # group move a -> b
+        (3, "b", 5.5),            # unchanged
+        (4, "b", 4.0),            # NULL -> value
+        # 5 deleted
+        (6, "d", 2.23),           # group move empties nothing yet
+        (7, "d", 1.0),            # insert into a new group
+    ]
+    snap1 = spark.createDataFrame(batch1_rows, schema)
+    signed = signed_changes(base, snap1, ["id"], ["grp", "val"])
+    state = apply_rollup_delta(state, signed, ["grp"], ["val"])
+    assert sorted(map(tuple, state.collect())) == \
+        _rollup_rows(spark, snap1, ["grp"], ["val"])
+
+    batch2_rows = [
+        # group c now empties entirely (6 moved in batch1, nothing left)
+        (1, "a", 11.25),
+        (2, "b", None),           # value -> NULL
+        (3, "b", 5.5),
+        (4, "a", 4.0),            # move back
+        (7, "d", 1.5),
+    ]                             # 6 deleted -> d loses a member
+    snap2 = spark.createDataFrame(batch2_rows, schema)
+    signed2 = signed_changes(snap1, snap2, ["id"], ["grp", "val"])
+    state = apply_rollup_delta(state, signed2, ["grp"], ["val"])
+    assert sorted(map(tuple, state.collect())) == \
+        _rollup_rows(spark, snap2, ["grp"], ["val"])
+
+
+def test_rollup_values_matches_dsum(spark):
+    """The presentation view closes through the same arithmetic as
+    numerics.dsum, so a maintained rollup reads identically to a
+    directly-aggregated mart."""
+    from data_warehouse_morrocan_banks_spark.numerics import davg, dsum
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        build_rollup,
+        rollup_values,
+    )
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    got = sorted(map(tuple, rollup_values(
+        build_rollup(li, ["l_returnflag"], ["l_extendedprice"]),
+        ["l_extendedprice"],
+    ).select("l_returnflag", "n_rows", "sum_l_extendedprice",
+             "avg_l_extendedprice").collect()))
+    want = sorted(map(tuple, li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_l_extendedprice"),
+        davg("l_extendedprice", "avg_l_extendedprice"),
+    ).collect()))
+    assert got == want

@@ -166,3 +166,41 @@ def test_simhash_query_plan_single_token_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1, plan[:2000]
     assert "Window" in plan
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketized interval join ≡ the non-equi condition join, for
+    intervals spanning multiple buckets, bucket-boundary points,
+    inclusive endpoints, negatives, and an empty interval; the plan
+    must contain no nested-loop/cartesian join."""
+    import random
+
+    from data_warehouse_morrocan_banks_spark.operators.joins import (
+        interval_join,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, rng.choice(["u1", "u2"]), rng.uniform(-50, 150))
+           for i in range(300)]
+    pts += [(1000, "u1", 0.0), (1001, "u2", 10.0)]     # exact boundaries
+    ivs = []
+    for j in range(40):
+        lo = rng.uniform(-60, 140)
+        ivs.append((j, rng.choice(["u1", "u2"]), lo, lo + rng.uniform(0, 45)))
+    ivs.append((100, "u1", 10.0, 10.0))                 # degenerate point
+    ivs.append((101, "u1", 30.0, 20.0))                 # empty (lo > hi)
+    p = spark.createDataFrame(pts, "pid INT, user STRING, x DOUBLE")
+    iv = spark.createDataFrame(ivs, "iid INT, user STRING, lo DOUBLE, hi DOUBLE")
+
+    got = interval_join(p, iv, "x", "lo", "hi", bucket_width=10.0, key="user")
+    got_pairs = sorted((r["pid"], r["iid"]) for r in got.collect())
+    brute = p.join(
+        iv, (p["user"] == iv["user"]) & (p["x"] >= iv["lo"])
+        & (p["x"] <= iv["hi"]), "inner"
+    )
+    want_pairs = sorted((r["pid"], r["iid"]) for r in brute.collect())
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
