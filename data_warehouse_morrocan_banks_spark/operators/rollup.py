@@ -54,13 +54,21 @@ def _scaled(col: Column | str) -> Column:
 
 def build_rollup(df: DataFrame, group_keys: list[str],
                  measures: list[str]) -> DataFrame:
-    """Materialize the rollup STATE: per group, ``n_rows`` plus one
-    exact scaled-long sum per measure (``sum_<m>__scaled``).  The
-    state is what you persist; :func:`rollup_values` derives the
-    presentation columns."""
+    """Materialize the rollup STATE: per group, ``n_rows`` plus, per
+    measure, the exact scaled-long sum (``sum_<m>__scaled``) and the
+    non-null value count (``n_<m>``).  The non-null count is what
+    makes the state's SQL presentation exact: SUM over zero non-null
+    values is NULL (not 0), and AVG divides by the non-null count —
+    neither is derivable from ``n_rows`` alone (hypothesis-found on
+    an all-NULL group).  State sums store 0 for the no-values case;
+    :func:`rollup_values` converts to the SQL convention at read."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for m in measures:
-        aggs.append(F.sum(_scaled(m)).alias(f"sum_{m}__scaled"))
+        aggs.append(
+            F.coalesce(F.sum(_scaled(m)), F.lit(0).cast("long"))
+            .alias(f"sum_{m}__scaled")
+        )
+        aggs.append(F.count(_c(m)).alias(f"n_{m}"))
     return df.groupBy(*group_keys).agg(*aggs)
 
 
@@ -115,6 +123,10 @@ def apply_rollup_delta(state: DataFrame, signed: DataFrame,
             F.sum(F.col(_SIGN).cast("long") * _scaled(m))
             .alias(f"__d_{m}")
         )
+        d_aggs.append(
+            F.sum(F.when(_c(m).isNotNull(), F.col(_SIGN).cast("long"))
+                  .otherwise(F.lit(0))).alias(f"__d_n_{m}")
+        )
     delta = signed.groupBy(*group_keys).agg(*d_aggs)
     j = state.join(delta, on=group_keys, how="full_outer")
     out_cols: list[Column] = [
@@ -127,6 +139,11 @@ def apply_rollup_delta(state: DataFrame, signed: DataFrame,
              + F.coalesce(F.col(f"__d_{m}"), F.lit(0)))
             .alias(f"sum_{m}__scaled")
         )
+        out_cols.append(
+            (F.coalesce(F.col(f"n_{m}"), F.lit(0))
+             + F.coalesce(F.col(f"__d_n_{m}"), F.lit(0)))
+            .alias(f"n_{m}")
+        )
     return (
         j.select(*group_keys, *out_cols)
         .filter(F.col("n_rows") > 0)
@@ -134,15 +151,20 @@ def apply_rollup_delta(state: DataFrame, signed: DataFrame,
 
 
 def rollup_values(state: DataFrame, measures: list[str]) -> DataFrame:
-    """Presentation view of the state: per measure, the deterministic
-    double ``sum_<m>`` (same closing arithmetic as ``numerics.dsum``)
-    and ``avg_<m>``."""
+    """Presentation view of the state with SQL aggregate semantics:
+    per measure, the deterministic double ``sum_<m>`` (same closing
+    arithmetic as ``numerics.dsum``; NULL when the group holds zero
+    non-null values, like SQL SUM) and ``avg_<m>`` (divides by the
+    NON-NULL count, like SQL AVG / ``numerics.davg``)."""
     cols: list[Column] = [F.col(c) for c in state.columns
                           if not c.endswith("__scaled")]
     for m in measures:
-        s = round_det(
-            F.col(f"sum_{m}__scaled").cast("double") / _SCALE_FACTOR
+        nv = F.col(f"n_{m}")
+        s = F.when(
+            nv > 0,
+            round_det(F.col(f"sum_{m}__scaled").cast("double")
+                      / _SCALE_FACTOR),
         )
         cols.append(s.alias(f"sum_{m}"))
-        cols.append((s / F.col("n_rows")).alias(f"avg_{m}"))
+        cols.append((s / nv).alias(f"avg_{m}"))
     return state.select(*cols)

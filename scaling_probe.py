@@ -133,6 +133,46 @@ def main():
         return scd2_apply(d2, changes, ["c_custkey"],
                           {"c_mktsegment": "new_seg"}, "ts")
 
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def rollup_maint(lineitem):
+        """Full maintenance cycle: state build + snapshot diff (1%
+        churn: deletes + measure updates) + signed-delta fold."""
+        from data_warehouse_morrocan_banks_spark.operators.rollup import (
+            apply_rollup_delta,
+            build_rollup,
+            signed_changes,
+        )
+        keys = ["l_orderkey", "l_linenumber"]
+        state = build_rollup(lineitem, ["l_returnflag"], ["l_extendedprice"])
+        new = lineitem.filter((F.col("l_orderkey") % 97) != 1).withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") % 100 == 0,
+                   F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+        )
+        signed = signed_changes(
+            lineitem, new, keys,
+            ["l_returnflag", "l_extendedprice", "l_quantity"],
+        )
+        return apply_rollup_delta(state, signed,
+                                  ["l_returnflag"], ["l_extendedprice"])
+
+    def interval(evs):
+        """Point-in-interval self-join: per-(user, day) activity
+        windows probed by every event of that user."""
+        from data_warehouse_morrocan_banks_spark.operators.joins import (
+            interval_join,
+        )
+        pts = evs.select("event_id", "user_id",
+                         F.col("ts").cast("double").alias("x"))
+        ivs = (
+            evs.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+            .agg(F.min(F.col("ts").cast("double")).alias("lo"),
+                 F.max(F.col("ts").cast("double")).alias("hi"))
+        )
+        return interval_join(pts, ivs, "x", "lo", "hi",
+                             bucket_width=86400.0, key="user_id")
+
     results = {}
     for scale in (1, 10):
         li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
@@ -141,11 +181,16 @@ def main():
         d_s = d_s.cache(); d_s.count()
         c_s = customer if scale == 1 else replicate(customer, scale, ["c_custkey"])
         c_s = c_s.cache(); c_s.count()
+        ev_s = events if scale == 1 else replicate(
+            events, scale, ["event_id", "user_id"])
+        ev_s = ev_s.cache(); ev_s.count()
         shapes = (
             ("q1_agg", q1, li_s), ("argmax_join", argmax, li_s),
             ("jaccard_pairs", jaccard, d_s), ("pack_streaming", pack, d_s),
             ("span_dedup", span_dedup, d_s),
             ("stratified_sample", strat, li_s), ("scd2_merge", scd2, c_s),
+            ("rollup_maint", rollup_maint, li_s),
+            ("interval_join", interval, ev_s),
         )
         for name, fn, frame in shapes:
             best = float("inf")
@@ -158,11 +203,12 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             results[f"{name}_{scale}x"] = round(best, 2)
         results[f"rows_{scale}x"] = n_rows
-        li_s.unpersist(); d_s.unpersist(); c_s.unpersist()
+        li_s.unpersist(); d_s.unpersist(); c_s.unpersist(); ev_s.unpersist()
 
     for name in ("q1_agg", "argmax_join", "jaccard_pairs",
                  "pack_streaming", "span_dedup",
-                 "stratified_sample", "scd2_merge"):
+                 "stratified_sample", "scd2_merge",
+                 "rollup_maint", "interval_join"):
         results[f"{name}_scaling_ratio"] = round(
             results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
         )

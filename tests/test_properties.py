@@ -266,3 +266,43 @@ def test_word_ngrams_matches_python_oracle(spark, token_lists, n):
         want = sorted({" ".join(toks[j:j + n])
                        for j in range(len(toks) - n + 1)})
         assert got[i] == want, (t, n)
+
+
+# --- incremental rollup maintenance vs rebuild -------------------------------
+
+_ROLLUP_ROW = st.tuples(
+    st.integers(min_value=0, max_value=15),                    # row id
+    st.sampled_from(["a", "b", "c"]),                          # group
+    st.one_of(st.none(),                                       # measure
+              st.decimals(min_value=-999, max_value=999,
+                          places=2).map(float)),
+)
+
+
+@given(st.lists(st.lists(_ROLLUP_ROW, max_size=12, unique_by=lambda r: r[0]),
+                min_size=2, max_size=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rollup_maintenance_equals_rebuild_property(spark, snapshots):
+    """For ANY chain of snapshots (random inserts/deletes/updates/
+    group moves/NULL transitions), folding each diff into the state
+    must land the exact state a from-scratch rebuild produces."""
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        apply_rollup_delta,
+        build_rollup,
+        signed_changes,
+    )
+
+    schema = "id INT, grp STRING, val DOUBLE"
+    frames = [
+        spark.createDataFrame(rows, schema) if rows
+        else spark.createDataFrame([], schema)
+        for rows in snapshots
+    ]
+    state = build_rollup(frames[0], ["grp"], ["val"])
+    for prev, cur in zip(frames, frames[1:]):
+        signed = signed_changes(prev, cur, ["id"], ["grp", "val"])
+        state = apply_rollup_delta(state, signed, ["grp"], ["val"])
+    want = sorted(map(tuple, build_rollup(
+        frames[-1], ["grp"], ["val"]).collect()))
+    assert sorted(map(tuple, state.collect())) == want
