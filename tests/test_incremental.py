@@ -135,3 +135,73 @@ def test_rollup_values_matches_dsum(spark):
         davg("l_extendedprice", "avg_l_extendedprice"),
     ).collect()))
     assert got == want
+
+
+def test_rollup_maintenance_duckdb_parity(spark):
+    """Cross-engine check on real data: maintain the rollup through a
+    deterministic churn batch (deletes, measure updates, group moves,
+    NULL-outs), then compare the presentation view against DuckDB
+    computing the rebuild directly on the churned snapshot with the
+    numerics-layer SQL — maintained ≡ rebuilt ≡ DuckDB."""
+    import duckdb
+
+    from data_warehouse_morrocan_banks_spark.numerics import (
+        sql_davg,
+        sql_dsum,
+    )
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        apply_rollup_delta,
+        build_rollup,
+        rollup_values,
+        signed_changes,
+    )
+
+    old = table(spark, SF_SMOKE, "orders")
+    churned = (
+        old.filter((F.col("o_orderkey") % 97) != 1)          # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit(None))  # NULL-outs
+            .when(F.col("o_orderkey") % 100 == 0,
+                  F.col("o_totalprice") + 1.5)               # updates
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 55 == 0, F.lit("X"))  # group moves
+            .otherwise(F.col("o_orderstatus")),
+        )
+    )
+    state = build_rollup(old, ["o_orderstatus"], ["o_totalprice"])
+    signed = signed_changes(old, churned, ["o_orderkey"],
+                            ["o_orderstatus", "o_totalprice"])
+    state = apply_rollup_delta(state, signed,
+                               ["o_orderstatus"], ["o_totalprice"])
+    got = sorted(map(tuple, rollup_values(state, ["o_totalprice"]).select(
+        "o_orderstatus", "n_rows", "n_o_totalprice",
+        "sum_o_totalprice", "avg_o_totalprice",
+    ).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(f"""
+        WITH churned AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 55 = 0 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                 WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.5
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 97 != 1
+        )
+        SELECT o_orderstatus,
+          COUNT(*) AS n_rows,
+          COUNT(o_totalprice) AS n_o_totalprice,
+          {sql_dsum('o_totalprice', 'sum_o_totalprice')},
+          {sql_davg('o_totalprice', 'avg_o_totalprice')}
+        FROM churned GROUP BY o_orderstatus
+    """).fetchall()))
+    assert got == want and len(got) >= 3
