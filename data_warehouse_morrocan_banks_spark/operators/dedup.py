@@ -204,6 +204,14 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
 
     Output: (id, family_id, is_canonical) — filter ``is_canonical``
     for the deduplicated corpus, or join back to audit what dropped.
+
+    Generation contract (inherited from
+    :func:`connected_components`): the returned frame reads that
+    call's checkpointed labels, which the NEXT
+    ``connected_components``/``dedup_families`` invocation in the
+    session releases — consume (write/collect) or ``persist`` the
+    result before resolving another pair set, or the stale frame
+    fails on missing checkpoint blocks.
     """
     comps = connected_components(pairs, src, dst)
     return (

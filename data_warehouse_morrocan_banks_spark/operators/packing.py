@@ -52,8 +52,13 @@ def pack_streaming(df: DataFrame, tokens: Column | str,
     All integer arithmetic (``div``), exact in any SQL engine.  One
     shuffle (the window partition); at 100 TB the group key should be
     a (source, shard) composite so no single group dominates.
-    Assumes ``tokens ≥ 1`` per document (a 0-token row would get an
-    empty span where ``_end < _id``).
+    0-token documents (a fully-deduped text from ``dedup_spans_exact``
+    is a legitimate producer) get the EMPTY span ``_end == _id`` at
+    their stream position — the clamp matters at window boundaries,
+    where the raw last-token index (= first − 1) falls in the prior
+    window, and for a 0-token row opening a stream, where index −1
+    truncates toward zero in Spark ``div`` but floors in DuckDB ``//``
+    (the clamp lands both engines on the same value).
     """
     from pyspark.sql import Window
 
@@ -74,7 +79,10 @@ def pack_streaming(df: DataFrame, tokens: Column | str,
         .withColumn("__last", cum - F.lit(1))             # last-token index
         .withColumn(f"{p}_id", F.expr(f"__start div {b}"))
         .withColumn(f"{p}_offset", F.expr(f"__start % {b}"))
-        .withColumn(f"{p}_end", F.expr(f"__last div {b}"))
+        .withColumn(
+            f"{p}_end",
+            F.greatest(F.col(f"{p}_id"), F.expr(f"__last div {b}")),
+        )
         .drop("__start", "__last")
     )
 

@@ -51,7 +51,7 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, nd: int = 6) -> Column:
     """Cosine similarity rounded to ``nd`` (absorbs cross-engine ulp
     noise; double accumulation error ~1e-14 for 64-dim fp32 inputs)."""
-    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), nd)
+    return F.round(F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), nd)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -85,8 +85,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
             query_id_col,
             id_col,
             F.round(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qnorm") * F.col("__cnorm")), 6
+                F.try_divide(
+                    dot(F.col("__qvec"), F.col("__cvec")),
+                    F.col("__qnorm") * F.col("__cnorm"),
+                ), 6
             ).alias("cosine_sim"),
         )
     )
@@ -153,7 +155,8 @@ def ivf_assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     sims = F.transform(
         cmat,
         lambda c: F.round(
-            dot(F.col("__v"), c["cv"]) / (F.col("__vnorm") * c["cn"]), 6
+            F.try_divide(dot(F.col("__v"), c["cv"]),
+                         F.col("__vnorm") * c["cn"]), 6
         ),
     )
     cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
@@ -233,7 +236,8 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
         _centroid_matrix(sorted(centroids)),
         lambda c: F.struct(
             F.round(
-                dot(F.col("__qvec"), c["cv"]) / (F.col("__qnorm") * c["cn"]), 6
+                F.try_divide(dot(F.col("__qvec"), c["cv"]),
+                             F.col("__qnorm") * c["cn"]), 6
             ).alias("sim"),
             c["cid"].alias("bucket_id"),
         ),
@@ -251,8 +255,10 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
         .select(
             query_id_col, id_col,
             F.round(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qnorm") * F.col("__cnorm")), 6
+                F.try_divide(
+                    dot(F.col("__qvec"), F.col("__cvec")),
+                    F.col("__qnorm") * F.col("__cnorm"),
+                ), 6
             ).alias("cosine_sim"),
         )
     )
@@ -286,7 +292,8 @@ def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
     # tokenizer expression inline would re-run it in Catalyst's
     # inferred size(generator)>0 filter once more per row (the
     # HOF-explode hazard, CLAUDE.md)
-    hashed = df.select(id_col, tokens.alias("__tok_arr")).select(
+    base = df.select(id_col, tokens.alias("__tok_arr"))
+    hashed = base.select(
         id_col, F.explode("__tok_arr").alias("__t")
     ).select(id_col, F.md5("__t").alias("__h"))
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -300,7 +307,18 @@ def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
     for i in range(bits):
         bit = (F.col(f"__b{i}") * 2 > F.col("__n")).cast("bigint")
         out = out + bit * F.lit(2 ** i).cast("bigint")
-    return grouped.select(id_col, out.alias("simhash"))
+    fingerprints = grouped.select(id_col, out.alias("simhash"))
+    # zero-token documents vanish in the explode, but an empty hash
+    # list majority-folds to fingerprint 0 (what the expression form
+    # and the DuckDB oracle produce) — join them back HERE so every
+    # caller (bucketing query, Hamming-band pairs) sees one row per
+    # non-NULL-token document instead of rediscovering the gap.
+    # NULL token arrays (NULL text) drop, mirroring the NULL join key.
+    all_ids = base.filter(F.col("__tok_arr").isNotNull()).select(id_col)
+    return all_ids.join(fingerprints, id_col, "left").select(
+        id_col,
+        F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
+    )
 
 
 def jaccard_token_sets(a_tokens: Column, b_tokens: Column, nd: int = 6) -> Column:
@@ -310,7 +328,8 @@ def jaccard_token_sets(a_tokens: Column, b_tokens: Column, nd: int = 6) -> Colum
     union = F.size(da) + F.size(db) - inter
     # deterministic round: set-size ratios can land exactly on ties
     return F.round(
-        (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
+        F.try_divide(inter.cast("double"), union.cast("double"))
+        .cast("decimal(24,12)"), nd
     ).cast("double")
 
 
@@ -453,7 +472,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Q = 10**9
 
     def alpha(n: Column) -> Column:
-        return F.floor((F.lit(P) * n.cast("bigint") + F.lit(Q - 1)) / F.lit(Q))
+        # `div` (integer division), not `/`: Spark promotes bigint `/`
+        # to DOUBLE division, whose half-ulp error can round an exact
+        # multiple up once P·n exceeds 2^53 — shortening the prefix by
+        # one token and silently breaking the recall-1.0 guarantee for
+        # very large documents.  `div` stays exact at any bigint.
+        return F.call_function(
+            "div", F.lit(P) * n.cast("bigint") + F.lit(Q - 1), F.lit(Q)
+        )
 
     exploded = toks.select("__id", "__grp", "__n", F.explode("__t").alias("__tok"))
     freq = exploded.groupBy("__grp", "__tok").agg(F.count(F.lit(1)).alias("__df"))
@@ -489,9 +515,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # t/(1+t) is increasing in t, so P/(P+Q) ≤ t/(1+t): a weaker
     # (recall-safe) bound, still exact integer math.
-    required_overlap = F.floor(
-        (F.lit(P) * (F.col("pa.__n") + F.col("pb.__n")).cast("bigint")
-         + F.lit(P + Q - 1)) / F.lit(P + Q)
+    required_overlap = F.call_function(
+        "div",
+        F.lit(P) * (F.col("pa.__n") + F.col("pb.__n")).cast("bigint")
+        + F.lit(P + Q - 1),
+        F.lit(P + Q),
     )
     positional_ok = (
         F.lit(1) + F.least(
@@ -577,10 +605,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Spark ML MinHashLSH over binarized HashingTF token vectors;
     ``approxSimilarityJoin`` emits candidate pairs under the Jaccard
     *distance* threshold (1 − similarity).  Seeded → reproducible.
+
+    Tokenization pins the engine's explicit ``[ \t\n\r]`` class (via
+    RegexTokenizer's pattern — Java ``\s`` includes ``\x0B``/``\f``,
+    which the exact operators this one is recall-checked against do
+    NOT treat as separators).  approxSimilarityJoin keeps distance
+    STRICTLY below its cutoff, so a pair at sim == threshold (dist ==
+    1−threshold up to double rounding) was silently dropped — the
+    only pair operator in the family excluding the boundary.  The
+    cutoff gets a 1e-12 epsilon: wide enough to cover the ±ulp noise
+    of the engine's ``1 − |A∩B|/|A∪B|`` double arithmetic, and below
+    the smallest possible gap between distinct Jaccard values for
+    documents up to ~10⁵ distinct tokens (≥ 1/(qₐ·q_b) ≈ 1e-10), so
+    the boundary pair is admitted and the next value below is not.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
 
-    tok = RegexTokenizer(inputCol=text_col, outputCol="__tok", pattern=r"\s+")
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__tok",
+                         pattern="[ \t\n\r]+")
     tf = HashingTF(inputCol="__tok", outputCol="__vec",
                    numFeatures=num_features, binary=True)
     featured = tf.transform(tok.transform(df))
@@ -590,7 +632,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                     numHashTables=num_hashes, seed=42)
     model = mh.fit(featured)
     pairs = model.approxSimilarityJoin(
-        featured, featured, 1.0 - threshold, distCol="jaccard_dist"
+        featured, featured, (1.0 - threshold) + 1e-12, distCol="jaccard_dist"
     )
     return (
         pairs.select(
@@ -713,23 +755,24 @@ def cosine_near_dup_pairs(corpus: DataFrame,
         _centroid_matrix(sorted(centroids)),
         lambda c: F.struct(
             F.round(
-                dot(F.col("__v"), c["cv"]) / (F.col("__vnorm") * c["cn"]), 6
+                F.try_divide(dot(F.col("__v"), c["cv"]),
+                             F.col("__vnorm") * c["cn"]), 6
             ).alias("sim"),
             c["cid"].alias("bucket_id"),
         ),
     )
+    # probe rows carry ONLY (id, bucket): the bucket-keyed candidate
+    # shuffle moves an id + an int per (vector, probe), never the
+    # embedding; the vector/norm payload joins back AFTER the
+    # candidate distinct (recomputing one norm fold per side is local
+    # map work — at scale the candidate shuffle dominates)
     probed = (
         tagged.withColumn("__cand", F.explode(F.slice(
             F.sort_array(scores, asc=False), 1, nprobe)))
-        .select(id_col, "__v", "__vnorm",
-                F.col("__cand.bucket_id").alias("__bucket"))
+        .select(id_col, F.col("__cand.bucket_id").alias("__bucket"))
     )
     pa, pb = probed.alias("pa"), probed.alias("pb")
-    sim = F.round(
-        dot(F.col("pa.__v"), F.col("pb.__v"))
-        / (F.col("pa.__vnorm") * F.col("pb.__vnorm")), 6
-    )
-    return (
+    cands = (
         pa.join(
             pb,
             (F.col("pa.__bucket") == F.col("pb.__bucket"))
@@ -739,9 +782,24 @@ def cosine_near_dup_pairs(corpus: DataFrame,
         .select(
             F.col(f"pa.{id_col}").alias("id_a"),
             F.col(f"pb.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
         )
         .distinct()
+    )
+    payload = corpus.select(F.col(id_col), v.alias("__v")) \
+        .withColumn("__vnorm", l2_norm(F.col("__v")))
+    va = payload.select(F.col(id_col).alias("id_a"),
+                        F.col("__v").alias("__va"),
+                        F.col("__vnorm").alias("__na"))
+    vb = payload.select(F.col(id_col).alias("id_b"),
+                        F.col("__v").alias("__vb"),
+                        F.col("__vnorm").alias("__nb"))
+    sim = F.round(
+        F.try_divide(dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")), 6
+    )
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -772,7 +830,11 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
     parity-tested against :func:`brute_force_topk` in pytest rather
     than DuckDB-oracled (identical output on the testdata; a rounded
     value could in principle differ on a ~1e-15 boundary).  Zero-norm
-    vectors are the caller's problem in both forms (NaN sims).
+    vectors: the expression form emits NULL sims (try_divide — they
+    sort last and fall out of any top-k with enough candidates); this
+    kernel emits NaN, which numpy's sort also places last.  Corpora
+    where zero vectors must rank identically across BOTH forms should
+    filter them upstream.
     """
     from pyspark.sql import Window
 
@@ -934,20 +996,21 @@ def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
             F.shiftrightunsigned(F.col("__sig"), lo)
             .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
         ))
+    # band rows carry ONLY (id, band) — the vector/norm payload joins
+    # back AFTER the candidate distinct, so the band-keyed shuffle
+    # moves 2 ints + an id per (vector, band) rather than the full
+    # embedding per side (at scale the candidate shuffle dominates;
+    # recomputing one norm fold per payload join is local map work)
     banded = signed.select(
-        id_col, "__v", "__vnorm",
+        id_col,
         F.explode(F.array(*band_cols)).alias("__band"),
     ).select(
-        id_col, "__v", "__vnorm",
+        id_col,
         F.col("__band.band_idx").alias("__bidx"),
         F.col("__band.band_val").alias("__bval"),
     )
     ba, bb = banded.alias("ba"), banded.alias("bb")
-    sim = F.round(
-        dot(F.col("ba.__v"), F.col("bb.__v"))
-        / (F.col("ba.__vnorm") * F.col("bb.__vnorm")), 6
-    )
-    return (
+    cands = (
         ba.join(
             bb,
             (F.col("ba.__bidx") == F.col("bb.__bidx"))
@@ -958,8 +1021,23 @@ def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
         .select(
             F.col(f"ba.{id_col}").alias("id_a"),
             F.col(f"bb.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
         )
         .distinct()
+    )
+    payload = corpus.select(F.col(id_col), v.alias("__v")) \
+        .withColumn("__vnorm", l2_norm(F.col("__v")))
+    va = payload.select(F.col(id_col).alias("id_a"),
+                        F.col("__v").alias("__va"),
+                        F.col("__vnorm").alias("__na"))
+    vb = payload.select(F.col(id_col).alias("id_b"),
+                        F.col("__v").alias("__vb"),
+                        F.col("__vnorm").alias("__nb"))
+    sim = F.round(
+        F.try_divide(dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")), 6
+    )
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -160,16 +160,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = table(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.lower(F.col("text")))
-    hashed = simhash_agg(d, "doc_id", toks, bits=_SIMHASH_BITS) \
+    # simhash_agg emits one row per non-NULL-token document, including
+    # the fingerprint-0 row for zero-token documents (the empty-doc
+    # join-back lives in the operator since the Hamming-band pairs
+    # inherited the gap when it was a call-site patch here)
+    fingerprints = simhash_agg(d, "doc_id", toks, bits=_SIMHASH_BITS) \
         .withColumnRenamed("simhash", "simhash16")
-    # zero-token documents vanish in the explode but the oracle folds
-    # their empty hash list to fingerprint 0 — join them back so both
-    # sides emit one row per non-NULL-text document (NULL text drops
-    # identically in both: NULL token array here, NULL join key there)
-    all_docs = d.filter(toks.isNotNull()).select("doc_id")
-    fingerprints = all_docs.join(hashed, "doc_id", "left").select(
-        "doc_id", F.coalesce("simhash16", F.lit(0)).alias("simhash16")
-    )
     return fingerprints.select(
         "doc_id",
         "simhash16",

@@ -103,7 +103,8 @@ packed AS (
 SELECT doc_id, lang, split, n_tokens, n_tokens_raw, n_spans_removed,
   CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS pack_id,
   CAST((cum - n_tokens) % {_BUDGET} AS BIGINT) AS pack_offset,
-  CAST((cum - 1) // {_BUDGET} AS BIGINT) AS pack_end
+  GREATEST(CAST((cum - n_tokens) // {_BUDGET} AS BIGINT),
+           CAST((cum - 1) // {_BUDGET} AS BIGINT)) AS pack_end
 FROM packed
 """
 

@@ -163,12 +163,16 @@ def main():
         from data_warehouse_morrocan_banks_spark.operators.joins import (
             interval_join,
         )
-        pts = evs.select("event_id", "user_id",
-                         F.col("ts").cast("double").alias("x"))
+        # NTZ timestamps don't cast to double directly; go through the
+        # (UTC-pinned) local timestamp to epoch seconds
+        epoch = (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
+            / F.lit(1e6)
+        )
+        pts = evs.select("event_id", "user_id", epoch.alias("x"))
         ivs = (
             evs.groupBy("user_id", F.col("ts").cast("date").alias("d"))
-            .agg(F.min(F.col("ts").cast("double")).alias("lo"),
-                 F.max(F.col("ts").cast("double")).alias("hi"))
+            .agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi"))
         )
         return interval_join(pts, ivs, "x", "lo", "hi",
                              bucket_width=86400.0, key="user_id")

@@ -254,3 +254,42 @@ def test_snapshot_diff_matches_duckdb(spark):
     cols = ["p_partkey", "change_type", "changed_columns"]
     assert rows_canonical(cols, [tuple(r[c] for c in cols) for r in got]) == \
         rows_canonical(cols, oracle)
+
+
+def test_pack_streaming_zero_token_rows_get_empty_spans(spark):
+    """dedup_spans_exact can emit 0-token documents; their span must be
+    the empty range pack_end == pack_id at the stream position, never
+    the inverted pack_end < pack_id the raw last-token index gives at
+    a window boundary (and DuckDB parity holds even when a 0-token
+    row OPENS the stream, where index -1 floors differently per
+    engine without the clamp)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # cum after row:    0,     4,    4,     8
+        (1, "g", 0), (2, "g", 4), (3, "g", 0), (4, "g", 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, grp STRING, n INT")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["pack_end"])
+        for r in pack_streaming(df, "n", "doc_id", "grp", budget=4).collect()
+    }
+    assert out[1] == (0, 0, 0)       # 0-token row opening the stream
+    assert out[2] == (0, 0, 0)
+    assert out[3] == (1, 0, 1)       # 0-token row exactly on the cut
+    assert out[4] == (1, 0, 1)
+    for pid, _off, pend in out.values():
+        assert pend >= pid
+
+    want = dict(duckdb.sql("""
+        WITH t(doc_id, grp, n) AS (VALUES (1,'g',0),(2,'g',4),(3,'g',0),(4,'g',4)),
+        c AS (SELECT *, SUM(n) OVER (PARTITION BY grp ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        SELECT doc_id, [(cum - n) // 4,
+                        (cum - n) % 4,
+                        GREATEST((cum - n) // 4, (cum - 1) // 4)]
+        FROM c
+    """).fetchall())
+    assert {k: tuple(v) for k, v in want.items()} == out

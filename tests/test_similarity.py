@@ -541,3 +541,87 @@ def test_srp_signature_deterministic_and_guarded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         srp_lsh_pairs(df, dim=4, planes=10, bands=4)
+
+
+def test_zero_norm_vectors_do_not_crash_cosine_family(spark):
+    """Spark 4 defaults to ANSI mode, where a raw double division by a
+    zero norm aborts the whole job; the cosine family routes through
+    try_divide (NULL, DuckDB's x/0 semantics) so a padding/all-zero
+    vector yields no matches instead of killing the query."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 0),                       # zero-norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>, label INT")
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=5)
+    got = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in topk.collect()}
+    assert got[(1, 2)] is not None and got[(1, 2)] > 0.9
+    assert got[(1, 3)] is None                    # NULL sim, not a crash
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    pairs = cosine_near_dup_pairs(emb, cents, threshold=0.5, nprobe=2)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in ids
+    assert all(3 not in p for p in ids)
+
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+    srp = srp_lsh_pairs(emb, dim=2, threshold=0.5, planes=8, bands=4)
+    ids = {(r["id_a"], r["id_b"]) for r in srp.collect()}
+    assert all(3 not in p for p in ids)
+
+
+def test_jaccard_token_sets_empty_vs_empty_is_null(spark):
+    """Two blank documents: 0/0 Jaccard must be NULL (DuckDB's x/0),
+    not an ANSI DIVIDE_BY_ZERO abort."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        jaccard_token_sets,
+    )
+
+    df = spark.createDataFrame(
+        [([], []), (["a"], [])], "a ARRAY<STRING>, b ARRAY<STRING>"
+    )
+    got = [r["j"] for r in df.select(
+        jaccard_token_sets(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert got == [None, 0.0]
+
+
+def test_simhash_hamming_pairs_includes_empty_documents(spark):
+    """Zero-token documents fingerprint to 0 inside simhash_agg now, so
+    two whitespace-only docs are trivial near-dups (hamming 0) in the
+    banded pair output — previously they vanished in the explode."""
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        simhash_agg,
+        simhash_hamming_pairs,
+    )
+
+    rows = [(1, "   "), (2, "\t"), (3, "totally different content here")]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    fp = {r["doc_id"]: r["simhash"]
+          for r in simhash_agg(d, "doc_id", toks).collect()}
+    assert fp[1] == 0 and fp[2] == 0
+    pairs = simhash_hamming_pairs(d, "doc_id", toks, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_minhash_keeps_boundary_similarity_pairs(spark):
+    """A pair at token-set Jaccard exactly == threshold must survive:
+    approxSimilarityJoin's cutoff is strict, so the operator widens it
+    by an ulp-scale epsilon.  (3 shared of 5 union = 0.6.)"""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon")]     # J = 3/5 = 0.6
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.6,
+                              num_hashes=8)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0.6
