@@ -129,6 +129,11 @@ def fit_topics(df: DataFrame, text_col: str, stopwords: list[str] | None = None,
         .limit(LDA_VOCAB_SIZE)
         .collect()
     )
+    if not vocab_rows:
+        # same graceful path as the small-corpus gate: no term reaches
+        # docFreq >= 2, so there is nothing to fit (from_vocabulary([])
+        # would raise an opaque ML-layer error instead)
+        return None
     vectorizer = CountVectorizerModel.from_vocabulary(
         [r["__term"] for r in vocab_rows],
         inputCol="__filtered", outputCol="__features",

@@ -81,10 +81,16 @@ def streaming_upsert(spark: SparkSession, source_path: str, target_path: str,
         dates = [r[0] for r in batch.select(partition_col).distinct().collect()]
         if not dates:
             return
+        # isin() never matches NULL, but a NULL partition value is a
+        # real partition (__HIVE_DEFAULT_PARTITION__) that the dynamic
+        # overwrite WILL rewrite — the merge filter must include it or
+        # previously-landed NULL-partition rows silently vanish
+        non_null = [d for d in dates if d is not None]
+        touched = F.col(partition_col).isin(non_null)
+        if len(non_null) < len(dates):
+            touched = touched | F.col(partition_col).isNull()
         try:
-            existing = spark.read.parquet(target_path).filter(
-                F.col(partition_col).isin(dates)
-            )
+            existing = spark.read.parquet(target_path).filter(touched)
         except AnalysisException as e:
             # ONLY path-not-found means "first batch".  Any other read
             # failure (transient listing error, corrupt footer,

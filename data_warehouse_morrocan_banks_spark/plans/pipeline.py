@@ -22,6 +22,14 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+class GateFailure(RuntimeError):
+    """A DELIBERATE pipeline gate rejection (preflight row count,
+    validation battery): the condition cannot heal within the run, so
+    the runner fails the stage immediately instead of burning
+    ``retries`` full re-executions (each a table scan at 100 TB) on a
+    non-transient condition."""
+
+
 @dataclass
 class Stage:
     name: str
@@ -63,6 +71,11 @@ class PipelineRunner:
                         manifest.outputs[stage.name] = result
                     last_err = None
                     break
+                except GateFailure:
+                    # deliberate rejection — retrying re-runs the same
+                    # deterministic check against the same data
+                    last_err = traceback.format_exc()
+                    break
                 except Exception:
                     last_err = traceback.format_exc()
                     if attempt < stage.retries:  # no sleep after the last try
@@ -84,5 +97,5 @@ def preflight_rowcount(df: DataFrame, min_rows: int, what: str) -> int:
     (complete_data_pipeline_fixed.py:77-88)."""
     n = df.count()
     if n < min_rows:
-        raise RuntimeError(f"preflight failed: {what} has {n} rows < {min_rows}")
+        raise GateFailure(f"preflight failed: {what} has {n} rows < {min_rows}")
     return n

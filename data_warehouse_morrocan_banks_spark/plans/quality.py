@@ -28,13 +28,6 @@ class QualityReport:
         return {k: v for k, v in self.checks.items() if v > 0}
 
 
-def _violations(df: DataFrame, conds: dict[str, Column]) -> dict[str, int]:
-    """Count violations for many predicates in ONE aggregate job."""
-    aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
-    row = df.agg(*aggs).collect()[0]
-    return {name: int(row[name]) for name in conds}
-
-
 def check_table(
     df: DataFrame,
     not_null: list[str] | None = None,
@@ -54,21 +47,24 @@ def check_table(
         )
     for c, (lo, hi) in (ranges or {}).items():
         conds[f"range:{c}"] = F.col(c).isNotNull() & ~F.col(c).between(lo, hi)
-    if conds:
-        report.checks.update(_violations(df, conds))
 
-    # dbt's unique test excludes NULL keys (they are the not_null
-    # test's business); one aggregate covers min_rows and every unique
-    # column in a single pass — count(c) counts non-null values,
-    # count_distinct(c) the distinct ones, so the difference is the
-    # number of surplus duplicate rows
-    uniq_aggs = [F.count(F.lit(1)).alias("__n")]
+    # ONE aggregate job for the entire battery — predicate counters,
+    # min_rows, and the unique tests together (the module's design
+    # statement; a second action would re-scan the table, which at the
+    # design scale doubles the cost of every build's quality gate).
+    # dbt's unique test excludes NULL keys (the not_null test's
+    # business): count(c) counts non-null values, count_distinct(c)
+    # the distinct ones, so the difference is the surplus duplicates.
+    aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
     for c in unique or []:
-        uniq_aggs.append(
+        aggs.append(
             (F.count(F.col(c)) - F.countDistinct(F.col(c)))
             .alias(f"__dup_{c}")
         )
-    row = df.agg(*uniq_aggs).collect()[0]
+    row = df.agg(*aggs).collect()[0]
+    for name in conds:
+        report.checks[name] = int(row[name])
     for c in unique or []:
         report.checks[f"unique:{c}"] = int(row[f"__dup_{c}"])
     report.checks["min_rows"] = 0 if row["__n"] >= min_rows else 1

@@ -106,6 +106,17 @@ def compact_parquet(spark, path: str,
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
+    # refuse a partitioned dataset ROOT: reading it absorbs the
+    # partition columns into the data and the rewrite would land a
+    # FLAT layout over it — destroying both partition pruning and the
+    # dynamic-overwrite contract upsert_partitions depends on
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"compact_parquet: {path} is a partitioned dataset root "
+                f"(found {st.getPath().getName()!r}); compact each "
+                "partition directory instead"
+            )
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 

@@ -32,16 +32,24 @@ def build_fact(
     measures: list[Column] | None = None,
     surrogate: str = "distributed",
     surrogate_order: list[Column] | None = None,
+    require_keys: list[str] | None = None,
 ) -> DataFrame:
     """Assemble a fact table.
 
     dims: {dim_name: (dim_df, join_on)} — each joined via broadcast
-    left join then FK-null filter (the reference's left-join-then-
-    IS NOT NULL ≡ inner, fact_reviews.sql:103,163 semantics).
+    LEFT join; unmatched staging rows keep NULL dim columns.  The
+    reference's inner semantics (left-join-then-IS NOT NULL,
+    fact_reviews.sql:103,163) apply only to the dims it gates on — so
+    the inner-filter is opt-in per dim-key via ``require_keys``:
+    listed columns get an IS NOT NULL filter after all joins
+    (callers that need to AUDIT orphans before dropping them leave
+    this empty and filter downstream, as warehouse.stage_fact does).
     """
     fact = staging
     for _, (dim_df, on) in dims.items():
         fact = fact.join(F.broadcast(dim_df), on, "left")
+    for key in require_keys or []:
+        fact = fact.filter(F.col(key).isNotNull())
 
     cols: list[Column] = []
     if ts_col is not None:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.conditional import safe_rate
-from ..numerics import davg, dstddev, dsum
+from ..numerics import davg, dstddev, dsum, round_det
 
 
 def bank_performance_mart(reviews: DataFrame) -> DataFrame:
@@ -88,8 +88,13 @@ def monthly_trends_mart(reviews: DataFrame) -> DataFrame:
     return (
         monthly.withColumn("prev_avg_sentiment", F.lag("avg_sentiment").over(w))
         .withColumn(
+            # round_det, not raw F.round: the delta of two davg
+            # quotients can land on a 6dp tie, where Spark's
+            # string-repr round and DuckDB's binary round disagree
+            # (numerics.py) — the decimal-cast path is the engine
+            # convention for every oracle-checkable 6dp value
             "sentiment_delta",
-            F.round(F.col("avg_sentiment") - F.col("prev_avg_sentiment"), 6),
+            round_det(F.col("avg_sentiment") - F.col("prev_avg_sentiment"), 6),
         )
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.datetime import date_key, epoch_to_timestamp
+from ..functions.text import stable_hash_key
 from ..nlp.features import add_review_features
 from ..nlp.language import language_detect_cols
 from ..nlp.sentiment import lexicon_sentiment_cols
@@ -75,8 +76,15 @@ def enrich_reviews(raw: DataFrame) -> DataFrame:
     """Bronze → silver: the reference's phase-2 pipeline as ONE lazy
     plan (SURVEY §3.2 — the CSV hops and INSERT loops disappear)."""
     cleaned = impute_defaults(filter_required_keys(raw, ["review_id", "place_id"]))
+    # the final order column is a full-row fingerprint: (collected_at,
+    # text) alone is not a unique total order (one collection pass
+    # stamps a batch timestamp), and dedup_keep_first's survivor must
+    # not depend on partition layout — ties beyond the fingerprint
+    # are bit-identical rows, where any survivor is the same row
+    row_fp = stable_hash_key(*cleaned.columns)
     deduped = dedup_keep_first(
-        cleaned, ["review_id"], [F.col("collected_at").desc(), F.col("text")]
+        cleaned, ["review_id"],
+        [F.col("collected_at").desc(), F.col("text"), row_fp],
     )
     in_range = filter_text_length(deduped, "text")
     lang = language_detect_cols("text")

@@ -205,3 +205,31 @@ def test_rollup_maintenance_duckdb_parity(spark):
         FROM churned GROUP BY o_orderstatus
     """).fetchall()))
     assert got == want and len(got) >= 3
+
+
+def test_streaming_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """isin() never matches NULL, but NULL partition values land in a
+    real directory (__HIVE_DEFAULT_PARTITION__) that dynamic overwrite
+    rewrites — rows landed there by run 1 must survive run 2's merge
+    filter or they silently vanish."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id INT, event_date STRING"
+
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None)], schema
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    batch1.write.mode("append").parquet(src)
+    streaming_upsert(spark, src, tgt, ckpt, "event_date",
+                     key_cols=["event_id"])
+
+    batch2 = spark.createDataFrame(
+        [(3, None)], schema
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    batch2.write.mode("append").parquet(src)
+    streaming_upsert(spark, src, tgt, ckpt, "event_date",
+                     key_cols=["event_id"])
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(tgt).collect())
+    assert got == [1, 2, 3]       # row 2 (NULL partition, run 1) survives

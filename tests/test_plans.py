@@ -93,3 +93,54 @@ def test_lag_trend_window_over_agg(spark):
     agg_pos = plan.index("HashAggregate")
     win_pos = plan.index("Window")
     assert win_pos < agg_pos
+
+
+def test_gate_failures_are_not_retried():
+    """A deliberate gate rejection (preflight) cannot heal within the
+    run; retrying re-executes a full scan per attempt at scale."""
+    from data_warehouse_morrocan_banks_spark.plans.pipeline import (
+        GateFailure,
+        PipelineRunner,
+        Stage,
+    )
+
+    calls = {"gate": 0, "flaky": 0}
+
+    def gate(_outputs):
+        calls["gate"] += 1
+        raise GateFailure("preflight failed: empty input")
+
+    manifest = PipelineRunner([Stage("gate", gate, retries=3)]).run()
+    assert manifest.status == "failed"
+    assert calls["gate"] == 1                     # no retries burned
+
+    def flaky(_outputs):
+        calls["flaky"] += 1
+        if calls["flaky"] < 2:
+            raise OSError("transient")
+        return "ok"
+
+    manifest = PipelineRunner(
+        [Stage("flaky", flaky, retries=3, retry_delay_s=0.0)]
+    ).run()
+    assert manifest.status == "ok" and calls["flaky"] == 2
+
+
+def test_build_fact_require_keys_drops_unmatched(spark):
+    """The opt-in inner-filter: listed FK columns drop unmatched
+    staging rows (the reference's left-join-then-IS NOT NULL), while
+    the default keeps them for orphan auditing."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.star.fact import build_fact
+
+    staging = spark.createDataFrame(
+        [(1, "casa"), (2, "ghost-town")], "id INT, city STRING"
+    )
+    dim = spark.createDataFrame([("casa", 10)], "city STRING, city_key INT")
+    audit = build_fact(staging, {"dim_city": (dim, "city")})
+    assert audit.count() == 2
+    assert audit.filter(F.col("city_key").isNull()).count() == 1
+    strict = build_fact(staging, {"dim_city": (dim, "city")},
+                        require_keys=["city_key"])
+    assert [r["id"] for r in strict.collect()] == [1]

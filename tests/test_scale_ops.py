@@ -204,3 +204,19 @@ def test_interval_join_matches_brute_force(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    """Compacting a partitioned dataset ROOT would flatten the layout
+    (partition dirs absorbed into data columns) — must refuse."""
+    import pytest as _pytest
+
+    from data_warehouse_morrocan_banks_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, p STRING")
+    df.write.partitionBy("p").parquet(path)
+    with _pytest.raises(ValueError, match="partitioned dataset root"):
+        compact_parquet(spark, path)

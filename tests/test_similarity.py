@@ -625,3 +625,13 @@ def test_minhash_keeps_boundary_similarity_pairs(spark):
                               num_hashes=8)
     got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs.collect()}
     assert got.get((1, 2)) == 0.6
+
+
+def test_lda_empty_vocabulary_returns_none(spark):
+    """>= LDA_MIN_DOCS docs but no term reaching docFreq >= 2: the
+    graceful no-model path, not an opaque Spark ML error."""
+    from data_warehouse_morrocan_banks_spark.nlp.topics import fit_topics
+
+    rows = [(i, f"uniqueterm{i:04d} loneword{i:04d}") for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    assert fit_topics(d, "text", stopwords=["the"]) is None
