@@ -98,6 +98,15 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
                 F.when(F.col("__s_present").isNotNull(), F.col(c))
                 .otherwise(F.col(f"__t_{c}")).alias(c)
             )
+        elif c in s_cols:
+            # WHEN NOT MATCHED inserts the FULL source row (SQL MERGE
+            # semantics): a shared column excluded from update_cols
+            # keeps the target value on matched rows but must still
+            # take the source value on inserted rows, not NULL
+            out_cols.append(
+                F.when(F.col("__t_present").isNotNull(), F.col(f"__t_{c}"))
+                .otherwise(F.col(c)).alias(c)
+            )
         else:
             out_cols.append(F.col(f"__t_{c}").alias(c))
 
@@ -114,7 +123,7 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
             for c in t_cols:
                 if c in keys:
                     continue
-                if c in update_cols:
+                if c in s_cols:  # full source row on insert (see above)
                     ins_cols.append(F.col(c))
                 else:
                     ins_cols.append(
@@ -160,8 +169,12 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: list[str],
     per-stage scheduling dominates).  Inserts remain a cheap anti
     join of the (small) change batch.
     """
-    cur = dim.filter(F.col(current_col))
-    hist = dim.filter(~F.col(current_col))
+    # NULL is_current must not vanish: filter(col) and filter(~col)
+    # BOTH drop NULL rows.  Treat NULL as history (pass-through) — a
+    # malformed flag should never silently delete a version row.
+    cur_flag = F.coalesce(F.col(current_col), F.lit(False))
+    cur = dim.filter(cur_flag)
+    hist = dim.filter(~cur_flag)
 
     chg = changes.select(
         *[F.col(k).alias(k) for k in keys],
@@ -223,16 +236,56 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, keys: list[str],
     return out
 
 
+_LAYOUT_FILE = "_bucket_layout.json"
+
+
+def _write_bucket_layout(spark: SparkSession, path: str,
+                         keys: list[str], n_buckets: int) -> None:
+    import json as _json
+
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LAYOUT_FILE}")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jp, True)
+    out.write(bytearray(_json.dumps(
+        {"keys": list(keys), "n_buckets": int(n_buckets)}
+    ).encode()))
+    out.close()
+
+
+def _read_bucket_layout(spark: SparkSession, path: str) -> dict | None:
+    import json as _json
+
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LAYOUT_FILE}")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(text)
+
+
 def bucketed_target_write(df: DataFrame, path: str, keys: list[str],
                           n_buckets: int = 64) -> None:
     """Lay a merge target down as parquet hash-partitioned on the key:
     ``__bucket = pmod(xxhash64(keys), n_buckets)`` becomes the
     partition directory, so a later merge can prune to the buckets a
     change batch touches.  Size ``n_buckets`` so one bucket ≈ one
-    comfortable task (100 TB / 64 MiB-ish splits → thousands)."""
+    comfortable task (100 TB / 64 MiB-ish splits → thousands).
+
+    A ``_bucket_layout.json`` sidecar records (keys, n_buckets) so a
+    later merge can verify it buckets with the SAME layout — a merge
+    run with a different n_buckets would prune to directories the
+    table never wrote, treat every change as an insert, and leave
+    stale duplicates behind, with no error anywhere."""
     df.withColumn(
         "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     ).write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    _write_bucket_layout(df.sparkSession, path, keys, n_buckets)
 
 
 def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
@@ -277,6 +330,17 @@ def partitioned_merge_write(spark: SparkSession, path: str, source: DataFrame,
     """
     from .lifecycle import release_rdd_ids, tracked_local_checkpoint
 
+    layout = _read_bucket_layout(spark, path)
+    if layout is not None and (
+        layout["n_buckets"] != n_buckets or layout["keys"] != list(keys)
+    ):
+        raise ValueError(
+            f"partitioned_merge_write: target {path} was written with "
+            f"layout {layout}, called with keys={list(keys)} "
+            f"n_buckets={n_buckets} — a mismatched layout would prune "
+            "to buckets the table never wrote and duplicate every "
+            "changed key"
+        )
     src = source.withColumn(
         "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
@@ -337,14 +401,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = sorted(shared - set(keys))
-    o = old.alias("o")
-    n = new.alias("n")
+    o = old.withColumn("__o_present", F.lit(True)).alias("o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("n")
     joined = o.join(n, on=keys, how="full_outer")
-    # 'on=keys' coalesces the key columns; presence probes must use a
-    # column that is never NULL in its own frame — the first key,
-    # qualified per side.
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    # explicit presence markers, never a key column: a legitimately
+    # NULL first-key value would read as "absent" and misclassify the
+    # row (a deleted NULL-keyed row would surface as 'updated').
+    # NULL keys never match in the join (SQL semantics) — matching
+    # the oracle's FULL JOIN — so they always split into one
+    # 'deleted' and/or one 'inserted' row.
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     diffs = [
         F.when(
             ~(F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))), F.lit(c)

@@ -128,7 +128,20 @@ def apply_rollup_delta(state: DataFrame, signed: DataFrame,
                   .otherwise(F.lit(0))).alias(f"__d_n_{m}")
         )
     delta = signed.groupBy(*group_keys).agg(*d_aggs)
-    j = state.join(delta, on=group_keys, how="full_outer")
+    # NULL-SAFE key equality: groupBy folds NULL keys into one group
+    # on both sides, but a plain full-outer `on=keys` join would never
+    # match them (NULL != NULL) and the state would fork into two
+    # NULL-group rows — diverging from a rebuild
+    st, dl = state.alias("__st"), delta.alias("__dl")
+    cond = None
+    for k in group_keys:
+        eq = F.col(f"__st.{k}").eqNullSafe(F.col(f"__dl.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = st.join(dl, on=cond, how="full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"__st.{k}"), F.col(f"__dl.{k}")).alias(k)
+        for k in group_keys
+    ]
     out_cols: list[Column] = [
         (F.coalesce(F.col("n_rows"), F.lit(0))
          + F.coalesce(F.col("__d_n"), F.lit(0))).alias("n_rows")
@@ -145,7 +158,7 @@ def apply_rollup_delta(state: DataFrame, signed: DataFrame,
             .alias(f"n_{m}")
         )
     return (
-        j.select(*group_keys, *out_cols)
+        j.select(*key_cols, *out_cols)
         .filter(F.col("n_rows") > 0)
     )
 

@@ -77,8 +77,12 @@ def q_j5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = table(spark, sf_dir, "region")
+    # customer is FACT-scale (grows with sf) — no forced broadcast: at
+    # bench scale AQE broadcasts the 2-column projection on its own,
+    # at 100 TB orders⋈customer is a co-keyed shuffle join.  The hint
+    # stays on the true dims (nation/region, fixed-size kB).
     df = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
     )

@@ -120,7 +120,8 @@ def q_mart_geographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = table(spark, sf_dir, "region")
     per_nation = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        # no forced broadcast on fact-scale customer (see q_j5 note)
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
         .groupBy(
@@ -279,10 +280,11 @@ def q_mart_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(2000000, "Platinum"), (1000000, "Gold"), (400000, "Silver")],
             "Bronze",
         ).alias("customer_tier"),
-        F.when(big_pct >= 50, "High Concentration")
-        .when(big_pct >= 20, "Moderate Concentration")
-        .otherwise("Diversified")
-        .alias("spend_profile"),
+        threshold_ladder(
+            big_pct,
+            [(50, "High Concentration"), (20, "Moderate Concentration")],
+            "Diversified",
+        ).alias("spend_profile"),
         F.rank().over(w).alias("spend_rank"),
     )
 

@@ -165,6 +165,12 @@ def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single accent-whitelist implementation — an inline copy here
     # would silently diverge if the whitelist is ever widened
     cleaned = clean_text_whitelist("text")
+    # \s+ here (not the pinned [ \t\n\r] class) is deliberate and
+    # provably engine-consistent BECAUSE the whitelist runs first: the
+    # two engines disagree only on \x0B (Java \s has it, RE2 not) —
+    # Java keeps it through the whitelist then splits on it; RE2
+    # whitelists it out to a space which then splits.  Same tokens
+    # either way; mirrors the reference's preprocess_for_lda chain.
     tokens = F.filter(
         F.split(cleaned, r"\s+"),
         lambda t: (F.length(t) > 2) & ~F.array_contains(stop_arr, t),

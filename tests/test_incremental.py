@@ -233,3 +233,29 @@ def test_streaming_upsert_preserves_null_partition_rows(spark, tmp_path):
 
     got = sorted(r["event_id"] for r in spark.read.parquet(tgt).collect())
     assert got == [1, 2, 3]       # row 2 (NULL partition, run 1) survives
+
+
+def test_rollup_delta_null_group_key_merges(spark):
+    """groupBy folds NULL keys into one group on both sides, so the
+    state join must be null-safe — a plain on=keys full-outer would
+    fork the NULL group into two state rows."""
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        apply_rollup_delta,
+        build_rollup,
+        signed_changes,
+    )
+
+    schema = "id INT, grp STRING, val DOUBLE"
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)], schema)
+    new = spark.createDataFrame(
+        [(1, None, 1.5), (2, None, 2.0), (3, "a", 3.0), (4, None, 4.0)],
+        schema)
+    state = build_rollup(base, ["grp"], ["val"])
+    signed = signed_changes(base, new, ["id"], ["grp", "val"])
+    state = apply_rollup_delta(state, signed, ["grp"], ["val"])
+    got = sorted(map(tuple, state.collect()), key=str)
+    want = sorted(map(tuple, build_rollup(new, ["grp"], ["val"]).collect()),
+                  key=str)
+    assert got == want
+    assert sum(1 for r in got if r[0] is None) == 1   # ONE NULL-group row

@@ -15,6 +15,7 @@ from data_warehouse_morrocan_banks_spark.operators.merge import (
     merge_into,
     partitioned_merge_write,
     scd2_apply,
+    snapshot_diff,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -321,3 +322,75 @@ def test_merge_into_broadcast_form_equivalent_and_broadcasts(spark):
     no_ins_b = merge_into(target, batch, ["id"], insert=False,
                           broadcast_source=True, **kw)
     assert canon(no_ins_b) == canon(no_ins_p)
+
+
+def test_merge_into_insert_takes_full_source_row(spark):
+    """WHEN NOT MATCHED inserts the FULL source row (SQL MERGE): a
+    shared column excluded from update_cols keeps the target value on
+    matched rows but must still take the source value on inserts."""
+    target = spark.createDataFrame(
+        [(1, "old", 1.0)], "id INT, name STRING, score DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(1, "upd", 9.0), (2, "new", 7.5)], "id INT, name STRING, score DOUBLE"
+    )
+    for bcast in (False, True):
+        out = {r["id"]: r for r in merge_into(
+            target, source, ["id"], update_cols=["name"],
+            broadcast_source=bcast,
+        ).collect()}
+        assert out[1]["name"] == "upd" and out[1]["score"] == 1.0  # update path
+        assert out[2]["name"] == "new" and out[2]["score"] == 7.5  # full insert
+
+
+def test_scd2_null_is_current_passes_through_as_history(spark):
+    """A NULL is_current row is malformed but must NOT vanish: it
+    passes through as history (filter(col)/filter(~col) would both
+    drop it)."""
+    dim = spark.createDataFrame(
+        [("a", "v1", None), ("a", "v2", True)],
+        "k STRING, v STRING, is_current BOOLEAN",
+    ).withColumn("valid_from", F.lit("2020-01-01").cast("timestamp")) \
+     .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    changes = spark.createDataFrame(
+        [("a", "v3")], "k STRING, new_v STRING"
+    ).withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    out = scd2_apply(
+        dim.select("k", "v", "valid_from", "valid_to", "is_current"),
+        changes, ["k"], {"v": "new_v"}, "ts",
+    )
+    rows = out.collect()
+    assert len(rows) == 3                       # NULL-flag row survives
+    assert {r["v"] for r in rows} == {"v1", "v2", "v3"}
+
+
+def test_snapshot_diff_null_keys_split_into_delete_and_insert(spark):
+    """NULL keys never match in the FULL JOIN (SQL semantics): a
+    NULL-keyed row present only in the old snapshot is 'deleted', one
+    only in the new is 'inserted' — never 'updated' (the old presence
+    probe read key-NULL as absent and misclassified both)."""
+    old = spark.createDataFrame([(None, 5), (1, 1)], "k INT, v INT")
+    new = spark.createDataFrame([(None, 9), (1, 1)], "k INT, v INT")
+    out = [(r["k"], r["change_type"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()]
+    assert sorted(out, key=str) == sorted(
+        [(None, "deleted"), (None, "inserted")], key=str)
+
+
+def test_partitioned_merge_write_rejects_layout_mismatch(spark, tmp_path):
+    """Merging with a different n_buckets than the table was written
+    with would prune to directories the table never wrote and leave
+    stale duplicates — the layout sidecar makes it a hard error."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    bucketed_target_write(df, path, ["id"], n_buckets=8)
+    src = spark.createDataFrame([(1, "a2")], "id INT, v STRING")
+    with _pytest.raises(ValueError, match="layout"):
+        partitioned_merge_write(spark, path, src, ["id"], n_buckets=16)
+    # matching layout still works
+    n = partitioned_merge_write(spark, path, src, ["id"], n_buckets=8)
+    assert n >= 1
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a2", 2: "b"}

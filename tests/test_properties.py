@@ -272,7 +272,7 @@ def test_word_ngrams_matches_python_oracle(spark, token_lists, n):
 
 _ROLLUP_ROW = st.tuples(
     st.integers(min_value=0, max_value=15),                    # row id
-    st.sampled_from(["a", "b", "c"]),                          # group
+    st.sampled_from(["a", "b", "c", None]),                    # group (+NULL)
     st.one_of(st.none(),                                       # measure
               st.decimals(min_value=-999, max_value=999,
                           places=2).map(float)),
@@ -304,5 +304,5 @@ def test_rollup_maintenance_equals_rebuild_property(spark, snapshots):
         signed = signed_changes(prev, cur, ["id"], ["grp", "val"])
         state = apply_rollup_delta(state, signed, ["grp"], ["val"])
     want = sorted(map(tuple, build_rollup(
-        frames[-1], ["grp"], ["val"]).collect()))
-    assert sorted(map(tuple, state.collect())) == want
+        frames[-1], ["grp"], ["val"]).collect()), key=str)
+    assert sorted(map(tuple, state.collect()), key=str) == want
