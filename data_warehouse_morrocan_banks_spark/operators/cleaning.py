@@ -91,3 +91,53 @@ def enriched_quality_flag(review_id: Column | str, rating: Column | str,
 def keep_valid(df: DataFrame, flag_col: str = "data_quality_flag") -> DataFrame:
     """P4/P5 companion: WHERE flag = 'valid'."""
     return df.filter(F.col(flag_col) == "valid")
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Curation text-fixing: remove C0/C1 control characters except
+    the whitespace trio ``\\t\\n\\r`` — scraped text carries NUL/ESC/
+    backspace artifacts that corrupt tokenizers downstream.  Pure
+    expression (explicit byte ranges, portable to RE2/DuckDB — no
+    shorthand classes per the CLAUDE.md regex rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", ""
+    )
+
+
+def normalize_unicode(col: Column | str, form: str = "NFKC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical
+    text-fixing stage of an LLM data pipeline (composed vs decomposed
+    accents hash differently, fullwidth/ligature compatibility forms
+    inflate vocabulary).
+
+    This is the engine's one legitimately-UDF text operator: Spark
+    SQL has no Unicode-normalization expression, so it runs as an
+    Arrow-batched pandas UDF (never row-at-a-time).  The closure is
+    self-contained (captures only the ``form`` string — cloudpickle
+    ships it by value, no module-global references; ``pandas`` is
+    imported locally so the type hints resolve under the module's
+    future-annotations).  Map-only: zero shuffle at any scale.  NFC
+    output is DuckDB-parity-tested against ``nfc_normalize`` in
+    pytest."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    # the module's `from __future__ import annotations` stringifies
+    # hints, and pandas_udf resolves them against module globals —
+    # annotate via an explicit __annotations__ with the REAL class
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf("string")(_norm_fn)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

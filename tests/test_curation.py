@@ -355,3 +355,56 @@ def test_span_dedup_pathological_repetition_is_linear(spark):
     assert r["n_tokens_raw"] == 3000
     assert r["n_tokens_kept"] == 1
     assert r["n_spans_removed"] == 2997
+
+
+def test_strip_control_chars_keeps_whitespace_trio(spark):
+    from data_warehouse_morrocan_banks_spark.operators.cleaning import (
+        strip_control_chars,
+    )
+
+    rows = [(1, "a\x00b\x07c\td\ne\rf\x1bg\x7fh")]
+    got = spark.createDataFrame(rows, "id INT, t STRING").select(
+        strip_control_chars("t").alias("t")
+    ).collect()[0]["t"]
+    assert got == "abc\td\ne\rfgh"
+
+
+def test_normalize_unicode_matches_python_and_duckdb(spark):
+    """NFC/NFKC via the Arrow-batched UDF must equal Python's
+    unicodedata exactly, and the NFC form must match DuckDB's
+    nfc_normalize (cross-engine parity for the one UDF text op)."""
+    import unicodedata
+
+    import duckdb
+
+    from data_warehouse_morrocan_banks_spark.operators.cleaning import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (1, "café"),              # decomposed é -> composed
+        (2, "ﬁle"),                # ligature fi (NFKC folds it)
+        (3, "ＡＢ"),            # fullwidth AB (NFKC folds)
+        (4, "already ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id INT, t STRING")
+    out = {r["id"]: (r["nfc"], r["nfkc"]) for r in df.select(
+        "id",
+        normalize_unicode("t", "NFC").alias("nfc"),
+        normalize_unicode("t", "NFKC").alias("nfkc"),
+    ).collect()}
+    for i, t in rows:
+        if t is None:
+            assert out[i] == (None, None)
+            continue
+        assert out[i][0] == unicodedata.normalize("NFC", t)
+        assert out[i][1] == unicodedata.normalize("NFKC", t)
+    assert out[2][1] == "file" and out[3][1] == "AB"
+
+    con = duckdb.connect()
+    for i, t in rows:
+        if t is None:
+            continue
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert out[i][0] == want
