@@ -138,7 +138,8 @@ SELECT
   REGEXP_MATCHES(text, '(?i)slow|wait') AS mentions_slow,
   REGEXP_MATCHES(text, '(?i)spark|stream') AS mentions_engine,
   (REGEXP_MATCHES(text, '(?i)slow|wait') AND n_chars > 300) AS long_complaint,
-  {_pii_oracle_columns()}
+  {_pii_oracle_columns()},
+  MD5(NFC_NORMALIZE(text)) AS nfc_md5
 FROM documents
 """
 
@@ -150,6 +151,7 @@ def q_f46_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully redacted text ride in the same scan, making the scrub
     driver-green — the oracle recomputes the identical regex chain in
     DuckDB, so a single divergent redaction byte fails the hash."""
+    from ..operators.cleaning import normalize_unicode
     from ..operators.privacy import PII_PATTERNS, pii_counts, redact_pii
 
     ensure_query_confs(spark)
@@ -168,6 +170,11 @@ def q_f46_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.cast("int").alias(f"pii_{n}")
           for n, c in zip(PII_PATTERNS, pii_counts("text"))],
         F.md5(redact_pii("text")).alias("redacted_md5"),
+        # the one pandas-UDF text op rides the same scan so the driver
+        # hash-checks it cross-engine (DuckDB NFC_NORMALIZE): an ASCII
+        # corpus makes this a byte-identity check of the Arrow
+        # round-trip; the value cases are pinned in pytest
+        F.md5(normalize_unicode("text", "NFC")).alias("nfc_md5"),
     )
 
 
