@@ -22,11 +22,21 @@ from pyspark.sql import functions as F
 def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = None,
                   scale: str = "dim") -> DataFrame:
     """W1: add a surrogate key column."""
+    if scale not in ("dim", "fact"):
+        # a typo must not silently fall through to sparse
+        # layout-dependent fact keys where dense ordered ones were
+        # expected
+        raise ValueError(f"scale must be 'dim' or 'fact', got {scale!r}")
     if scale == "dim":
         if not order_by:
             raise ValueError("dim-scale surrogate keys need a total order")
         w = Window.orderBy(*order_by)
         return df.withColumn(key_name, F.row_number().over(w))
+    if order_by:
+        raise ValueError(
+            "fact-scale surrogate keys ignore order_by — passing one "
+            "suggests the dim mode was intended"
+        )
     return df.withColumn(key_name, F.monotonically_increasing_id())
 
 

@@ -53,11 +53,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # MICROS/native files read without touching session conf
         df = spark.read.parquet(path)
-    except Exception:
-        # TIMESTAMP(NANOS) footer: the vectorized reader rejects it —
-        # only THEN flip nanosAsLong (execution needs it too, so it
-        # stays set for the session; setting it unconditionally would
-        # silently change how unrelated NANOS reads surface)
+    except Exception as e:
+        # ONLY the TIMESTAMP(NANOS) footer rejection flips nanosAsLong
+        # (execution needs it too, so it stays set for the session).
+        # Any other failure (missing path, corrupt file) must re-raise
+        # WITHOUT mutating the conf — a blanket flip would make later
+        # legitimate NANOS reads in the session silently surface longs.
+        msg = str(e)
+        if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     dt = df.schema["ts"].dataType

@@ -43,7 +43,6 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
 
     def q1(lineitem):
@@ -98,7 +97,10 @@ def main():
         from data_warehouse_morrocan_banks_spark.operators.packing import (
             pack_streaming,
         )
-        toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+        from data_warehouse_morrocan_banks_spark.functions.text import (
+            whitespace_tokens,
+        )
+        toks = F.size(whitespace_tokens(F.lower(F.col("text"))))
         return pack_streaming(d.withColumn("n_tok", toks), "n_tok",
                               "doc_id", "lang", budget=2048)
 
@@ -133,7 +135,12 @@ def main():
         return scd2_apply(d2, changes, ["c_custkey"],
                           {"c_mktsegment": "new_seg"}, "ts")
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # readers.table, not a raw read: it owns the NANOS/NTZ footer
+    # branching (ts arrives as a proper LTZ timestamp whatever the
+    # testdata generation shipped)
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    events = table(spark, sf_dir, "events")
 
     def rollup_maint(lineitem):
         """Full maintenance cycle: state build + snapshot diff (1%
@@ -163,12 +170,7 @@ def main():
         from data_warehouse_morrocan_banks_spark.operators.joins import (
             interval_join,
         )
-        # NTZ timestamps don't cast to double directly; go through the
-        # (UTC-pinned) local timestamp to epoch seconds
-        epoch = (
-            F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
-            / F.lit(1e6)
-        )
+        epoch = F.unix_micros(F.col("ts")).cast("double") / F.lit(1e6)
         pts = evs.select("event_id", "user_id", epoch.alias("x"))
         ivs = (
             evs.groupBy("user_id", F.col("ts").cast("date").alias("d"))
