@@ -97,3 +97,38 @@ def test_stream_exact_dedup_equals_batch_keyset(spark):
         assert len(s_keys) > 0
         assert s_keys == b_keys           # one survivor per key, same keys
         assert len(s_keys) == len(set(s_keys))
+
+
+def test_stream_rollup_maintenance_equals_batch(spark, tmp_path):
+    """Micro-batched signed-delta maintenance lands the bit-identical
+    state one batch over the whole input would — across two separate
+    AvailableNow runs (so the state-fold path runs, not just the
+    first-batch build)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.operators.rollup import (
+        build_rollup,
+    )
+    from data_warehouse_morrocan_banks_spark.streaming.events import (
+        stream_rollup_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = table(spark, SF_SMOKE, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    first.write.mode("append").parquet(src)
+    stream_rollup_maintenance(spark, src, state, ckpt,
+                              ["event_type"], ["value"])
+    second.write.mode("append").parquet(src)
+    stream_rollup_maintenance(spark, src, state, ckpt,
+                              ["event_type"], ["value"])
+
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(map(tuple, build_rollup(
+        ev, ["event_type"], ["value"]).collect()))
+    assert got == want and len(got) > 0
