@@ -96,3 +96,17 @@ def raw_reviews_df(spark, n: int = 1000, seed: int = 42):
     from data_warehouse_morrocan_banks_spark.schemas import RAW_REVIEWS
 
     return spark.createDataFrame(make_raw_reviews(n, seed), RAW_REVIEWS)
+
+
+def duckdb_pii_chain(expr: str = "text") -> str:
+    """THE DuckDB mirror of operators.privacy's staged redaction chain
+    (single-quote-escaped) — one builder, so the escaping and class
+    order cannot drift between the parity tests that rebuild it."""
+    from data_warehouse_morrocan_banks_spark.operators.privacy import (
+        PII_PATTERNS,
+    )
+
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        expr = f"REGEXP_REPLACE({expr}, '{esc}', '[{name.upper()}]', 'g')"
+    return expr

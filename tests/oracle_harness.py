@@ -72,7 +72,7 @@ def _pa_type_name(t) -> str:
 
 
 def _spark_type_name(dt: str) -> str:
-    m = {"int": "int32", "bigint": "int64", "smallint": "int32",
+    m = {"int": "int32", "bigint": "int64", "smallint": "int16",
          "double": "double", "float": "float", "boolean": "bool",
          "string": "string", "date": "date", "timestamp": "timestamp",
          "timestamp_ntz": "timestamp"}

@@ -81,11 +81,10 @@ def test_redact_pii_duckdb_parity_on_corpus(spark):
     got = {r["doc_id"]: r["red"] for r in
            df.select("doc_id", redact_pii("text").alias("red")).collect()}
 
+    from .fixtures import duckdb_pii_chain
+
     con = duckdb.connect()
-    expr = "text"
-    for name, pat in PII_PATTERNS.items():
-        tag = f"[{name.upper()}]"
-        expr = f"REGEXP_REPLACE({expr}, '{pat}', '{tag}', 'g')"
+    expr = duckdb_pii_chain("text")
     rows = con.sql(
         f"SELECT doc_id, {expr} AS red FROM ("
         f"  SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
@@ -94,9 +93,7 @@ def test_redact_pii_duckdb_parity_on_corpus(spark):
     # the crafted adversarial rows go through the SAME DuckDB chain —
     # without this they would exist only on the Spark side and add no
     # parity coverage
-    expr_t = "t"
-    for name, pat in PII_PATTERNS.items():
-        expr_t = f"REGEXP_REPLACE({expr_t}, '{pat}', '[{name.upper()}]', 'g')"
+    expr_t = duckdb_pii_chain("t")
     for i, t in _CRAFTED:
         if t is None:
             continue

@@ -34,9 +34,13 @@ BUDGET = 128
 
 @pytest.fixture(scope="module")
 def docs(spark):
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+
     return table(spark, SF_ORACLE, "documents").select(
         "doc_id", "lang", "source",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(whitespace_tokens("text")).alias("n_tokens"),
     )
 
 

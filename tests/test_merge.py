@@ -18,7 +18,7 @@ from data_warehouse_morrocan_banks_spark.operators.merge import (
     snapshot_diff,
 )
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+from .conftest import SF_SMOKE as SF_DIR
 
 
 def _target(spark):

@@ -236,11 +236,10 @@ def test_redact_pii_matches_duckdb_on_random_text(spark, texts):
     got = {r["i"]: r["red"] for r in
            df.select("i", redact_pii("t").alias("red")).collect()}
 
+    from .fixtures import duckdb_pii_chain
+
     con = duckdb.connect()
-    expr = "t"
-    for name, pat in PII_PATTERNS.items():
-        esc = pat.replace("'", "''")
-        expr = f"REGEXP_REPLACE({expr}, '{esc}', '[{name.upper()}]', 'g')"
+    expr = duckdb_pii_chain("t")
     for i, t in enumerate(texts):
         want = con.sql(f"SELECT {expr} AS r FROM (SELECT ? AS t)",
                        params=[t]).fetchone()[0]

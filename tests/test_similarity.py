@@ -23,6 +23,34 @@ from data_warehouse_morrocan_banks_spark.sources.readers import table
 from .conftest import SF_ORACLE, SF_SMOKE
 
 
+def _exact_cosine_pairs(emb, threshold):
+    """Brute-force exact rounded-cosine pair set — THE ground truth
+    both near-dup operators are checked against (one definition, or
+    the two tests silently check different references)."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    v = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("__v")
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(
+        F.try_divide(dot(F.col("a.__v"), F.col("b.__v")),
+                     F.col("a.__nrm") * F.col("b.__nrm")), 6
+    )
+    return {
+        (r["id_a"], r["id_b"]): r["s"] for r in
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
+        .filter(F.col("s") >= threshold)
+        .collect()
+    }
+
+
 def _centroids(emb, n=8):
     return [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -76,11 +104,16 @@ def test_prefix_filter_equals_all_pairs(spark):
             d, "text", "doc_id", "lang", threshold=0.9
         ).collect()
     }
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+
+    # pinned tokenizer, not an inline \s split: the oracle must
+    # tokenize exactly like the operator (blank -> [], explicit class)
+    # or a blank/tab-led doc in a regenerated corpus breaks the gate
     toks = d.select(
         F.col("doc_id"), F.col("lang"),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("t"),
+        F.array_distinct(whitespace_tokens(F.lower(F.col("text")))).alias("t"),
     )
     a, b = toks.alias("a"), toks.alias("b")
     naive = {
@@ -140,6 +173,7 @@ def test_minhash_pairs_are_plausible(spark):
     d = table(spark, SF_SMOKE, "documents")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.9)
     rows = pairs.collect()
+    assert rows            # an empty result would pass every loop below
     for r in rows[:20]:
         assert 0.9 <= r["jaccard_sim"] <= 1.0
         assert r["id_a"] < r["id_b"]
@@ -150,8 +184,12 @@ def test_simhash_hamming_pairs_exact(spark):
     EXACTLY — the pigeonhole guarantee (bands > max_hamming ⇒ every
     qualifying pair shares an intact band) is a recall proof, so this
     is set equality, not a floor."""
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+
     d = table(spark, SF_SMOKE, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = whitespace_tokens(F.lower(F.col("text")))
     got = {
         (r["id_a"], r["id_b"]): r["hamming_dist"]
         for r in simhash_hamming_pairs(
@@ -185,27 +223,7 @@ def test_cosine_near_dup_recall_and_precision(spark):
         cosine_near_dup_pairs(emb, cents, threshold=0.4, nprobe=3).collect()
     }
     # exact reference: brute-force pairs from the cross join baseline
-    from data_warehouse_morrocan_banks_spark.operators.similarity import (
-        as_double_array,
-        dot,
-        l2_norm,
-    )
-    v = emb.select(
-        F.col("vec_id"), as_double_array("embedding").alias("__v")
-    ).withColumn("__nrm", l2_norm(F.col("__v")))
-    a, b = v.alias("a"), v.alias("b")
-    sim = F.round(
-        dot(F.col("a.__v"), F.col("b.__v"))
-        / (F.col("a.__nrm") * F.col("b.__nrm")), 6
-    )
-    true = {
-        (r["id_a"], r["id_b"]) for r in
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
-        .filter(F.col("s") >= 0.4)
-        .collect()
-    }
+    true = set(_exact_cosine_pairs(emb, 0.4))
     assert len(true) > 0
     assert got <= true            # precision 1.0: exact verify
     recall = len(got & true) / len(true)
@@ -458,7 +476,7 @@ def test_srp_lsh_recall_precision_and_determinism(spark):
     """SRP-LSH near-dup vs the exact pair set on the sf0.001
     embeddings: precision is exact by construction (every candidate is
     verified with the same rounded cosine) and recall must clear the
-    analytic floor for 16 planes / 4 bands at threshold 0.4.  Output
+    analytic floor for 16 planes / 8 two-bit bands at threshold 0.4.  Output
     is layout-invariant (signatures are a seeded literal — nothing
     depends on partitioning)."""
     from data_warehouse_morrocan_banks_spark.operators.similarity import (
@@ -471,27 +489,7 @@ def test_srp_lsh_recall_precision_and_determinism(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in got_rows}
 
-    from data_warehouse_morrocan_banks_spark.operators.similarity import (
-        as_double_array,
-        dot,
-        l2_norm,
-    )
-    v = emb.select(
-        F.col("vec_id"), as_double_array("embedding").alias("__v")
-    ).withColumn("__nrm", l2_norm(F.col("__v")))
-    a, b = v.alias("a"), v.alias("b")
-    sim = F.round(
-        dot(F.col("a.__v"), F.col("b.__v"))
-        / (F.col("a.__nrm") * F.col("b.__nrm")), 6
-    )
-    true = {
-        (r["id_a"], r["id_b"]): r["s"] for r in
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
-        .filter(F.col("s") >= 0.4)
-        .collect()
-    }
+    true = _exact_cosine_pairs(emb, 0.4)
     assert len(true) > 0
     assert got <= set(true)       # precision 1.0: exact verify
     recall = len(got & set(true)) / len(true)

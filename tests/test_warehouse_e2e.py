@@ -36,7 +36,6 @@ from .fixtures import raw_reviews_df
 
 def test_full_warehouse_build(spark):
     raw = raw_reviews_df(spark)
-    manifest_holder = {}
 
     def stage_preflight(outputs):
         return preflight_rowcount(raw, 100, "raw_reviews")
@@ -80,7 +79,6 @@ def test_full_warehouse_build(spark):
         Stage("stage_star", stage_star),
     ])
     manifest = runner.run()
-    manifest_holder["m"] = manifest
     assert manifest.status == "ok", manifest.report_json()
 
     silver = manifest.outputs["stage_silver"]
