@@ -26,20 +26,32 @@ def slug(col: Column | str) -> Column:
 
 def normalize_whitespace(col: Column | str) -> Column:
     """F10: lower → collapse runs of whitespace → strip
-    (run_phase2_transformation.py:101-117) without a UDF."""
+    (run_phase2_transformation.py:101-117) without a UDF.
+
+    Explicit ``[ \t\n\r]`` class, not ``\s``: the output string is
+    hashed against the DuckDB oracle byte-for-byte, and Java-vs-RE2
+    disagree on ``\x0B`` membership — same pinned boundary as
+    :func:`whitespace_tokens` (widen there ⇒ widen here)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(c, r"[ \t\n\r]+", " ")))
 
 
 def clean_text_whitelist(col: Column | str) -> Column:
-    """F4: accent-aware character whitelist then lower/trim
+    r"""F4: accent-aware character whitelist then lower/trim
     (stg_raw_reviews.sql:36). Spark regex is global by default (PG
-    needed the 'g' flag)."""
+    needed the 'g' flag).
+
+    The whitespace part of the whitelist is the explicit
+    ``[ \t\n\r]`` class, not ``\s`` — the cleaned string is an
+    oracle-hashed OUTPUT column, and a ``\x0B`` byte survives Java's
+    ``\s`` whitelist while RE2 replaces it (divergent bytes); with
+    the explicit class both engines replace ``\x0B``/``\f`` with a
+    space."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
         F.lower(
             F.regexp_replace(
-                c, "[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\\s]", " "
+                c, "[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ \t\n\r]", " "
             )
         )
     )

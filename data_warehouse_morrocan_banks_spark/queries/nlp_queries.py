@@ -141,16 +141,25 @@ WITH cleaned AS (
     LIST_FILTER(
       REGEXP_SPLIT_TO_ARRAY(
         TRIM(LOWER(REGEXP_REPLACE(text,
-          '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\s]', ' ', 'g'))), '\s+'),
+          '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ \t\n\r]', ' ', 'g'))),
+        '[ \t\n\r]+'),
       t -> LENGTH(t) > 2 AND NOT LIST_CONTAINS({_sql_list(_STOPWORDS)}, t)
-    ) AS lda_tokens
+    ) AS lda_tokens,
+    text
   FROM documents
 )
 SELECT doc_id,
-  ARRAY_TO_STRING(lda_tokens, ' ') AS lda_tokens_str,
+  -- DuckDB ARRAY_TO_STRING([]) is NULL while Spark concat_ws([]) is
+  -- '' — pin the '' convention for zero-token docs; NULL text stays
+  -- NULL on both sides
+  CASE WHEN text IS NOT NULL
+       THEN COALESCE(ARRAY_TO_STRING(lda_tokens, ' '), '') END
+    AS lda_tokens_str,
   CAST(LEN(lda_tokens) AS INT) AS n_lda_tokens,
-  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(lda_tokens)), ' '))
-    AS doc_fingerprint
+  CASE WHEN text IS NOT NULL
+       THEN MD5(COALESCE(
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(lda_tokens)), ' '), ''))
+    END AS doc_fingerprint
 FROM cleaned
 """
 
@@ -165,25 +174,28 @@ def q_n3_lda_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single accent-whitelist implementation — an inline copy here
     # would silently diverge if the whitelist is ever widened
     cleaned = clean_text_whitelist("text")
-    # \s+ here (not the pinned [ \t\n\r] class) is deliberate and
-    # provably engine-consistent BECAUSE the whitelist runs first: the
-    # two engines disagree only on \x0B (Java \s has it, RE2 not) —
-    # Java keeps it through the whitelist then splits on it; RE2
-    # whitelists it out to a space which then splits.  Same tokens
-    # either way; mirrors the reference's preprocess_for_lda chain.
+    # the whitelist already reduced whitespace to the explicit class
+    # (divergent chars like \x0B become spaces in BOTH engines), so
+    # the split uses the same pinned class as everything else
     tokens = F.filter(
-        F.split(cleaned, r"\s+"),
+        F.split(cleaned, r"[ \t\n\r]+"),
         lambda t: (F.length(t) > 2) & ~F.array_contains(stop_arr, t),
     )
     # tokens project as a space-joined string (tokens are whitelist-
     # cleaned, so the join is lossless) — the driver canonicalizer
     # cannot hash array cells.
+    # concat_ws folds a NULL array to '' — NULL text must propagate
+    # NULL like the oracle's SQL does (ARRAY_TO_STRING(NULL) = NULL),
+    # or the two engines diverge on the first NULL-text document
+    present = F.col("text").isNotNull()
     return d.select(
         "doc_id",
-        F.concat_ws(" ", tokens).alias("lda_tokens_str"),
+        F.when(present, F.concat_ws(" ", tokens)).alias("lda_tokens_str"),
         F.size(tokens).alias("n_lda_tokens"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens))))
-        .alias("doc_fingerprint"),
+        F.when(
+            present,
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens)))),
+        ).alias("doc_fingerprint"),
     )
 
 

@@ -126,8 +126,8 @@ _F46_ORACLE = rf"""
 SELECT
   doc_id,
   TRIM(LOWER(REGEXP_REPLACE(text,
-    '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ\s]', ' ', 'g'))) AS cleaned_text,
-  LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS normalized_text,
+    '[^a-zA-Z0-9àáâãäçèéêëìíîïñòóôõöùúûüÿ \t\n\r]', ' ', 'g'))) AS cleaned_text,
+  LOWER(TRIM(REGEXP_REPLACE(text, '[ \t\n\r]+', ' ', 'g'))) AS normalized_text,
   CASE WHEN REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g') = '' THEN 0
        ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(
          REGEXP_REPLACE(text, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g'),

@@ -31,3 +31,77 @@ def test_rows_only_queries_run(spark):
         df = qs[name](spark, SF_ORACLE)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+# --- adversarial corpus: tokenization-heavy suites on crafted docs ----------
+# The generated corpus is benign ASCII prose; testdata is regenerated
+# between rounds, so the cross-engine boundary cases (blank text,
+# leading whitespace, \x0B / \f bytes where Java and RE2 disagree on
+# \s, NULLs, unicode, self-repeating text) must be proven NOW, not
+# discovered when a regeneration first ships one.
+
+_ADVERSARIAL_DOCS = [
+    (0, "", "en", "web", 0),
+    (1, "   \t\n  ", "en", "web", 7),                    # whitespace-only
+    (2, "\tword after a tab", "en", "web", 17),           # tab-led
+    (3, "hello", "fr", "web", 5),                         # single token
+    (4, "spam spam spam spam spam", "en", "web", 24),     # repetition
+    (5, "line one\nline one\n\nline two", "en", "book", 27),
+    (6, "café naïve déjà vu encore café", "fr",
+     "web", 26),
+    (7, "weird\x0bvertical\x0ctab bytes here", "en", "web", 29),
+    (8, None, "en", "web", 0),                            # NULL text
+    (9, "contact me at agent@bank.ma or 0612345678 now", "en", "web", 45),
+    (10, "the a the a the filler words stream " * 20, "en", "web", 720),
+    (11, "shared boilerplate tokens one two three four five six unique-a",
+     "en", "web", 62),                                    # span-dedup pair
+    (12, "shared boilerplate tokens one two three four five six unique-b",
+     "en", "web", 62),
+    (13, "ordinary document with enough words to pass every filter gate",
+     "zh", "web", 61),
+]
+
+_DOC_ONLY_SUITES = [
+    "q_text_quality",
+    "q_f46_clean_flags",
+    "q_f_string_suite",
+    "q_llm_prep_pipeline",
+    "q_n3_lda_preprocess",
+    "q_n12_lang_sentiment",
+    "q_ngram_langid",
+    "q_dedup_simhash",
+    "q_dedup_exact_content",
+    "q_dedup_jaccard_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(spark, tmp_path_factory):
+    import shutil
+
+    src = SF_ORACLE
+    dst = tmp_path_factory.mktemp("adversarial_sf")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    docs = spark.createDataFrame(
+        _ADVERSARIAL_DOCS,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    # single FILE named documents.parquet (the sf layout DuckDB's
+    # read_parquet expects), not a Spark part-file directory
+    staging = dst / "__docs_stage"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    part.rename(dst / "documents.parquet")
+    shutil.rmtree(staging)
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _DOC_ONLY_SUITES)
+def test_adversarial_corpus_parity(spark, adversarial_sf_dir, name):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems = compare(spark, name, qs[name], oracles[name],
+                       adversarial_sf_dir)
+    assert not problems, "\n".join(problems)
