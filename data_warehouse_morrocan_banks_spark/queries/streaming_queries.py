@@ -26,6 +26,7 @@ SELECT
   {sql_dsum('value', 'total_value')},
   {sql_davg('value', 'avg_value')}
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -43,6 +44,7 @@ WITH ordered AS (
   SELECT user_id, event_id, ts, value,
     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL

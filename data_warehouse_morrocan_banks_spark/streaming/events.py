@@ -42,8 +42,15 @@ def _rollup(df: DataFrame) -> DataFrame:
 
 
 def daily_rollup_batch(events: DataFrame) -> DataFrame:
-    """Tumbling 1-day window aggregate, batch execution."""
-    return _rollup(events)
+    """Tumbling 1-day window aggregate, batch execution.
+
+    NULL event times are EXCLUDED explicitly: time-windowed
+    aggregation is undefined without an event time (the streaming
+    form's watermark machinery cannot place such a row either), and
+    leaving it implicit is engine-divergent — Spark's ``F.window``
+    silently drops NULL-ts rows while a SQL ``date_trunc`` groups
+    them under a NULL window (adversarial-events parity test)."""
+    return _rollup(events.filter(F.col("ts").isNotNull()))
 
 
 def stream_daily_rollup(spark: SparkSession, parquet_path: str,
@@ -91,7 +98,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     boundary starts a NEW session in both forms).
 
     One shuffle on user_id; cumulative-sum window assigns session ids.
+
+    NULL event times are EXCLUDED explicitly — a gaps-and-islands
+    computation is undefined for an unplaceable event, and the
+    implicit behavior is engine-divergent (Spark windows sort NULLS
+    FIRST into a leading phantom session; SQL NULLS LAST silently
+    merges the row into the final session via a NULL gap test).
     """
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
     prev_ts = F.lag("ts").over(w)

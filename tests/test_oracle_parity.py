@@ -105,3 +105,74 @@ def test_adversarial_corpus_parity(spark, adversarial_sf_dir, name):
     problems = compare(spark, name, qs[name], oracles[name],
                        adversarial_sf_dir)
     assert not problems, "\n".join(problems)
+
+
+# --- adversarial events: streaming/asof suites on crafted event logs --------
+# Same forward-defense for the events-grain suites: session-gap
+# boundary ties, NULL ts / user_id / value, duplicate (user, ts)
+# click ties, and purchases with no prior click — the NULL/tie classes
+# earlier rounds' reviews kept finding bugs in.
+
+def _ts(s):
+    return s  # ISO string; cast engine-side
+
+
+_ADVERSARIAL_EVENTS = [
+    # user 1: session boundary probes — gaps 1799 s (same session),
+    # exactly 1800 s (new session, >= semantics), 1801 s (new)
+    (1, "2024-03-01 08:00:00", 1, "click",    1.0, '{"k":1}'),
+    (2, "2024-03-01 08:29:59", 1, "view",     2.5, '{"k":2}'),
+    (3, "2024-03-01 08:59:59", 1, "purchase", 10.0, "{}"),
+    (4, "2024-03-01 09:29:59", 1, "click",    None, None),      # NULL value/props
+    (5, "2024-03-01 09:59:60".replace(":60", ":59"), 1, "view", 0.5, "{}"),
+    # user 2: duplicate (user, ts) click tie — keep-first by event_id DESC
+    (6, "2024-03-01 10:00:00", 2, "click",    3.0, "{}"),
+    (7, "2024-03-01 10:00:00", 2, "click",    4.0, "{}"),
+    (8, "2024-03-01 10:00:00", 2, "purchase", 20.0, "{}"),      # same-ts asof
+    (9, "2024-03-01 09:00:00", 2, "purchase", 30.0, "{}"),      # no prior click
+    # NULL key/ts rows
+    (10, None,                  1, "click",    5.0, "{}"),       # NULL ts
+    (11, "2024-03-02 12:00:00", None, "purchase", 7.0, "{}"),    # NULL user
+    (12, "2024-03-02 12:30:00", None, "click",  8.0, "{}"),
+    # value on a 4dp rounding-tie shape for the dsum path
+    (13, "2024-03-02 13:00:00", 3, "purchase", 0.69605, "{}"),
+    (14, "2024-03-02 13:10:00", 3, "click",    0.00005, "{}"),
+]
+
+_EVENT_SUITES = ["q_stream_daily_rollup", "q_stream_sessionize",
+                 "q_asof_join_last_click"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("adversarial_ev")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", dst / f"{t}.parquet")
+    ev = spark.createDataFrame(
+        _ADVERSARIAL_EVENTS,
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    staging = dst / "__ev_stage"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    part.rename(dst / "events.parquet")
+    shutil.rmtree(staging)
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _EVENT_SUITES)
+def test_adversarial_events_parity(spark, adversarial_events_dir, name):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems = compare(spark, name, qs[name], oracles[name],
+                       adversarial_events_dir)
+    assert not problems, "\n".join(problems)
