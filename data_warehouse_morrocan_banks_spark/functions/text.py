@@ -25,7 +25,7 @@ def slug(col: Column | str) -> Column:
 
 
 def normalize_whitespace(col: Column | str) -> Column:
-    """F10: lower → collapse runs of whitespace → strip
+    r"""F10: lower → collapse runs of whitespace → strip
     (run_phase2_transformation.py:101-117) without a UDF.
 
     Explicit ``[ \t\n\r]`` class, not ``\s``: the output string is

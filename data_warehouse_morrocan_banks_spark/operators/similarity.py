@@ -599,7 +599,7 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, seed: int = 42,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.6, num_hashes: int = 16,
                       num_features: int = 1 << 18) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (shingle → minhash → band →
+    r"""MinHash-LSH near-duplicate pairs (shingle → minhash → band →
     bucket-join), the scale path for fuzzy dedup.
 
     Spark ML MinHashLSH over binarized HashingTF token vectors;

@@ -51,7 +51,8 @@ SELECT
   END, 'Browse') AS offers_browse,
   TO_JSON(MAP {'topic_0': 0.5, 'topic_1': 0.25, 'topic_2': 0.25})
     AS topic_distribution_json,
-  CAST(JSON_EXTRACT(props, '$.k') AS INT) AS props_k
+  CASE WHEN JSON_VALID(props)
+       THEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) END AS props_k
 FROM events
 """
 
@@ -85,5 +86,8 @@ def q_x_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(services).alias("n_services"),
         F.array_contains(services, "Browse").alias("offers_browse"),
         F.to_json(topic_map).alias("topic_distribution_json"),
-        F.get_json_object("props", "$.k").cast("int").alias("props_k"),
+        # try_cast, not cast: a props payload whose k is a string or
+        # object would ABORT the job under ANSI; NULL-on-malformed is
+        # the JSON-extraction convention (DuckDB TRY_CAST mirrors it)
+        F.get_json_object("props", "$.k").try_cast("int").alias("props_k"),
     )

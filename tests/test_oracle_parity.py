@@ -137,10 +137,17 @@ _ADVERSARIAL_EVENTS = [
     # value on a 4dp rounding-tie shape for the dsum path
     (13, "2024-03-02 13:00:00", 3, "purchase", 0.69605, "{}"),
     (14, "2024-03-02 13:10:00", 3, "click",    0.00005, "{}"),
+    # props JSON probes for the X-suite: malformed, non-object,
+    # wrong-typed k, nested, empty string
+    (15, "2024-03-02 14:00:00", 3, "view", 1.0, "{not json"),
+    (16, "2024-03-02 14:01:00", 3, "view", 1.0, "[1,2,3]"),
+    (17, "2024-03-02 14:02:00", 3, "view", 1.0, '{"k":"str"}'),
+    (18, "2024-03-02 14:03:00", 3, "view", 1.0, '{"k":{"n":1}}'),
+    (19, "2024-03-02 14:04:00", 3, "view", 1.0, ""),
 ]
 
 _EVENT_SUITES = ["q_stream_daily_rollup", "q_stream_sessionize",
-                 "q_asof_join_last_click"]
+                 "q_asof_join_last_click", "q_x_array_map_json"]
 
 
 @pytest.fixture(scope="module")
