@@ -165,6 +165,7 @@ WITH monthly AS (
     {sql_dsum('o_totalprice', 'revenue')},
     {sql_davg('o_totalprice', 'avg_order_value')}
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT
@@ -185,7 +186,10 @@ FROM monthly
 @register("q_mart_monthly_trends", oracle=_TRENDS_ORACLE)
 def q_mart_monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
+    # NULL dates excluded on both engines (see q_w3 note)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),

@@ -208,9 +208,10 @@ SELECT
     WHEN EXTRACT(month FROM o_orderdate) IN (6, 7, 8) THEN 'Summer'
     ELSE 'Autumn'
   END AS order_season,
-  (EXTRACT(month FROM o_orderdate), EXTRACT(day FROM o_orderdate)) IN
-    ((1,1),(1,11),(5,1),(7,30),(8,14),(8,20),(8,21),(11,6),(11,18))
-    AS is_morocco_holiday,
+  CASE WHEN o_orderdate IS NOT NULL THEN
+    (EXTRACT(month FROM o_orderdate), EXTRACT(day FROM o_orderdate)) IN
+      ((1,1),(1,11),(5,1),(7,30),(8,14),(8,20),(8,21),(11,6),(11,18))
+  END AS is_morocco_holiday,
   ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price_2dp,
   ABS(CAST(o_totalprice AS DOUBLE) - 150000.0) AS dist_from_150k,
   CASE

@@ -106,6 +106,7 @@ WITH monthly AS (
     COUNT(*) AS n_orders,
     {sql_dsum('o_totalprice', 'revenue')}
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT
@@ -128,7 +129,13 @@ FROM monthly
 @register("q_w3_lag_monthly_trend", oracle=_W3_ORACLE)
 def q_w3_lag_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    o = table(spark, sf_dir, "orders")
+    # a NULL date is not a month: the monthly series excludes it
+    # explicitly on both engines (the implicit behavior diverges —
+    # Spark windows sort NULLS FIRST, SQL NULLS LAST, shifting every
+    # LAG/rolling value; same convention as the streaming rollups)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         "o_orderstatus",
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),

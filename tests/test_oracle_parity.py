@@ -62,6 +62,7 @@ _ADVERSARIAL_DOCS = [
 ]
 
 _DOC_ONLY_SUITES = [
+    "q_a10_profile_stats",
     "q_text_quality",
     "q_f46_clean_flags",
     "q_f_string_suite",
@@ -147,7 +148,9 @@ _ADVERSARIAL_EVENTS = [
 ]
 
 _EVENT_SUITES = ["q_stream_daily_rollup", "q_stream_sessionize",
-                 "q_asof_join_last_click", "q_x_array_map_json"]
+                 "q_asof_join_last_click", "q_x_array_map_json",
+                 "q_a4_stddev_volatility", "q_a7_having_gate",
+                 "q_uset_intersect_except"]
 
 
 @pytest.fixture(scope="module")
@@ -182,4 +185,62 @@ def test_adversarial_events_parity(spark, adversarial_events_dir, name):
     oracles = registry.all_oracles()
     problems = compare(spark, name, qs[name], oracles[name],
                        adversarial_events_dir)
+    assert not problems, "\n".join(problems)
+
+
+# --- adversarial orders: aggregate/date suites on crafted orders ------------
+# NULL measures (SUM/AVG NULL paths), NULL dates (grouping + window
+# ordering, where Spark sorts NULLS FIRST and DuckDB NULLS LAST),
+# single-row groups (STDDEV_SAMP NULL), rounding-tie prices, year
+# boundaries.
+
+_ADVERSARIAL_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+    (1, 10, "O", 100.50, "1995-01-01", "1-URGENT"),
+    (2, 10, "O", None,   "1995-01-15", "2-HIGH"),        # NULL price
+    (3, 11, "F", 0.69605, "1995-02-01", "3-MEDIUM"),      # round-tie shape
+    (4, 11, "F", 0.69605, "1995-02-02", "3-MEDIUM"),
+    (5, 12, "P", 250000.0, "1995-12-31", "1-URGENT"),     # year boundary
+    (6, 12, "P", 250000.0, "1996-01-01", "1-URGENT"),
+    (7, 13, "O", 42.42,  None,          "4-NOT SPECIFIED"),  # NULL date
+    (8, 13, "F", 42.42,  None,          "5-LOW"),            # NULL date
+    (9, 14, "X", 7.77,   "1996-02-29",  "5-LOW"),         # leap day, odd status
+    (10, 14, "O", 300001.0, "1996-03-01", "2-HIGH"),      # big-order branch
+    (11, 15, "O", 1.0,   "1996-03-01",  "2-HIGH"),        # single-row stddev grp
+]
+
+_ORDERS_SUITES = ["q_a2_conditional_counts", "q_a8_temporal_grain",
+                  "q_tm_scalar_suite", "q_mart_monthly_trends",
+                  "q_w3_lag_monthly_trend", "q_unpivot_status_counts"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_orders_dir(spark, tmp_path_factory):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    dst = tmp_path_factory.mktemp("adversarial_ord")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", dst / f"{t}.parquet")
+    o = spark.createDataFrame(
+        _ADVERSARIAL_ORDERS,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    staging = dst / "__o_stage"
+    o.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    part.rename(dst / "orders.parquet")
+    shutil.rmtree(staging)
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _ORDERS_SUITES)
+def test_adversarial_orders_parity(spark, adversarial_orders_dir, name):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems = compare(spark, name, qs[name], oracles[name],
+                       adversarial_orders_dir)
     assert not problems, "\n".join(problems)
