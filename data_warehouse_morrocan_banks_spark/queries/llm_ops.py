@@ -186,15 +186,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact ANN baseline: 5 probe vectors drawn from the corpus, top-10
 # cosine neighbors each.  Scale path: q_ann_ivf_bucketed below.
 
-_ANN_ORACLE = """
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB dot product with SPARK's fold semantics: NULL list or
+    NULL element → NULL, empty → 0.0 (LIST_DOT_PRODUCT hard-errors on
+    NULL elements; LIST_ZIP of two NULL lists yields an EMPTY list
+    that LIST_REDUCE rejects — the Spark zip_with/aggregate fold
+    propagates NULLs and folds empty to the 0.0 init)."""
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"WHEN LEN({a}) = 0 THEN 0.0 "
+        f"ELSE LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        f"(x, y) -> x + y) END"
+    )
+
+
+_ANN_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 probes AS (SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 5),
 scored AS (
   SELECT p.query_id, c.vec_id,
-    ROUND(LIST_DOT_PRODUCT(p.q, c.v)
-      / (SQRT(LIST_DOT_PRODUCT(p.q, p.q)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))),
+    ROUND({_sql_dot('p.q', 'c.v')}
+      / (SQRT({_sql_dot('p.q', 'p.q')}) * SQRT({_sql_dot('c.v', 'c.v')})),
       6) AS cosine_sim
   FROM corpus c CROSS JOIN probes p
   WHERE c.vec_id != p.query_id
@@ -228,12 +243,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed=42) is the drop-in quality upgrade, recall-checked in
 # tests/test_similarity.py.
 
-_IVF_COS = ("LIST_DOT_PRODUCT({a}, {b}) / (SQRT(LIST_DOT_PRODUCT({a}, {a}))"
-            " * SQRT(LIST_DOT_PRODUCT({b}, {b})))")
+_IVF_COS = (
+    f"{_sql_dot('{a}', '{b}')} / (SQRT({_sql_dot('{a}', '{a}')})"
+    f" * SQRT({_sql_dot('{b}', '{b}')}))"
+)
 
 _IVF_ORACLE = f"""
 WITH corpus AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  -- IVF over cosine is undefined for zero-norm / NULL-element
+  -- vectors (no direction to bucket by) — the valid-vector gate is
+  -- part of the operator's contract, mirrored on the Spark side
+  SELECT vec_id, v FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ) WHERE SQRT({_sql_dot('v', 'v')}) > 0
 ),
 cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 8),
 assigned AS (
@@ -282,7 +304,12 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_search
 
     ensure_query_confs(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    # valid-vector gate (see oracle note): zero-norm and NULL-element
+    # vectors have no direction — excluded from corpus, probes, and
+    # centroid seeds alike
+    emb = table(spark, sf_dir, "embeddings").filter(
+        l2_norm(as_double_array("embedding")) > 0
+    )
     probes = emb.filter(F.col("vec_id") < 5)
     # the 8 seeded centroids are a fixed property of the corpus —
     # collect once per sf_dir (8 rows), like an IVF index's metadata.
@@ -307,8 +334,8 @@ _IVF_CENTROID_CACHE: dict[str, list] = {}
 _EMB_STATS_ORACLE = f"""
 WITH base AS (
   SELECT label,
-    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
-                          CAST(embedding AS DOUBLE[]))) AS norm
+    SQRT({_sql_dot('CAST(embedding AS DOUBLE[])',
+                   'CAST(embedding AS DOUBLE[])')}) AS norm
   FROM embeddings
 )
 SELECT label, COUNT(*) AS n_vectors,

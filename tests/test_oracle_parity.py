@@ -244,3 +244,57 @@ def test_adversarial_orders_parity(spark, adversarial_orders_dir, name):
     problems = compare(spark, name, qs[name], oracles[name],
                        adversarial_orders_dir)
     assert not problems, "\n".join(problems)
+
+
+# --- adversarial embeddings: ANN suites on crafted vectors ------------------
+# Zero-norm vectors (NULL cosine via try_divide), a NULL element, a
+# NULL embedding row, duplicate vectors (exact ties resolved by id),
+# and a NULL label for the stats suite.
+
+_ADVERSARIAL_EMBEDDINGS = [
+    # (vec_id, embedding, label)
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 1),
+    (3, [0.0, 0.0, 0.0, 0.0], 1),      # zero-norm probe AND centroid seed
+    (4, [0.5, 0.5, 0.5, 0.5], 2),
+    (5, [0.5, 0.5, 0.5, 0.5], 2),      # exact duplicate of 4 (tie by id)
+    (6, [0.0, 0.0, 1.0, 0.0], None),   # NULL label
+    (7, [-1.0, 0.0, 0.0, 0.0], 3),
+    (8, [0.2, None, 0.1, 0.4], 3),     # NULL element -> NULL dot
+    (9, None, 4),                      # NULL embedding row
+    (10, [0.1, 0.2, 0.3, 0.4], 4),
+    (11, [0.4, 0.3, 0.2, 0.1], 0),
+]
+
+_EMBED_SUITES = ["q_ann_cosine_topk", "q_ann_ivf_search",
+                 "q_embedding_label_stats"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_embed_dir(spark, tmp_path_factory):
+    import shutil
+
+    dst = tmp_path_factory.mktemp("adversarial_emb")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", dst / f"{t}.parquet")
+    emb = spark.createDataFrame(
+        _ADVERSARIAL_EMBEDDINGS,
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    staging = dst / "__e_stage"
+    emb.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    part.rename(dst / "embeddings.parquet")
+    shutil.rmtree(staging)
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _EMBED_SUITES)
+def test_adversarial_embeddings_parity(spark, adversarial_embed_dir, name):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems = compare(spark, name, qs[name], oracles[name],
+                       adversarial_embed_dir)
+    assert not problems, "\n".join(problems)
