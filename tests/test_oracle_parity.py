@@ -298,3 +298,68 @@ def test_adversarial_embeddings_parity(spark, adversarial_embed_dir, name):
     problems = compare(spark, name, qs[name], oracles[name],
                        adversarial_embed_dir)
     assert not problems, "\n".join(problems)
+
+
+# --- adversarial dims: join suites on crafted customers/suppliers -----------
+# NULL and orphan foreign keys, NULL measures, duplicate names — the
+# join/null-semantics class.  Crafted CUSTOMER and SUPPLIER ride the
+# real sf0.01 orders/lineitem/nation/region, so unmatched-FK paths
+# (both directions) actually execute.
+
+_ADVERSARIAL_CUSTOMERS = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (1, "alpha", 0, 100.0, "BUILDING"),
+    (2, "beta", 1, None, "BUILDING"),          # NULL balance
+    (3, "gamma", None, 50.0, "MACHINERY"),     # NULL FK
+    (4, "delta", 999, 75.0, "MACHINERY"),      # orphan FK (no nation 999)
+    (5, "alpha", 2, 25.0, None),               # dup name + NULL segment
+    (6, "omega", 3, -10.5, "AUTOMOBILE"),
+]
+
+_ADVERSARIAL_SUPPLIERS = [
+    (1, "s-one", 0, 10.0),
+    (2, "s-two", None, 20.0),                  # NULL FK
+    (3, "s-two", 1, None),                     # dup name + NULL balance
+    (4, "s-four", 998, 5.0),                   # orphan FK
+]
+
+_DIM_SUITES = ["q_j4_agg_back_enrich", "q_j5_regional_revenue",
+               "q_j7_argmax_top_supplier", "q_j8_anti_join_orphans",
+               "q_mart_comprehensive", "q_mart_dashboard",
+               "q_mart_geographic", "q_w12_nation_windows",
+               "q_star_fact_build", "q_star_rollup_grouping_sets"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dims_dir(spark, tmp_path_factory):
+    import shutil
+
+    dst = tmp_path_factory.mktemp("adversarial_dim")
+    for t in ("region", "nation", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_ORACLE}/{t}.parquet", dst / f"{t}.parquet")
+
+    def _write(rows, schema, name):
+        df = spark.createDataFrame(rows, schema)
+        staging = dst / f"__{name}_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        part.rename(dst / f"{name}.parquet")
+        shutil.rmtree(staging)
+
+    _write(_ADVERSARIAL_CUSTOMERS,
+           "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+           " c_acctbal DOUBLE, c_mktsegment STRING", "customer")
+    _write(_ADVERSARIAL_SUPPLIERS,
+           "s_suppkey BIGINT, s_name STRING, s_nationkey INT,"
+           " s_acctbal DOUBLE", "supplier")
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _DIM_SUITES)
+def test_adversarial_dims_parity(spark, adversarial_dims_dir, name):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems = compare(spark, name, qs[name], oracles[name],
+                       adversarial_dims_dir)
+    assert not problems, "\n".join(problems)
