@@ -96,6 +96,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Provenance: cross-round deltas are only attributable when the
+        # measurement itself is stamped (r2→r3 changed count()→noop-sink
+        # and 3→5 samples, which made aggregate-heavy queries *look*
+        # regressed when the old method had pruned their work away).
+        "methodology": {
+            "materialize": "noop-sink",
+            "warmup": "data-read",
+            "samples": 5,
+            "aggregate": "min",
+        },
     }))
     spark.stop()
 

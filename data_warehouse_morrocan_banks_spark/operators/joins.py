@@ -157,7 +157,17 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     Inner semantics; one output row per matching (point, interval).
     Emits ``points.*`` plus the interval's columns (name-collision
     beyond ``key`` is the caller's rename).
+
+    ``bucket_width`` must be > 0: zero would abort under ANSI
+    divide-by-zero and a negative width silently mis-buckets.  Note
+    also ``F.sequence`` caps array length at Spark's array-size limit
+    (~2^31 elements) — an interval vastly wider than ``bucket_width``
+    fails at runtime; pick a width near the median interval length so
+    replicas per interval stay small.
     """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"interval_join: bucket_width must be > 0, got {bucket_width!r}")
     wb = F.lit(float(bucket_width))
     p = points.withColumn(
         "__ij_bkt", F.floor(F.col(point_col) / wb).cast("long")

@@ -72,6 +72,20 @@ def build_rollup(df: DataFrame, group_keys: list[str],
     return df.groupBy(*group_keys).agg(*aggs)
 
 
+def make_inserts_signed(batch: DataFrame, group_keys: list[str],
+                        measures: list[str]) -> DataFrame:
+    """Wrap an insert-only batch as +1 signed rows for
+    :func:`apply_rollup_delta`.  The sign column name is an
+    implementation detail of this module — callers (e.g. the streaming
+    fold in streaming/events.py) must build signed frames through this
+    helper, never by hardcoding the column name."""
+    return batch.select(
+        F.lit(1).alias(_SIGN),
+        *[F.col(c) for c in group_keys],
+        *[F.col(m) for m in measures],
+    )
+
+
 def signed_changes(old: DataFrame, new: DataFrame, keys: list[str],
                    cols: list[str]) -> DataFrame:
     """CDC between two snapshots as ±1 rows over ``cols``: a deleted

@@ -91,8 +91,13 @@ def compact_parquet(spark, path: str,
     files, and rewrites via round-robin ``repartition(n)`` — even
     output sizes, one shuffle whose width IS the output layout.
     Parquet cannot overwrite a path it is lazily reading from, so the
-    rewrite lands in a sibling temp dir and swaps in via FS rename
-    (atomic on HDFS; two renames elsewhere).
+    rewrite lands in a sibling ``__compact_tmp`` dir and swaps in via
+    two renames: the live path moves aside to ``__compact_old``, tmp
+    renames in, then the old copy is deleted.  The dataset is present
+    at >=1 of {path, tmp, old} at every instant — a crash at any point
+    is recoverable, and the recovery preamble below completes (or
+    rolls back) a half-done swap before starting a new one.  A
+    same-path retry therefore never destroys the only copy.
 
     Partitioned layouts compact per partition DIRECTORY (pass the
     partition path) — compacting across partitions would destroy the
@@ -106,6 +111,29 @@ def compact_parquet(spark, path: str,
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+
+    # Recovery preamble: a prior run that crashed between the two
+    # renames left the only copy in tmp (fully written — the write
+    # finished before the rename-aside started) or in old.  Finish or
+    # roll back the swap; never delete a dir that might be the only
+    # copy.  With path present, a leftover tmp is a partial write that
+    # mode("overwrite") below replaces.
+    if not fs.exists(jpath):
+        if fs.exists(jtmp):
+            if not fs.rename(jtmp, jpath):
+                raise IOError(
+                    f"compact_parquet: recovery rename {tmp} -> {path} failed")
+        elif fs.exists(jold):
+            if not fs.rename(jold, jpath):
+                raise IOError(
+                    f"compact_parquet: recovery rename {old} -> {path} failed")
+        # else: nothing to recover; the reads below raise the real error
+
     # refuse a partitioned dataset ROOT: reading it absorbs the
     # partition columns into the data and the rewrite would land a
     # FLAT layout over it — destroying both partition pruning and the
@@ -120,13 +148,16 @@ def compact_parquet(spark, path: str,
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 
-    tmp = path.rstrip("/") + "__compact_tmp"
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(jtmp):  # crashed prior run: temp is disposable
-        fs.delete(jtmp, True)
     spark.read.parquet(path).repartition(n_files) \
         .write.mode("overwrite").parquet(tmp)
-    fs.delete(jpath, True)
+    # tmp is now complete; swap with the live path always recoverable:
+    if fs.exists(jold):  # leftover from a crash after a prior rename-in
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_parquet: rename {path} -> {old} failed")
     if not fs.rename(jtmp, jpath):
+        # roll back so the live path is restored before raising
+        fs.rename(jold, jpath)
         raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
+    fs.delete(jold, True)
     return n_files

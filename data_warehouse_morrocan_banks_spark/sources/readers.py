@@ -59,8 +59,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Any other failure (missing path, corrupt file) must re-raise
         # WITHOUT mutating the conf — a blanket flip would make later
         # legitimate NANOS reads in the session silently surface longs.
+        # require the NANOS marker itself — a generic "Illegal Parquet
+        # type" (some other unsupported physical type) must re-raise,
+        # not flip the conf and retry a read that will fail anyway
         msg = str(e)
-        if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+        if "NANOS" not in msg:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

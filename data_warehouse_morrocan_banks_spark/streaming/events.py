@@ -219,7 +219,9 @@ def stream_rollup_maintenance(spark: SparkSession, source_path: str,
     would make it transactional at the same call site).
     """
     from ..operators.lifecycle import release_rdd_ids, tracked_local_checkpoint
-    from ..operators.rollup import apply_rollup_delta, build_rollup
+    from ..operators.rollup import (
+        apply_rollup_delta, build_rollup, make_inserts_signed,
+    )
 
     schema = spark.read.parquet(source_path).schema
     stream = spark.readStream.schema(schema).parquet(source_path)
@@ -241,11 +243,7 @@ def stream_rollup_maintenance(spark: SparkSession, source_path: str,
         if fresh:
             merged = build_rollup(batch, group_keys, measures)
         else:
-            signed = batch.select(
-                F.lit(1).alias("__sign"),
-                *[F.col(c) for c in group_keys],
-                *[F.col(m) for m in measures],
-            )
+            signed = make_inserts_signed(batch, group_keys, measures)
             merged = apply_rollup_delta(state, signed, group_keys, measures)
         # materialize before overwriting the path being read (same
         # staging rule as merge.py / plans.incremental)

@@ -220,3 +220,61 @@ def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
     df.write.partitionBy("p").parquet(path)
     with _pytest.raises(ValueError, match="partitioned dataset root"):
         compact_parquet(spark, path)
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """The two-rename swap must survive a crash at any point: the
+    recovery preamble finishes a half-done swap instead of deleting
+    the only surviving copy (the round-3 advisory found the old
+    delete-then-rename protocol lost the dataset on a retried crash)."""
+    import shutil
+
+    from data_warehouse_morrocan_banks_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id INT, v STRING")
+    want = sorted(map(tuple, df.collect()))
+
+    # Crash state 1: between the two renames — path missing, the only
+    # copy is the fully-written tmp.  A retry must recover it.
+    path = str(tmp_path / "t1")
+    df.write.parquet(path + "__compact_tmp")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # Crash state 2: only the renamed-aside old copy survives.
+    path = str(tmp_path / "t2")
+    df.write.parquet(path + "__compact_old")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # Crash state 3: path intact plus a stale partial tmp — the stale
+    # tmp is replaced, the live data wins, leftovers are gone.
+    path = str(tmp_path / "t3")
+    df.write.parquet(path)
+    spark.createDataFrame([(999, "stale")], "id INT, v STRING") \
+        .write.parquet(path + "__compact_tmp")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    import os
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_interval_join_rejects_nonpositive_bucket_width(spark):
+    """bucket_width=0 would abort under ANSI x/0 and a negative width
+    silently mis-buckets — both must raise up front."""
+    import pytest as _pytest
+
+    from data_warehouse_morrocan_banks_spark.operators.joins import (
+        interval_join,
+    )
+
+    p = spark.createDataFrame([(1, 5.0)], "pid INT, x DOUBLE")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid INT, lo DOUBLE, hi DOUBLE")
+    for bad in (0, 0.0, -1.5):
+        with _pytest.raises(ValueError, match="bucket_width"):
+            interval_join(p, iv, "x", "lo", "hi", bucket_width=bad)
