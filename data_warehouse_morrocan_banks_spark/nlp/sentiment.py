@@ -19,6 +19,13 @@ an import guard — the library is not in this runtime.
 
 from __future__ import annotations
 
+# module scope, not inside textblob_sentiment_udf: with deferred
+# annotations the pandas_udf type hints (`pd.Series`) are strings that
+# pyspark resolves against the function's GLOBALS — a function-local
+# `import pandas as pd` leaves them unresolvable (UNSUPPORTED_SIGNATURE
+# at UDF build; caught by the stub-injection test)
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -84,7 +91,6 @@ def textblob_sentiment_udf():
     lexicon mode above is the default)."""
     from textblob import TextBlob  # noqa: F401 — gate
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(

@@ -112,11 +112,37 @@ def pin_local_checkpoint(key: str, df: DataFrame,
     out = df.localCheckpoint(eager=eager)
 
     def _release(jdf=out._jdf):
-        rdd = jdf.queryExecution().analyzed().rdd()
+        try:
+            rdd = _resolve_checkpoint_rdd(jdf)
+        except Exception as ex:
+            # The resolution reaches through a PRIVATE Dataset surface;
+            # a Spark minor-version change must degrade cleanup to a
+            # leak-with-warning, never a crash in the next operator's
+            # begin().  Stay silent when the session is already stopped
+            # (the blocks are gone with it).
+            from pyspark import SparkContext
+
+            if SparkContext._active_spark_context is not None:
+                import warnings
+
+                warnings.warn(
+                    "pin_local_checkpoint release: private Dataset API "
+                    f"reach failed ({type(ex).__name__}: {ex}); "
+                    "checkpoint blocks stay pinned until session end",
+                    RuntimeWarning, stacklevel=2,
+                )
+            return
         rdd.unpersist(False)
 
     _GENERATIONS.setdefault(key, []).append(_release)
     return out
+
+
+def _resolve_checkpoint_rdd(jdf):
+    """Resolve the RDD behind a (possibly lazy) checkpointed Dataset via
+    ``queryExecution().analyzed().rdd()`` — py4j PRIVATE API, isolated
+    here so version drift is guardable (and testable) in one place."""
+    return jdf.queryExecution().analyzed().rdd()
 
 
 def defer_release_ids(key: str, sc, ids: set[int]) -> None:

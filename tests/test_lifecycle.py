@@ -86,3 +86,25 @@ def test_partitioned_merge_write_releases_staging_blocks(spark, tmp_path):
         partitioned_merge_write(spark, path, batch, ["id"], n_buckets=4)
         # bracketed release: nothing outlives the write
         assert _pinned(spark) == before
+
+
+def test_checkpoint_release_degrades_to_warning_on_api_drift(spark, monkeypatch):
+    """pin_local_checkpoint's release thunk reaches through a PRIVATE
+    Dataset surface (queryExecution().analyzed().rdd()); if a Spark
+    upgrade changes it, cleanup must degrade to a leak-with-warning,
+    never crash the next operator's begin()."""
+    from data_warehouse_morrocan_banks_spark.operators import lifecycle
+
+    df = spark.range(10)
+    lifecycle.begin("__drift_test")
+    out = lifecycle.pin_local_checkpoint("__drift_test", df, eager=True)
+    assert out.count() == 10
+
+    def _broken(jdf):
+        raise AttributeError("'JavaObject' has no attribute 'analyzed'")
+
+    monkeypatch.setattr(lifecycle, "_resolve_checkpoint_rdd", _broken)
+    with pytest.warns(RuntimeWarning, match="private Dataset API"):
+        lifecycle.begin("__drift_test")  # must not raise
+    # the generation entry is consumed even on the degraded path
+    lifecycle.begin("__drift_test")

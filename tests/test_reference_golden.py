@@ -97,3 +97,62 @@ def test_sentiment_matches_reference_on_demo_corpus(spark):
     assert by_text[SAMPLE_REVIEWS[0]]["label"] == "Neutral"
     assert by_text[SAMPLE_REVIEWS[1]]["label"] == "Negative"   # "attente"
     assert by_text[SAMPLE_REVIEWS[3]]["label"] == "Positive"   # "bonne/rapide"
+
+
+def test_textblob_udf_wiring_via_stub_module(spark, monkeypatch):
+    """First execution of the lib-backed sentiment path
+    (nlp_processor_simple.py:77-121): inject a deterministic stub
+    ``textblob`` module (registered pickle-by-value so Python workers
+    never import it) and assert the UDF's column wiring, the ±0.1
+    label thresholds, confidence clipping at 1.0, and NULL→'' fill."""
+    import sys
+    import types
+
+    from pyspark import cloudpickle
+
+    mod = types.ModuleType("textblob")
+    exec(
+        "class _S:\n"
+        "    def __init__(self, p, s):\n"
+        "        self.polarity = p; self.subjectivity = s\n"
+        "class TextBlob:\n"
+        "    def __init__(self, text):\n"
+        "        self._t = text\n"
+        "    @property\n"
+        "    def sentiment(self):\n"
+        "        t = self._t\n"
+        "        if 'great' in t: return _S(0.9, 0.8)\n"
+        "        if 'awful' in t: return _S(-0.5, 0.3)\n"
+        "        if 'meh' in t: return _S(0.05, 0.6)\n"
+        "        return _S(0.0, 0.2)\n",
+        mod.__dict__,
+    )
+    monkeypatch.setitem(sys.modules, "textblob", mod)
+    cloudpickle.register_pickle_by_value(mod)
+    try:
+        from data_warehouse_morrocan_banks_spark.nlp.sentiment import (
+            textblob_sentiment_udf,
+        )
+
+        udf = textblob_sentiment_udf()
+        df = spark.createDataFrame(
+            [(1, "great service"), (2, "awful queue"),
+             (3, "meh branch"), (4, None)],
+            "id INT, text STRING",
+        )
+        out = {
+            r["id"]: r for r in
+            df.select("id", udf("text").alias("s"))
+              .select("id", "s.score", "s.label", "s.confidence",
+                      "s.subjectivity")
+              .collect()
+        }
+    finally:
+        cloudpickle.unregister_pickle_by_value(mod)
+
+    assert out[1]["label"] == "Positive" and out[1]["score"] == 0.9
+    assert out[1]["confidence"] == 1.0          # min(0.8+0.9, 1) clips
+    assert out[2]["label"] == "Negative" and out[2]["confidence"] == 0.8
+    assert out[3]["label"] == "Neutral"         # 0.05 < +0.1 threshold
+    assert out[3]["subjectivity"] == 0.6
+    assert out[4]["label"] == "Neutral" and out[4]["score"] == 0.0  # NULL→''
