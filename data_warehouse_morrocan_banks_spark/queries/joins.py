@@ -21,16 +21,28 @@ from ..sources.readers import table
 # Reference: LEFT JOIN dim_bank ON bank_name then aggregate
 # (complete_data_pipeline_fixed.py:254-256). part is the dim here;
 # broadcast pins the build side so the lineitem scan never shuffles.
+# The dim side also carries the reference's signature dim_branch
+# multi-output LIKE-ladder composition (dim_branch.sql:23-68:
+# city→region→branch_type from ONE name string — here metal /
+# metal_group / finish_class from p_type), so the hash check covers
+# the shared-predicate re-grouping and the non-Other default branch.
+
+from ..star.dims import branch_classification_cols, sql_branch_classification
+
+_J1_LADDER_SQL = sql_branch_classification("p.p_type")
 
 _J1_ORACLE = f"""
 SELECT
   p.p_brand,
+  {_J1_LADDER_SQL['metal']} AS metal,
+  {_J1_LADDER_SQL['metal_group']} AS metal_group,
+  {_J1_LADDER_SQL['finish_class']} AS finish_class,
   COUNT(*) AS n_items,
   {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
-GROUP BY p.p_brand
-ORDER BY p.p_brand
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
 """
 
 
@@ -38,15 +50,21 @@ ORDER BY p.p_brand
 def q_j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ladder = branch_classification_cols("p_type")
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        ladder["metal"].alias("metal"),
+        ladder["metal_group"].alias("metal_group"),
+        ladder["finish_class"].alias("finish_class"),
+    )
     joined = broadcast_dim_join(
         li, part, li["l_partkey"] == part["p_partkey"], how="inner"
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        joined.groupBy("p_brand")
+        joined.groupBy("p_brand", "metal", "metal_group", "finish_class")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue, "revenue"))
-        .orderBy("p_brand")
+        .orderBy("p_brand", "metal", "metal_group", "finish_class")
     )
 
 

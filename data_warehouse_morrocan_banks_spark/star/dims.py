@@ -142,3 +142,58 @@ def derived_dim(source: DataFrame, business_keys: list[str],
         )
     w = Window.orderBy(*key_order)
     return distinct.withColumn(key_name, F.row_number().over(w))
+
+
+# --- dim_branch-style multi-output LIKE classification ----------------------
+# The reference's signature 33-branch ladder (dim_branch.sql:23-68)
+# derives THREE dim attributes from ONE name string: city (18-way LIKE
+# ladder, default 'Other'), region (the SAME LIKE predicates re-grouped
+# many-to-one, default 'Other'), and branch_type (a second token family
+# with a NON-Other default, ELSE 'Branch').  The engine reproduces that
+# composition over the testdata's part.p_type vocabulary: metal plays
+# city, metal_group plays region (same predicates, coarser grouping),
+# finish_class plays branch_type (BRUSHED deliberately unmapped so the
+# non-Other default path executes in the hash-checked suite).
+
+_METAL_CITY = [
+    ("TIN", "Tin"), ("NICKEL", "Nickel"), ("BRASS", "Brass"),
+    ("STEEL", "Steel"), ("COPPER", "Copper"),
+]
+_METAL_REGION = [
+    ("TIN", "Light-Alloy"), ("NICKEL", "Light-Alloy"),
+    ("BRASS", "Red-Metal"), ("COPPER", "Red-Metal"),
+    ("STEEL", "Ferrous"),
+]
+_FINISH_TYPE = [
+    ("ANODIZED", "Coated"), ("BURNISHED", "Coated"),
+    ("PLATED", "Plated"), ("POLISHED", "Finished"),
+]
+
+
+def branch_classification_cols(name_col: Column | str) -> dict[str, Column]:
+    """dim_branch.sql:23-68's city→region→branch_type composition as
+    three expressions over one name column (first-match-wins ILIKE
+    containment, shared predicates across the first two ladders)."""
+    from ..functions.text import like_ladder
+
+    return {
+        "metal": like_ladder(name_col, _METAL_CITY, "Other"),
+        "metal_group": like_ladder(name_col, _METAL_REGION, "Other"),
+        "finish_class": like_ladder(name_col, _FINISH_TYPE, "Standard"),
+    }
+
+
+def sql_branch_classification(name_sql: str) -> dict[str, str]:
+    """The same three ladders as ANSI SQL CASE chains (oracle side)."""
+    def case(mapping: list[tuple[str, str]], default: str) -> str:
+        whens = "\n    ".join(
+            f"WHEN UPPER({name_sql}) LIKE '%{tok}%' THEN '{lab}'"
+            for tok, lab in mapping
+        )
+        return f"CASE\n    {whens}\n    ELSE '{default}' END"
+
+    return {
+        "metal": case(_METAL_CITY, "Other"),
+        "metal_group": case(_METAL_REGION, "Other"),
+        "finish_class": case(_FINISH_TYPE, "Standard"),
+    }

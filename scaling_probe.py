@@ -5,6 +5,11 @@ Evidence for SCALE.md's "the plan survives a scale-up" claims —
 aggregation and broadcast-join wall time should grow ~linearly (same
 plan, more rows), not super-linearly (no global sorts, no state blowup).
 
+Each shape also records SHUFFLE READ/WRITE BYTES and spill (summed over
+the stages its run completed, via the Spark UI REST API): on a box with
+±30% wall-clock noise, bytes are the evidence that a flat shape is flat
+— they are deterministic per plan, wall time is not.
+
 Usage: python scaling_probe.py  (prints one JSON line)
 """
 
@@ -14,6 +19,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -32,6 +38,20 @@ def replicate(df, n, key_cols):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def completed_stages(spark):
+    """Completed-stage metrics from the UI REST API, keyed by
+    (stageId, attemptId).  Returns None (probe degrades to wall-only)
+    if the UI is disabled or the endpoint shape drifts."""
+    try:
+        sc = spark.sparkContext
+        url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+               f"/stages?status=complete")
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
+    except Exception:
+        return None
 
 
 def main():
@@ -67,6 +87,8 @@ def main():
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_dim = len(emb.select("embedding").first()["embedding"])
 
     def replicate_docs(n):
         """Shifted ids AND per-copy token namespaces: prefixing every
@@ -80,6 +102,62 @@ def main():
                 .withColumn(
                     "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
                 )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def zipf_docs(n_docs, vocab=30_000, doc_len=30):
+        """A NATURAL-vocabulary near-dup corpus: token ranks drawn
+        log-uniform over ``vocab`` (≈ Zipf s=1 — hot head, long rare
+        tail), versus the driver corpus's pathological ~155-key
+        vocabulary.  Consecutive doc ids share a body seed (true
+        near-dup pairs, Jaccard ≈ 0.93 after each doc's one unique
+        token), so true-pair structure grows linearly with docs while
+        the vocabulary stays FIXED — the conservative case for posting
+        lists (a real corpus's vocabulary also grows, Heaps' law).
+        All content is hash-derived from doc_id: layout-independent."""
+        seed = F.call_function("div", F.col("doc_id"), F.lit(2))
+
+        def tok(j):
+            u = (F.pmod(F.xxhash64(seed, j), F.lit(1_000_003))
+                 .cast("double") + F.lit(0.5)) / F.lit(1_000_003.0)
+            rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+            return F.concat(F.lit("t"), rank.cast("string"))
+
+        body = F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(doc_len - 1)), tok), " ")
+        return (
+            spark.range(n_docs).select(F.col("id").alias("doc_id"))
+            .select(
+                "doc_id",
+                F.concat(F.lit("l"), F.pmod(seed, F.lit(3)).cast("string"))
+                .alias("lang"),
+                F.concat(body, F.lit(" u"),
+                         F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+
+    def replicate_emb(n):
+        """Per-copy deterministic ±1 sign flips: a shared diagonal
+        sign matrix preserves every WITHIN-copy dot product exactly
+        (sum sᵈ²·xᵈyᵈ = x·y) while decorrelating copies (cross-copy
+        cosine ≈ 0) — pair structure scales linearly, not
+        quadratically, without disturbing the shape being probed."""
+        def make_flip(i):
+            def flip(x, d):
+                s = F.when(F.pmod(F.xxhash64(F.lit(i), d), F.lit(2)) == 0,
+                           F.lit(1.0)).otherwise(F.lit(-1.0))
+                return (x * s).cast("float")
+            return flip
+
+        parts = [emb]
+        for i in range(1, n):
+            flip = make_flip(i)
+            parts.append(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+                .withColumn("embedding", F.transform("embedding", flip))
             )
         out = parts[0]
         for p in parts[1:]:
@@ -103,6 +181,26 @@ def main():
         toks = F.size(whitespace_tokens(F.lower(F.col("text"))))
         return pack_streaming(d.withColumn("n_tok", toks), "n_tok",
                               "doc_id", "lang", budget=2048)
+
+    def pack_skewed(d):
+        """The packing window under 90/10 key skew: nine of ten docs
+        collapse onto one language, the worst case for the single
+        window shuffle (the 100 TB mitigation is the (source, shard)
+        composite key — tests/test_llm_prep.py pins that re-key's
+        semantics; this shape measures the unmitigated skew cost)."""
+        skewed = d.withColumn(
+            "lang",
+            F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 9, F.lit("zz"))
+            .otherwise(F.col("lang")),
+        )
+        return pack(skewed)
+
+    def srp(e):
+        from data_warehouse_morrocan_banks_spark.operators.similarity import (
+            srp_lsh_pairs,
+        )
+        return srp_lsh_pairs(e, dim=emb_dim, threshold=0.9,
+                             id_col="vec_id", vec_col="embedding")
 
     def span_dedup(d):
         from data_warehouse_morrocan_banks_spark.operators.dedup import (
@@ -179,45 +277,79 @@ def main():
         return interval_join(pts, ivs, "x", "lo", "hi",
                              bucket_width=86400.0, key="user_id")
 
+    SHAPE_NAMES = (
+        "q1_agg", "argmax_join", "jaccard_pairs", "jaccard_zipf",
+        "pack_streaming", "pack_skewed", "span_dedup",
+        "stratified_sample", "scd2_merge", "rollup_maint",
+        "interval_join", "srp_lsh",
+    )
     results = {}
     for scale in (1, 10):
         li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
         li_s = li_s.cache(); n_rows = li_s.count()
         d_s = docs if scale == 1 else replicate_docs(scale)
         d_s = d_s.cache(); d_s.count()
+        z_s = zipf_docs(6_000 * scale)
+        z_s = z_s.cache(); z_s.count()
         c_s = customer if scale == 1 else replicate(customer, scale, ["c_custkey"])
         c_s = c_s.cache(); c_s.count()
         ev_s = events if scale == 1 else replicate(
             events, scale, ["event_id", "user_id"])
         ev_s = ev_s.cache(); ev_s.count()
+        e_s = emb if scale == 1 else replicate_emb(scale)
+        e_s = e_s.cache(); e_s.count()
         shapes = (
             ("q1_agg", q1, li_s), ("argmax_join", argmax, li_s),
-            ("jaccard_pairs", jaccard, d_s), ("pack_streaming", pack, d_s),
+            ("jaccard_pairs", jaccard, d_s), ("jaccard_zipf", jaccard, z_s),
+            ("pack_streaming", pack, d_s), ("pack_skewed", pack_skewed, d_s),
             ("span_dedup", span_dedup, d_s),
             ("stratified_sample", strat, li_s), ("scd2_merge", scd2, c_s),
             ("rollup_maint", rollup_maint, li_s),
             ("interval_join", interval, ev_s),
+            ("srp_lsh", srp, e_s),
         )
+        assert tuple(n for n, _, _ in shapes) == SHAPE_NAMES
         for name, fn, frame in shapes:
             best = float("inf")
+            stage_bytes = None
             for _ in range(2):
+                before = completed_stages(spark)
                 t0 = time.perf_counter()
                 # noop sink, not count(): count lets Catalyst prune
                 # aggregate functions and left-join subtrees, so the
                 # probed shape would partly not run (see bench.py)
                 fn(frame).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                after = completed_stages(spark)
+                if before is not None and after is not None:
+                    # bytes from the LAST run (identical plan; steady
+                    # state) — sums over the stages this run completed
+                    new = [v for k, v in after.items() if k not in before]
+                    mb = 1024.0 * 1024.0
+                    stage_bytes = {
+                        "sr": round(sum(s["shuffleReadBytes"] for s in new) / mb, 1),
+                        "sw": round(sum(s["shuffleWriteBytes"] for s in new) / mb, 1),
+                        "spill": round(sum(
+                            s["memoryBytesSpilled"] + s["diskBytesSpilled"]
+                            for s in new) / mb, 1),
+                    }
             results[f"{name}_{scale}x"] = round(best, 2)
+            if stage_bytes is not None:
+                results[f"{name}_{scale}x_shuffle_read_mb"] = stage_bytes["sr"]
+                results[f"{name}_{scale}x_shuffle_write_mb"] = stage_bytes["sw"]
+                results[f"{name}_{scale}x_spill_mb"] = stage_bytes["spill"]
         results[f"rows_{scale}x"] = n_rows
-        li_s.unpersist(); d_s.unpersist(); c_s.unpersist(); ev_s.unpersist()
+        for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s):
+            f_.unpersist()
 
-    for name in ("q1_agg", "argmax_join", "jaccard_pairs",
-                 "pack_streaming", "span_dedup",
-                 "stratified_sample", "scd2_merge",
-                 "rollup_maint", "interval_join"):
+    for name in SHAPE_NAMES:
         results[f"{name}_scaling_ratio"] = round(
             results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
         )
+        w1 = results.get(f"{name}_1x_shuffle_write_mb")
+        w10 = results.get(f"{name}_10x_shuffle_write_mb")
+        if w1 is not None and w10 is not None and w1 > 0:
+            results[f"{name}_shuffle_write_ratio"] = round(w10 / w1, 1)
     print(json.dumps(results))
     spark.stop()
 

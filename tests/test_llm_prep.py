@@ -297,3 +297,49 @@ def test_pack_streaming_zero_token_rows_get_empty_spans(spark):
         FROM c
     """).fetchall())
     assert {k: tuple(v) for k, v in want.items()} == out
+
+
+def test_pack_streaming_skewed_key_and_rekey(spark, docs):
+    """The 90/10 key-skew case (one language holds ~90% of documents):
+    pack_streaming's semantics are key-agnostic, and the documented
+    100 TB mitigation — re-keying the window to a (lang, shard)
+    composite — restores balance while preserving exactly the same
+    per-stream invariants (scaling_probe's pack_skewed shape measures
+    the unmitigated wall cost)."""
+    skewed = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("zz")).otherwise(F.col("lang")),
+    )
+
+    def check_streams(out_rows, keys):
+        by = {}
+        for r in sorted(out_rows, key=lambda r: tuple(
+                [r[k] for k in keys] + [r["doc_id"]])):
+            by.setdefault(tuple(r[k] for k in keys), []).append(r)
+        for rows in by.values():
+            cum = 0
+            for r in rows:
+                assert r["pack_id"] == cum // BUDGET
+                assert r["pack_offset"] == cum % BUDGET
+                cum += r["n_tokens"]
+                assert r["pack_end"] == (cum - 1) // BUDGET
+        return by
+
+    # unmitigated: correct, but the hot group is ONE stream
+    out = pack_streaming(skewed, "n_tokens", "doc_id", "lang",
+                         BUDGET).collect()
+    by_lang = check_streams(out, ["lang"])
+    hot = max(by_lang.values(), key=len)
+    assert len(hot) >= 0.85 * len(out)
+
+    # re-keyed: same invariants per (lang, shard) stream, hot group
+    # split across all shards, no shard dominant
+    n_shards = 8
+    rekeyed = skewed.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+    out2 = pack_streaming(rekeyed, "n_tokens", "doc_id",
+                          ["lang", "shard"], BUDGET).collect()
+    by_ls = check_streams(out2, ["lang", "shard"])
+    hot_shards = {k[1]: len(v) for k, v in by_ls.items() if k[0] == "zz"}
+    assert len(hot_shards) == n_shards
+    assert max(hot_shards.values()) < 0.25 * sum(hot_shards.values())
