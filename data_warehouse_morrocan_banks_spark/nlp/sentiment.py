@@ -23,8 +23,13 @@ from __future__ import annotations
 # annotations the pandas_udf type hints (`pd.Series`) are strings that
 # pyspark resolves against the function's GLOBALS — a function-local
 # `import pandas as pd` leaves them unresolvable (UNSUPPORTED_SIGNATURE
-# at UDF build; caught by the stub-injection test)
-import pandas as pd
+# at UDF build; caught by the stub-injection test).  Import-guarded so
+# the default lexicon mode (pure column expressions) never requires
+# pandas at import time; only the optional UDF builder does.
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover — pandas ships in this runtime
+    pd = None  # type: ignore[assignment]
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -89,6 +94,11 @@ def textblob_sentiment_udf():
     per nlp_processor_simple.py:77-121, or raises ImportError when
     TextBlob is unavailable (this runtime does not ship it — the
     lexicon mode above is the default)."""
+    if pd is None:
+        raise ImportError(
+            "textblob_sentiment_udf requires pandas (the pd.Series "
+            "type hints resolve against module globals)"
+        )
     from textblob import TextBlob  # noqa: F401 — gate
 
     from pyspark.sql.functions import pandas_udf

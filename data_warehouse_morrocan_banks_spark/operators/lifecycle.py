@@ -113,7 +113,10 @@ def pin_local_checkpoint(key: str, df: DataFrame,
 
     def _release(jdf=out._jdf):
         try:
-            rdd = _resolve_checkpoint_rdd(jdf)
+            # unpersist stays INSIDE the guard: a py4j failure at
+            # unpersist itself (JVM mid-shutdown) must also degrade to
+            # the leak-with-warning path, not crash the next begin()
+            _resolve_checkpoint_rdd(jdf).unpersist(False)
         except Exception as ex:
             # The resolution reaches through a PRIVATE Dataset surface;
             # a Spark minor-version change must degrade cleanup to a
@@ -131,8 +134,6 @@ def pin_local_checkpoint(key: str, df: DataFrame,
                     "checkpoint blocks stay pinned until session end",
                     RuntimeWarning, stacklevel=2,
                 )
-            return
-        rdd.unpersist(False)
 
     _GENERATIONS.setdefault(key, []).append(_release)
     return out

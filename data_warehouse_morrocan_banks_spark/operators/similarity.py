@@ -952,10 +952,92 @@ def srp_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     )
 
 
+def srp_band_plan(n: int, threshold: float, target_recall: float = 0.9,
+                  max_bands: int = 48, max_width: int = 62) -> tuple[int, int]:
+    """Derive SRP banding (width, bands) from corpus size — the fix for
+    the round-4 probe finding that FIXED band widths are quadratic by
+    construction (4-bit bands = 16 distinct values per band →
+    candidates ≈ bands·n²/2⁵ regardless of data; measured 89.5×
+    shuffle-write growth + 6.6 GB spill at 10× rows).
+
+    Width scales with the corpus: ``width = ⌈log₂ n⌉ + 1`` gives
+    ~2n band buckets, so expected random collisions per band stay
+    O(n) at ANY n (candidates ≈ bands·n²/2^{width+1} ≤ bands·n/4 plus
+    the true near-dup pairs).  Bands then come from the analytic
+    recall curve ``1 − (1 − p^w)^b ≥ target_recall`` with
+    ``p = 1 − θ/π`` at the verify threshold (Charikar 2002) — wider
+    bands need more of them, so bands grows ~``p^{−log₂10·Δ}`` ≈ 1.7×
+    per 10× rows at threshold 0.9: band-row volume is n·b(n), i.e.
+    n^{1.2}-ish, not n².  When the target recall is unreachable within
+    ``max_bands`` (low thresholds: p small), width shrinks until it
+    fits — candidate cost rises as the threshold falls, which is
+    inherent to LSH, not to this plan.
+    """
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    width = max(2, min(int(math.ceil(math.log2(max(n, 2)))) + 1, max_width))
+    while width > 2:
+        pw = p ** width
+        if 0.0 < pw < 1.0:
+            b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pw))
+            if b <= max_bands:
+                return width, b
+        elif pw >= 1.0:
+            return width, 1
+        width -= 1
+    return width, max_bands
+
+
+def _srp_band_rows_numpy(corpus: DataFrame, id_col: str, vec_col: str,
+                         dim: int, width: int, bands: int,
+                         seed: int) -> DataFrame:
+    """(id, __bidx, __bval) band rows via one Arrow-batched numpy pass —
+    the wide-signature path.  width·bands > 63 planes can't pack into
+    one bigint, and a Catalyst literal plane matrix that size would
+    bloat the plan and pay interpreted-HOF cost per element per row;
+    one ``X @ P.T`` per batch is the vectorized form of the same
+    map-only computation (row-independent → layout-invariant; planes
+    are the same seeded MT19937 stream as the expression path)."""
+    import numpy as np
+
+    hp = np.asarray(srp_hyperplanes(dim, width * bands, seed),
+                    dtype=np.float64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, __bidx int, __bval bigint"
+    w, n_bands, vcol, icol = width, bands, vec_col, id_col
+
+    def gen(batches):
+        # self-contained closure (cloudpickle by value): only locals
+        # (hp, w, n_bands, vcol, icol) and in-function imports
+        import numpy as np
+        import pandas as pd
+
+        weights = np.int64(1) << np.arange(w - 1, -1, -1, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+            bits = (X @ hp.T) >= 0          # (n, width·bands)
+            ids = pdf[icol].to_numpy()
+            frames = []
+            for b in range(n_bands):
+                seg = bits[:, b * w:(b + 1) * w].astype(np.int64)
+                frames.append(pd.DataFrame({
+                    icol: ids, "__bidx": b, "__bval": seg @ weights,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
-                  planes: int = 16, bands: int = 4, seed: int = 42,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  planes: int | None = None, bands: int | None = None,
+                  seed: int = 42, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  expected_n: int | None = None,
+                  target_recall: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH banding — the
     no-training LSH alternative to the IVF-bucketed
     :func:`cosine_near_dup_pairs` (no centroid fit, no sample pass:
@@ -963,52 +1045,80 @@ def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
     a cold corpus and composes with streaming ingest).
 
     Candidates are pairs agreeing on ALL bits of at least one of the
-    ``bands`` contiguous signature bands (band width = planes/bands);
-    the exact rounded cosine verifies every candidate, so precision is
-    exact and only recall is probabilistic:
-    ``1 − (1 − p^w)^bands`` with ``p = 1 − θ/π`` — at threshold 0.9
-    (θ ≈ 26°), 16 planes in 4×4-bit bands give ≈ 0.95 expected recall
-    (measured floor pinned in tests/test_similarity.py, never
-    assumed).  Raise ``bands`` (narrower bands) for recall, lower it
-    for fewer candidates.
+    ``bands`` signature bands (band width = planes/bands); the exact
+    rounded cosine verifies every candidate, so precision is exact and
+    only recall is probabilistic: ``1 − (1 − p^w)^bands`` with
+    ``p = 1 − θ/π`` (measured floor pinned in tests/test_similarity.py,
+    never assumed).
 
-    Scale: signatures are one map-only pass (one ``transform`` over
-    the broadcast-literal plane matrix — same single-analysis shape as
-    ``ivf_assign``); candidates shuffle on (band_idx, band_value) —
-    2 ints per vector per band, vectors ride the verify join once;
-    no all-pairs comparison, no Python, no fitted state.
+    **Banding is sized to the corpus by default** (``planes=None``):
+    :func:`srp_band_plan` picks ``width ≈ log₂ n + 1`` (band buckets
+    outnumber vectors ~2:1 at any n, so random collisions stay O(n)
+    per band) and enough bands to hit ``target_recall`` at the
+    threshold.  ``n`` comes from ``expected_n`` when the caller knows
+    it, else from one ``corpus.count()`` scan.  A FIXED width is
+    quadratic by construction — the round-4 probe measured the old
+    ``planes=16, bands=4`` default (16 values per band) at 89.5×
+    shuffle-write growth and 6.6 GB spill for 10× rows; auto-sizing
+    holds band-row volume to n·bands(n) with bands growing only
+    ~1.7× per 10× rows at threshold 0.9.  Passing ``planes``/``bands``
+    explicitly keeps the fixed layout (tests, tiny corpora).
+
+    Scale: signatures are one map-only pass — a ``transform`` over a
+    broadcast-literal plane matrix when planes ≤ 63 (bigint-packed,
+    whole-stage codegen), an Arrow-batched numpy ``X @ P.T`` per batch
+    above that (a literal that wide would bloat the plan; the matmul
+    is the vectorized same computation).  Candidates shuffle on
+    (band_idx, band_value) — 2 ints per vector per band, vectors ride
+    the verify join once; no all-pairs comparison, no fitted state.
     """
-    if planes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide planes ({planes})")
-    width = planes // bands
+    if planes is None:
+        if bands is not None:
+            raise ValueError("bands without planes is ambiguous: pass "
+                             "both or neither (auto-sizing)")
+        n = expected_n if expected_n is not None else corpus.count()
+        width, bands = srp_band_plan(n, threshold, target_recall)
+        planes = width * bands
+    else:
+        if bands is None:
+            bands = 4
+        if planes % bands != 0:
+            raise ValueError(
+                f"bands ({bands}) must divide planes ({planes})")
+        width = planes // bands
 
-    v = as_double_array(vec_col)
-    signed = corpus.select(
-        F.col(id_col), v.alias("__v"),
-    ).withColumn("__vnorm", l2_norm(F.col("__v"))).withColumn(
-        "__sig", srp_signature(F.col("__v"), srp_hyperplanes(dim, planes, seed))
-    )
-    band_cols = []
-    for b in range(bands):
-        lo = b * width
-        band_cols.append(F.struct(
-            F.lit(b).alias("band_idx"),
-            F.shiftrightunsigned(F.col("__sig"), lo)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
-        ))
     # band rows carry ONLY (id, band) — the vector/norm payload joins
     # back AFTER the candidate distinct, so the band-keyed shuffle
     # moves 2 ints + an id per (vector, band) rather than the full
     # embedding per side (at scale the candidate shuffle dominates;
     # recomputing one norm fold per payload join is local map work)
-    banded = signed.select(
-        id_col,
-        F.explode(F.array(*band_cols)).alias("__band"),
-    ).select(
-        id_col,
-        F.col("__band.band_idx").alias("__bidx"),
-        F.col("__band.band_val").alias("__bval"),
-    )
+    if planes <= 63:
+        v = as_double_array(vec_col)
+        signed = corpus.select(
+            F.col(id_col), v.alias("__v"),
+        ).withColumn(
+            "__sig",
+            srp_signature(F.col("__v"), srp_hyperplanes(dim, planes, seed)),
+        )
+        band_cols = []
+        for b in range(bands):
+            lo = b * width
+            band_cols.append(F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("__sig"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+            ))
+        banded = signed.select(
+            id_col,
+            F.explode(F.array(*band_cols)).alias("__band"),
+        ).select(
+            id_col,
+            F.col("__band.band_idx").alias("__bidx"),
+            F.col("__band.band_val").alias("__bval"),
+        )
+    else:
+        banded = _srp_band_rows_numpy(
+            corpus, id_col, vec_col, dim, width, bands, seed)
     ba, bb = banded.alias("ba"), banded.alias("bb")
     cands = (
         ba.join(

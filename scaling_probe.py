@@ -32,7 +32,14 @@ def replicate(df, n, key_cols):
     for i in range(n):
         c = df
         for k in key_cols:
-            c = c.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+            # explicit long arithmetic: an int32 key column plus an
+            # IntegerType literal would overflow and ABORT under
+            # Spark 4's default ANSI mode once i*1e9 exceeds 2^31
+            c = c.withColumn(
+                k,
+                F.col(k).cast("long")
+                + F.lit(i * 1_000_000_000).cast("long"),
+            )
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -98,7 +105,11 @@ def main():
         parts = []
         for i in range(n):
             parts.append(
-                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+                docs.withColumn(
+                    "doc_id",
+                    F.col("doc_id").cast("long")
+                    + F.lit(i * 1_000_000_000).cast("long"),
+                )
                 .withColumn(
                     "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1")
                 )
@@ -156,7 +167,11 @@ def main():
         for i in range(1, n):
             flip = make_flip(i)
             parts.append(
-                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+                emb.withColumn(
+                    "vec_id",
+                    F.col("vec_id").cast("long")
+                    + F.lit(i * 1_000_000_000).cast("long"),
+                )
                 .withColumn("embedding", F.transform("embedding", flip))
             )
         out = parts[0]
