@@ -968,25 +968,34 @@ def srp_band_plan(n: int, threshold: float, target_recall: float = 0.9,
     ``p = 1 − θ/π`` at the verify threshold (Charikar 2002) — wider
     bands need more of them, so bands grows ~``p^{−log₂10·Δ}`` ≈ 1.7×
     per 10× rows at threshold 0.9: band-row volume is n·b(n), i.e.
-    n^{1.2}-ish, not n².  When the target recall is unreachable within
-    ``max_bands`` (low thresholds: p small), width shrinks until it
-    fits — candidate cost rises as the threshold falls, which is
-    inherent to LSH, not to this plan.
+    n^{1.2}-ish, not n².
+
+    When the target recall is unreachable within ``max_bands`` (low
+    thresholds / huge corpora), width shrinks AT MOST to
+    ``⌈log₂ n⌉ − 3`` — the O(n)-collision property is structural,
+    never traded away (shrinking width further is exactly the
+    quadratic construction this function exists to prevent) — and
+    bands caps at ``max_bands`` with recall landing below target:
+    ``1 − (1 − p^{width})^{max_bands}``.  A recall shortfall degrades
+    dedup QUALITY; a quadratic candidate stage kills the JOB — raise
+    ``max_bands`` explicitly to buy recall back (cost is linear:
+    bands more band rows per vector), never width down.
     """
     if not 0.0 < target_recall < 1.0:
         raise ValueError(f"target_recall must be in (0,1): {target_recall}")
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    width = max(2, min(int(math.ceil(math.log2(max(n, 2)))) + 1, max_width))
-    while width > 2:
+    log2n = int(math.ceil(math.log2(max(n, 2))))
+    width_init = max(2, min(log2n + 1, max_width))
+    width_min = max(2, min(log2n - 3, max_width))
+    for width in range(width_init, width_min - 1, -1):
         pw = p ** width
-        if 0.0 < pw < 1.0:
+        if pw >= 1.0:
+            return width, 1
+        if pw > 0.0:
             b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pw))
             if b <= max_bands:
                 return width, b
-        elif pw >= 1.0:
-            return width, 1
-        width -= 1
-    return width, max_bands
+    return width_min, max_bands
 
 
 def _srp_band_rows_numpy(corpus: DataFrame, id_col: str, vec_col: str,
@@ -1087,13 +1096,13 @@ def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
                 f"bands ({bands}) must divide planes ({planes})")
         width = planes // bands
 
+    v = as_double_array(vec_col)
     # band rows carry ONLY (id, band) — the vector/norm payload joins
     # back AFTER the candidate distinct, so the band-keyed shuffle
     # moves 2 ints + an id per (vector, band) rather than the full
     # embedding per side (at scale the candidate shuffle dominates;
     # recomputing one norm fold per payload join is local map work)
     if planes <= 63:
-        v = as_double_array(vec_col)
         signed = corpus.select(
             F.col(id_col), v.alias("__v"),
         ).withColumn(

@@ -506,6 +506,70 @@ def test_srp_lsh_recall_precision_and_determinism(spark):
     assert again == got
 
 
+def test_srp_band_plan_sizing():
+    """Auto-sized banding: width tracks log2(n) (+1 bucket-headroom
+    margin), bands come from the analytic recall curve, and — the
+    round-4 probe lesson — the width NEVER shrinks below log2(n)-3,
+    so per-band random collisions stay O(n) structurally even when
+    the bands cap forces recall below target."""
+    import math
+
+    import pytest as _pytest
+
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_band_plan,
+    )
+
+    for n in (500, 20_000, 1_000_000, 10_000_000_000):
+        for thr in (0.4, 0.9, 0.95):
+            w, b = srp_band_plan(n, thr)
+            log2n = math.ceil(math.log2(n))
+            assert max(2, min(log2n - 3, 62)) <= w <= min(log2n + 1, 62)
+            assert 1 <= b <= 48
+    # feasible regime: the analytic recall actually clears the target
+    w, b = srp_band_plan(20_000, 0.9, target_recall=0.9)
+    p = 1.0 - math.acos(0.9) / math.pi
+    assert 1.0 - (1.0 - p ** w) ** b >= 0.9
+    # determinism: pure arithmetic
+    assert srp_band_plan(12345, 0.87) == srp_band_plan(12345, 0.87)
+    with _pytest.raises(ValueError):
+        srp_band_plan(100, 0.9, target_recall=1.0)
+
+
+def test_srp_lsh_auto_sized_wide_path(spark):
+    """planes=None auto-sizes from the corpus (numpy band-row path once
+    planes > 63) and must keep the family's contract: exact precision,
+    recall above the analytic floor, layout-invariance, and agreement
+    with an explicit call at the same derived (planes, bands)."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        srp_band_plan,
+        srp_lsh_pairs,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    w, b = srp_band_plan(n, 0.4)
+    assert w * b > 63  # this corpus exercises the wide/numpy path
+
+    got = {(r["id_a"], r["id_b"])
+           for r in srp_lsh_pairs(emb, dim=64, threshold=0.4).collect()}
+    true = set(_exact_cosine_pairs(emb, 0.4))
+    assert len(true) > 0
+    assert got <= true                     # precision 1.0: exact verify
+    assert len(got) / len(true) >= 0.7     # analytic ≈ 0.90 at (6, 36)
+
+    again = {(r["id_a"], r["id_b"])
+             for r in srp_lsh_pairs(
+                 emb.repartition(13), dim=64, threshold=0.4,
+                 expected_n=n).collect()}
+    assert again == got                    # layout- and count-path-invariant
+
+    # bands without planes is ambiguous
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        srp_lsh_pairs(emb, dim=64, bands=8)
+
+
 def test_srp_signature_deterministic_and_guarded(spark):
     from data_warehouse_morrocan_banks_spark.operators.similarity import (
         srp_hyperplanes,
