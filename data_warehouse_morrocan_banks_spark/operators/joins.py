@@ -164,6 +164,18 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     (~2^31 elements) — an interval vastly wider than ``bucket_width``
     fails at runtime; pick a width near the median interval length so
     replicas per interval stay small.
+
+    Shuffle-byte scaling (round-4 probe follow-up): the probe's 40×
+    byte growth at 10× rows is a one-time PLAN TRANSITION, not
+    replication blowup — at 1× AQE broadcasts the interval side
+    (BroadcastHashJoin: the points side never shuffles, bytes ≈ the
+    groupBy only), at 10× it crosses the 10 MB broadcast threshold
+    and both sides shuffle (SortMergeJoin) — verified by reading both
+    executed plans.  Past the transition, bytes grow linearly: the
+    interval side's replication factor is span/width + 1 (a constant
+    for a data-independent width) and the points side is 1 row per
+    point.  The probe pins the scale plan on both sides of the
+    comparison by disabling broadcast for this shape.
     """
     if not bucket_width > 0:
         raise ValueError(

@@ -174,17 +174,22 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     """SimHash fingerprint from per-token md5 parity bits.
 
     ONE md5 per token; bit i of the token's hash = parity of hex char
-    i+1 (md5 gives 32 independent hex chars → up to 32 bits, 64 via a
-    second salted digest).  Fingerprint bit i is the majority vote
-    over tokens.  Pure expressions → identical in any engine with
-    md5/ascii (the DuckDB oracle recomputes it exactly).
+    i+1 (md5 gives 32 independent hex chars → 32 bits; bits 33–64
+    come from a second digest salted ``'s1:' || token``, so a 64-bit
+    fingerprint costs exactly two md5 per token).  Fingerprint bit i
+    is the majority vote over tokens.  Pure expressions → identical
+    in any engine with md5/ascii (the DuckDB oracle recomputes it
+    exactly).
 
     Perf note: an earlier form salted one md5 PER BIT (16× the
     hashing) and cost ~14 s at sf0.1; this form is O(#tokens) hashes.
     """
-    if not 1 <= bits <= 32:
-        raise ValueError("bits must be 1..32 (one hex char per bit)")
+    if not 1 <= bits <= 64:
+        raise ValueError(
+            "bits must be 1..64 (one hex char per bit; two digests)")
     hashes = F.transform(tokens, lambda t: F.md5(t))
+    hashes2 = (F.transform(tokens, lambda t: F.md5(F.concat(F.lit("s1:"), t)))
+               if bits > 32 else None)
 
     # NB: one-arg lambdas only — F.filter passes the array index to a
     # second parameter, which would shadow the captured bit position.
@@ -194,9 +199,13 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     n = F.size(tokens)
     out = F.lit(0).cast("bigint")
     for i in range(bits):
-        hits = F.size(F.filter(hashes, bit_predicate(i + 1)))
+        src, pos = (hashes, i + 1) if i < 32 else (hashes2, i - 32 + 1)
+        hits = F.size(F.filter(src, bit_predicate(pos)))
         bit = (hits * 2 > n).cast("bigint")
-        out = out + bit * F.lit(2 ** i).cast("bigint")
+        # bitwiseOR of disjoint shifted bits, not `+ 2^i`: bit 63's
+        # literal exceeds signed-bigint max and `+` would be an ANSI
+        # overflow hazard; OR has no overflow semantics at all
+        out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
 
 
@@ -284,29 +293,37 @@ def simhash_agg(df: DataFrame, id_col: str, tokens: Column,
     ~10× faster at sf0.1 and the right plan at any scale (map-side
     partial aggregation carries bits+1 ints per id).
     """
-    if not 1 <= bits <= 32:
-        # same guard as simhash(): one md5 hex char per bit — a silent
-        # substring past char 32 would zero-fill the high bits
-        raise ValueError("bits must be 1..32 (one hex char per bit)")
+    if not 1 <= bits <= 64:
+        # same guard as simhash(): one md5 hex char per bit, two
+        # salted digests — a silent substring past char 32 would
+        # zero-fill the high bits
+        raise ValueError(
+            "bits must be 1..64 (one hex char per bit; two digests)")
     # materialize the token array before the Generate: exploding the
     # tokenizer expression inline would re-run it in Catalyst's
     # inferred size(generator)>0 filter once more per row (the
     # HOF-explode hazard, CLAUDE.md)
     base = df.select(id_col, tokens.alias("__tok_arr"))
+    hash_cols = [F.md5("__t").alias("__h")]
+    if bits > 32:
+        hash_cols.append(
+            F.md5(F.concat(F.lit("s1:"), F.col("__t"))).alias("__h2"))
     hashed = base.select(
         id_col, F.explode("__tok_arr").alias("__t")
-    ).select(id_col, F.md5("__t").alias("__h"))
+    ).select(id_col, *hash_cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i in range(bits):
+        src, pos = ("__h", i + 1) if i < 32 else ("__h2", i - 32 + 1)
         aggs.append(
-            F.sum((F.ascii(F.substring("__h", i + 1, 1)) % 2))
+            F.sum((F.ascii(F.substring(src, pos, 1)) % 2))
             .alias(f"__b{i}")
         )
     grouped = hashed.groupBy(id_col).agg(*aggs)
     out = F.lit(0).cast("bigint")
     for i in range(bits):
         bit = (F.col(f"__b{i}") * 2 > F.col("__n")).cast("bigint")
-        out = out + bit * F.lit(2 ** i).cast("bigint")
+        # bitwiseOR, not `+ 2^i` — see simhash()
+        out = out.bitwiseOR(F.shiftleft(bit, i))
     fingerprints = grouped.select(id_col, out.alias("simhash"))
     # zero-token documents vanish in the explode, but an empty hash
     # list majority-folds to fingerprint 0 (what the expression form
@@ -379,7 +396,8 @@ def _dense_vocab_ranks(freq: DataFrame, vocab_shards: int = 1) -> DataFrame:
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 group_col: str, threshold: float = 0.9,
-                                nd: int = 6, vocab_shards: int = 1) -> DataFrame:
+                                nd: int = 6, vocab_shards: int = 1,
+                                dedup_sets: bool = True) -> DataFrame:
     """EXACT all-pairs token-set Jaccard ≥ threshold without an
     all-pairs join — prefix filtering (Chaudhuri/Bayardo AllPairs).
 
@@ -451,6 +469,22 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     per-shard offsets (a tiny broadcast frame) restore a dense
     bijection.  Output is identical for any shard count
     (pytest-pinned on a one-group corpus).
+
+    ``dedup_sets`` (the candidate-budget guard, round-4 ask #4):
+    documents with IDENTICAL distinct-token sets pair identically, so
+    the prefix/positional/bitmap machinery runs once per DISTINCT
+    (group, set) and doc-level pairs come from a final expansion join
+    — cross-set pairs inherit the set pair's similarity, within-set
+    pairs are J = n/n = 1.0 exactly (n > 0; two blank documents are
+    0/0 → NULL → excluded, matching the non-dedup path).  Set
+    identity groups on the SORTED TOKEN ARRAY itself, never a hash —
+    a 64-bit digest collision would silently merge two different
+    documents, breaking exactness.  On a degenerate fixed-vocabulary
+    corpus the distinct-set count SATURATES (≤ C(|V|, k)) while docs
+    grow, so candidate-generation work saturates too and only the
+    unavoidable output expansion scales with n; on a natural corpus
+    sets are ~all unique and the guard costs one extra keyed shuffle.
+    Output is identical either way (pytest-pinned).
     """
     from pyspark.sql import Window
 
@@ -466,6 +500,24 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             whitespace_tokens(F.lower(F.col(text_col)))
         ).alias("__t"),
     ).withColumn("__n", F.size("__t"))
+
+    members = None
+    if dedup_sets:
+        # one window shuffle keyed on (grp, sorted set): every doc
+        # learns its set's representative (min id); the pairing
+        # machinery below then sees one row per DISTINCT set.  NULL
+        # token arrays (NULL text) all share one "set" per group but
+        # can never pair (NULL n → NULL sim, excluded) — same as the
+        # non-dedup path, where they vanish at the explode.
+        w_set = Window.partitionBy("__grp", F.array_sort("__t"))
+        tagged = pin_local_checkpoint(
+            "jaccard_prefix",
+            toks.withColumn("__sid", F.min("__id").over(w_set)),
+        )
+        members = tagged.select("__grp", "__sid", "__id", "__n")
+        toks = tagged.filter(F.col("__id") == F.col("__sid")).select(
+            F.col("__sid").alias("__id"), "__grp", "__t", "__n",
+        )
 
     # Rational lower bound P/Q ≤ threshold; ceil(P·n/Q) in bigint.
     P = math.floor(threshold * 10**9)
@@ -561,16 +613,51 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sim = F.round(
         (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
     ).cast("double")
-    return (
+    verified = (
         cands.join(ma, ["__grp", "__ida"], "inner")
         .join(mb, ["__grp", "__idb"], "inner")
-        .select(
+        .select("__grp", "__ida", "__idb", sim.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    if not dedup_sets:
+        return verified.select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
-            sim.alias("jaccard_sim"),
+            "jaccard_sim",
+        )
+    # expansion: set-level pairs → doc-level pairs.  Reps are ordered
+    # (ida < idb) but members need not be — least/greatest restores
+    # the id_a < id_b contract (members of different sets are distinct
+    # docs, so equality is impossible).
+    mem_a = members.select(
+        "__grp", F.col("__sid").alias("__ida"), F.col("__id").alias("__da"))
+    mem_b = members.select(
+        "__grp", F.col("__sid").alias("__idb"), F.col("__id").alias("__db"))
+    cross = (
+        verified.join(mem_a, ["__grp", "__ida"], "inner")
+        .join(mem_b, ["__grp", "__idb"], "inner")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+    # within-set pairs: identical non-empty sets are J = n/n = 1.0
+    # exactly (the verify formula rounds to 1.0 bit-for-bit); empty
+    # sets are 0/0 → NULL → excluded, blank docs never pair.
+    m1 = members.select("__grp", "__sid", F.col("__id").alias("__da"), "__n")
+    m2 = members.select("__grp", "__sid", F.col("__id").alias("__db"))
+    within = (
+        m1.join(m2, ["__grp", "__sid"], "inner")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.when(F.col("__n") > 0, F.lit(1.0)).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    return cross.unionByName(within)
 
 
 def kmeans_centroids(corpus: DataFrame, k: int = 8, seed: int = 42,
@@ -645,7 +732,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
-                          bits: int = 16, max_hamming: int = 3,
+                          bits: int = 64, max_hamming: int = 3,
                           bands: int | None = None) -> DataFrame:
     """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over
     SimHash fingerprints — banded candidates, EXACT recall.
@@ -662,10 +749,25 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
     Scale: fingerprints come from ``simhash_agg`` (one shuffle);
     candidates shuffle on (band_idx, band_value) — 2·bands ints per
     document, never text; the verify is map-side after a join keyed on
-    small band buckets.  This is the dedup form of SimHash (the
-    ``q_dedup_simhash`` query buckets exact-equal fingerprints; this
-    operator recovers pairs that differ in a few bits — typos,
-    punctuation churn — with a provable-recall plan).
+    band buckets.  The structural candidate bound is
+    ``bands·n²/2^{bits/bands}``: EXACT recall pins bands at
+    ``max_hamming + 1`` (pigeonhole), so — unlike SRP's
+    :func:`srp_band_plan`, which buys O(n) collisions by growing
+    probabilistic band width with log₂ n — the band width here is
+    capped at ``bits/(max_hamming+1)``.  The default (64-bit
+    fingerprint, k=3 → four 16-bit bands, 65 536 buckets/band) keeps
+    random collisions negligible to ~10⁶–10⁷ docs per corpus; beyond
+    that, shard the corpus on a content-independent key (language,
+    source) before pairing, or accept probabilistic recall via the
+    SRP path — an exact-recall Hamming join with a fixed-width
+    fingerprint is inherently super-linear past 2^{band width} docs.
+    (The old 16-bit default had FOUR-bit bands — 16 buckets — the
+    same quadratic construction the round-4 probe caught in SRP.)
+
+    This is the dedup form of SimHash (the ``q_dedup_simhash`` query
+    buckets exact-equal fingerprints; this operator recovers pairs
+    that differ in a few bits — typos, punctuation churn — with a
+    provable-recall plan).
     """
     if bands is None:
         bands = max_hamming + 1
@@ -685,10 +787,17 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
         lo = b * bits // bands
         hi = (b + 1) * bits // bands
         width = hi - lo
+        if width >= 64:
+            # bands=1 over a full 64-bit fingerprint: the mask literal
+            # (1<<64)-1 would overflow signed bigint — the band IS the
+            # fingerprint
+            val = F.col("simhash")
+        else:
+            val = (F.shiftrightunsigned(F.col("simhash"), lo)
+                   .bitwiseAND(F.lit((1 << width) - 1)))
         band_cols.append(F.struct(
             F.lit(b).alias("band_idx"),
-            F.shiftrightunsigned(F.col("simhash"), lo)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+            val.alias("band_val"),
         ))
     banded = fp.select(
         F.col(id_col), F.col("simhash"),

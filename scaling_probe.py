@@ -10,7 +10,15 @@ the stages its run completed, via the Spark UI REST API): on a box with
 ±30% wall-clock noise, bytes are the evidence that a flat shape is flat
 — they are deterministic per plan, wall time is not.
 
-Usage: python scaling_probe.py  (prints one JSON line)
+Usage: python scaling_probe.py [--smoke] [--out PATH]
+  default: full 1x/10x run; prints one JSON line AND persists it to
+  --out (default SCALEPROBE.json next to this file) — probe results
+  must leave a committable artifact, not just stdout (round-4 lesson:
+  probe code landed unexecuted because nothing diffable recorded it).
+  --smoke: 1x only, single rep, then ASSERT every shape produced a
+  wall time and shuffle-byte fields (the UI REST instrumentation
+  works) — wired into pytest so probe code can never again land
+  unexecuted.
 """
 
 from __future__ import annotations

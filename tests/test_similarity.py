@@ -135,6 +135,42 @@ def test_prefix_filter_equals_all_pairs(spark):
     assert len(fast) > 0  # the corpus does contain near-dups
 
 
+def test_prefix_filter_set_dedup_path_equality(spark):
+    """dedup_sets=True (pair distinct token SETS, expand to docs) must
+    equal dedup_sets=False pair-for-pair on a corpus crafted to hit
+    every expansion branch: identical sets (different token ORDER and
+    multiplicity still dedup — set identity is the sorted distinct
+    array), a 3-member set (within-set pairs across non-adjacent ids),
+    near-dup sets (cross-set expansion with least/greatest ordering),
+    blank and whitespace-only docs (0/0 → no pair), and a lone doc."""
+    rows = [
+        (1, "g1", "alpha beta gamma delta"),
+        (2, "g1", "delta gamma beta alpha"),          # same set, reordered
+        (9, "g1", "alpha alpha beta gamma delta"),    # same set, multiplicity
+        (3, "g1", "alpha beta gamma delta epsilon"),  # near-dup of the set
+        (4, "g1", "   "),                             # empty set
+        (5, "g1", "\t"),                              # empty set
+        (6, "g1", "totally unrelated words here"),    # lone set
+        (7, "g2", "alpha beta gamma delta"),          # same tokens, other group
+        (8, "g2", "alpha beta gamma delta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id INT, grp STRING, text STRING")
+    kw = dict(text_col="text", id_col="doc_id", group_col="grp",
+              threshold=0.8)
+    on = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+          for r in prefix_filter_jaccard_pairs(d, dedup_sets=True,
+                                               **kw).collect()}
+    off = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in prefix_filter_jaccard_pairs(d, dedup_sets=False,
+                                                **kw).collect()}
+    assert on == off
+    assert (1, 2) in on and on[(1, 2)] == 1.0     # within-set
+    assert (1, 9) in on and (2, 9) in on          # 3-member set, full clique
+    assert (1, 3) in on and on[(1, 3)] == 0.8     # cross-set expansion
+    assert (7, 8) in on                           # groups stay separated
+    assert all(4 not in p and 5 not in p for p in on)  # blanks never pair
+
+
 def test_prefix_filter_plan_has_no_all_pairs_join(spark):
     """The candidate join must be an equi-join on (group, token) —
     never a join whose only equality key is the group column (that is
@@ -647,6 +683,49 @@ def test_jaccard_token_sets_empty_vs_empty_is_null(spark):
     got = [r["j"] for r in df.select(
         jaccard_token_sets(F.col("a"), F.col("b")).alias("j")).collect()]
     assert got == [None, 0.0]
+
+
+def test_simhash_64bit_parity_and_hamming_pairs(spark):
+    """64-bit fingerprints (second salted digest for bits 33–64): the
+    expression form and the one-shuffle agg form agree bit-for-bit,
+    the low 32 bits extend the 32-bit fingerprint (prefix property —
+    digest one is untouched), and the banded pair join at the new
+    64-bit default equals the brute-force popcount answer."""
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        simhash,
+    )
+
+    d = table(spark, SF_SMOKE, "documents").limit(200)
+    toks = whitespace_tokens(F.lower(F.col("text")))
+
+    expr64 = {r["doc_id"]: r["s"] for r in d.select(
+        "doc_id", simhash(toks, bits=64).alias("s")).collect()}
+    agg64 = {r["doc_id"]: r["simhash"]
+             for r in simhash_agg(d, "doc_id", toks, bits=64).collect()}
+    assert expr64 == agg64
+
+    agg32 = {r["doc_id"]: r["simhash"]
+             for r in simhash_agg(d, "doc_id", toks, bits=32).collect()}
+    mask32 = (1 << 32) - 1
+    assert all(agg64[i] & mask32 == agg32[i] for i in agg32)
+    assert any(v < 0 or v >> 32 for v in agg64.values())  # high bits live
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in simhash_hamming_pairs(d, "doc_id", toks,
+                                       max_hamming=3).collect()
+    }
+    ids = sorted(agg64)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((agg64[a] ^ agg64[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    assert got == expected
 
 
 def test_simhash_hamming_pairs_includes_empty_documents(spark):
