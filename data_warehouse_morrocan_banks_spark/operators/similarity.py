@@ -686,12 +686,21 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, seed: int = 42,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.6, num_hashes: int = 16,
                       num_features: int = 1 << 18) -> DataFrame:
-    r"""MinHash-LSH near-duplicate pairs (shingle → minhash → band →
-    bucket-join), the scale path for fuzzy dedup.
+    r"""MinHash-LSH near-duplicate pairs via Spark ML (shingle →
+    minhash → bucket-join) — the parity form, NOT the scale path.
 
     Spark ML MinHashLSH over binarized HashingTF token vectors;
     ``approxSimilarityJoin`` emits candidate pairs under the Jaccard
     *distance* threshold (1 − similarity).  Seeded → reproducible.
+
+    SCALE WARNING (round-5 probe): Spark ML's construction is
+    OR-amplified only — each hash table holds ONE minhash, so a pair
+    collides somewhere with probability ``1 − (1 − J)^tables ≥ J``
+    and candidate volume is ≈ tables·ΣJ(a,b) over ALL pairs:
+    quadratic in any corpus with nonzero background similarity
+    (87.6 MB shuffle for 500 sf0.001 docs).  Use
+    :func:`minhash_banded_pairs` (AND-amplified, corpus-sized bands)
+    for large corpora.
 
     Tokenization pins the engine's explicit ``[ \t\n\r]`` class (via
     RegexTokenizer's pattern — Java ``\s`` includes ``\x0B``/``\f``,
@@ -728,6 +737,140 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
         )
         .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def minhash_band_plan(n: int, threshold: float, target_recall: float = 0.9,
+                      max_bands: int = 48) -> tuple[int, int]:
+    """Derive AND-amplified MinHash banding (rows_per_band, bands)
+    from corpus size — the MinHash sibling of :func:`srp_band_plan`.
+
+    A band of ``r`` independent minhashes collides for a pair with
+    probability ``J^r``.  Background pairs (pinned at half the
+    threshold similarity) must collide with probability ≤ 1/n so
+    their expected candidates stay O(n) per band:
+    ``r = ⌈ln n / ln(1/(t/2))⌉`` — r grows with log n, the same
+    structural law as SRP's width.  Bands then come from the recall
+    curve ``1 − (1 − t^r)^b ≥ target_recall`` at the threshold
+    itself, capped at ``max_bands`` (recall lands below target rather
+    than shrinking r back into quadratic territory).
+    """
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1]: {threshold}")
+    t_bg = min(threshold / 2.0, 0.95)
+    r = max(2, math.ceil(math.log(max(n, 2)) / math.log(1.0 / t_bg)))
+    tr = threshold ** r
+    if tr >= 1.0:
+        return r, 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - tr))
+    return r, min(b, max_bands)
+
+
+def minhash_banded_pairs(df: DataFrame, text_col: str, id_col: str,
+                         group_col: str | None = None,
+                         threshold: float = 0.9,
+                         bands: int | None = None,
+                         rows_per_band: int | None = None,
+                         seed: int = 42, nd: int = 6,
+                         expected_n: int | None = None,
+                         target_recall: float = 0.9) -> DataFrame:
+    """Token-set Jaccard near-duplicate pairs via banded MinHash with
+    AND-amplification — the 100 TB MinHash plan.
+
+    Spark ML's ``MinHashLSH.approxSimilarityJoin``
+    (:func:`minhash_lsh_pairs`) is OR-amplified ONLY: each of its
+    ``numHashTables`` buckets holds a SINGLE minhash, so a pair
+    collides in some table with probability ``1 − (1 − J)^b ≥ J`` —
+    candidates ≈ b·ΣJ(a,b) over ALL pairs, quadratic in any corpus
+    whose background similarity is nonzero (probe: 87.6 MB shuffle
+    for 500 sf0.001 docs).  This operator bands ``rows_per_band``
+    minhashes per bucket (collision prob ``J^r`` per band), with
+    ``r`` derived from corpus size by :func:`minhash_band_plan`
+    (``expected_n`` skips the count scan), so background pairs die
+    at ``(t/2)^r ≤ 1/n`` and candidates stay O(n·bands).
+
+    Minhash i = min over distinct tokens of ``xxhash64(token, i)`` —
+    computed in ONE explode + groupBy with k min-aggregates (the
+    ``simhash_agg`` lesson: per-hash HOF passes re-run the tokenizer,
+    an explode hashes each token exactly once, map-side partial agg
+    carries k longs per doc).  Band value = ``xxhash64`` of the
+    band's r signature columns; candidates shuffle on
+    (group?, band_idx, band_value) — ints only, never text; the
+    exact :func:`jaccard_token_sets` verifies every candidate, so
+    precision is exact and only recall is probabilistic:
+    ``1 − (1 − t^r)^bands`` at the threshold (analytic floor pinned
+    in tests, never assumed).  Deterministic for a given seed —
+    xxhash64 is a fixed function of content, no layout dependence.
+    """
+    from ..functions.text import whitespace_tokens
+
+    grp = (F.col(group_col) if group_col is not None
+           else F.lit("")).alias("__grp")
+    toks = df.select(
+        F.col(id_col).alias("__id"), grp,
+        F.array_distinct(
+            whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("__t"),
+    )
+    if bands is None and rows_per_band is None:
+        n = expected_n if expected_n is not None else toks.count()
+        rows_per_band, bands = minhash_band_plan(n, threshold, target_recall)
+    elif bands is None or rows_per_band is None:
+        raise ValueError("pass both bands and rows_per_band, or neither "
+                         "(auto-sizing)")
+    k = bands * rows_per_band
+
+    exploded = toks.select("__grp", "__id", F.explode("__t").alias("__tok"))
+    sigs = exploded.groupBy("__grp", "__id").agg(*[
+        F.min(F.xxhash64("__tok", F.lit(seed * 1_000_003 + i)))
+        .alias(f"__h{i}") for i in range(k)
+    ])
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"__h{b * rows_per_band + j}")
+                for j in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(F.lit(b), *cols).alias("band_val"),
+        ))
+    banded = sigs.select(
+        "__grp", "__id", F.explode(F.array(*band_cols)).alias("__band"),
+    ).select(
+        "__grp", "__id",
+        F.col("__band.band_idx").alias("__bidx"),
+        F.col("__band.band_val").alias("__bval"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.__grp") == F.col("bb.__grp"))
+            & (F.col("ba.__bidx") == F.col("bb.__bidx"))
+            & (F.col("ba.__bval") == F.col("bb.__bval"))
+            & (F.col("ba.__id") < F.col("bb.__id")),
+            "inner",
+        )
+        .select(F.col("ba.__grp").alias("__grp"),
+                F.col("ba.__id").alias("__ida"),
+                F.col("bb.__id").alias("__idb"))
+        .distinct()
+    )
+    ta = toks.select(F.col("__grp"), F.col("__id").alias("__ida"),
+                     F.col("__t").alias("__ta"))
+    tb = toks.select(F.col("__grp"), F.col("__id").alias("__idb"),
+                     F.col("__t").alias("__tb"))
+    return (
+        cands.join(ta, ["__grp", "__ida"], "inner")
+        .join(tb, ["__grp", "__idb"], "inner")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            jaccard_token_sets(F.col("__ta"), F.col("__tb"), nd)
+            .alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
     )
 
 

@@ -69,7 +69,7 @@ def completed_stages(spark):
         return None
 
 
-def main():
+def main(smoke: bool = False, out_path: str | None = None):
     from data_warehouse_morrocan_banks_spark.numerics import davg, dsum
     from data_warehouse_morrocan_banks_spark.session import get_spark
 
@@ -300,14 +300,53 @@ def main():
         return interval_join(pts, ivs, "x", "lo", "hi",
                              bucket_width=86400.0, key="user_id")
 
+    def minhash(d):
+        """AND-amplified banded MinHash (corpus-sized r, bands) on the
+        NATURAL-vocabulary corpus.  Spark ML's minhash_lsh_pairs is
+        OR-only and therefore ≈ J_bg·n² candidates — 87.6 MB shuffle
+        for 500 sf0.001 docs in the smoke run — so the ML form is a
+        documented non-scale path, not a probe shape."""
+        from data_warehouse_morrocan_banks_spark.operators.similarity import (
+            minhash_banded_pairs,
+        )
+        return minhash_banded_pairs(d, "text", "doc_id", "lang",
+                                    threshold=0.9)
+
+    def simhash_band(d):
+        """64-bit fingerprints, k=3 → four 16-bit pigeonhole bands
+        (the 16-BIT default fingerprint had 4-bit bands — the same
+        fixed-16-bucket quadratic construction SRP had).  Natural
+        vocabulary: on the 31-token driver corpus every doc is within
+        a few simhash bits of every other (output-bound, measures
+        answer size, not plan)."""
+        from data_warehouse_morrocan_banks_spark.functions.text import (
+            whitespace_tokens,
+        )
+        from data_warehouse_morrocan_banks_spark.operators.similarity import (
+            simhash_hamming_pairs,
+        )
+        toks = whitespace_tokens(F.lower(F.col("text")))
+        return simhash_hamming_pairs(d, "doc_id", toks, max_hamming=3)
+
+    # interval_join is probed with broadcast DISABLED: at 1x AQE
+    # broadcasts the 40k-row interval side (points never shuffle), at
+    # 10x it crosses the 10 MB threshold and both sides shuffle — a
+    # one-time plan transition that read as "40x byte growth" in the
+    # round-4 run.  Pinning SortMergeJoin on both sides makes the
+    # byte ratio compare the SCALE plan against itself.
+    NO_BROADCAST = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+
     SHAPE_NAMES = (
         "q1_agg", "argmax_join", "jaccard_pairs", "jaccard_zipf",
         "pack_streaming", "pack_skewed", "span_dedup",
         "stratified_sample", "scd2_merge", "rollup_maint",
-        "interval_join", "srp_lsh",
+        "interval_join", "srp_lsh", "minhash_banded", "simhash_band",
     )
     results = {}
-    for scale in (1, 10):
+    for scale in ((1,) if smoke else (1, 10)):
         li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
         li_s = li_s.cache(); n_rows = li_s.count()
         d_s = docs if scale == 1 else replicate_docs(scale)
@@ -322,40 +361,57 @@ def main():
         e_s = emb if scale == 1 else replicate_emb(scale)
         e_s = e_s.cache(); e_s.count()
         shapes = (
-            ("q1_agg", q1, li_s), ("argmax_join", argmax, li_s),
-            ("jaccard_pairs", jaccard, d_s), ("jaccard_zipf", jaccard, z_s),
-            ("pack_streaming", pack, d_s), ("pack_skewed", pack_skewed, d_s),
-            ("span_dedup", span_dedup, d_s),
-            ("stratified_sample", strat, li_s), ("scd2_merge", scd2, c_s),
-            ("rollup_maint", rollup_maint, li_s),
-            ("interval_join", interval, ev_s),
-            ("srp_lsh", srp, e_s),
+            ("q1_agg", q1, li_s, None), ("argmax_join", argmax, li_s, None),
+            ("jaccard_pairs", jaccard, d_s, None),
+            ("jaccard_zipf", jaccard, z_s, None),
+            ("pack_streaming", pack, d_s, None),
+            ("pack_skewed", pack_skewed, d_s, None),
+            ("span_dedup", span_dedup, d_s, None),
+            ("stratified_sample", strat, li_s, None),
+            ("scd2_merge", scd2, c_s, None),
+            ("rollup_maint", rollup_maint, li_s, None),
+            ("interval_join", interval, ev_s, NO_BROADCAST),
+            ("srp_lsh", srp, e_s, None),
+            ("minhash_banded", minhash, z_s, None),
+            ("simhash_band", simhash_band, z_s, None),
         )
-        assert tuple(n for n, _, _ in shapes) == SHAPE_NAMES
-        for name, fn, frame in shapes:
-            best = float("inf")
-            stage_bytes = None
-            for _ in range(2):
-                before = completed_stages(spark)
-                t0 = time.perf_counter()
-                # noop sink, not count(): count lets Catalyst prune
-                # aggregate functions and left-join subtrees, so the
-                # probed shape would partly not run (see bench.py)
-                fn(frame).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                after = completed_stages(spark)
-                if before is not None and after is not None:
-                    # bytes from the LAST run (identical plan; steady
-                    # state) — sums over the stages this run completed
-                    new = [v for k, v in after.items() if k not in before]
-                    mb = 1024.0 * 1024.0
-                    stage_bytes = {
-                        "sr": round(sum(s["shuffleReadBytes"] for s in new) / mb, 1),
-                        "sw": round(sum(s["shuffleWriteBytes"] for s in new) / mb, 1),
-                        "spill": round(sum(
-                            s["memoryBytesSpilled"] + s["diskBytesSpilled"]
-                            for s in new) / mb, 1),
-                    }
+        assert tuple(n for n, _, _, _ in shapes) == SHAPE_NAMES
+        reps = 1 if smoke else 2
+        for name, fn, frame, confs in shapes:
+            saved = {}
+            for k, v in (confs or {}).items():
+                saved[k] = spark.conf.get(k, None)
+                spark.conf.set(k, v)
+            try:
+                best = float("inf")
+                stage_bytes = None
+                for _ in range(reps):
+                    before = completed_stages(spark)
+                    t0 = time.perf_counter()
+                    # noop sink, not count(): count lets Catalyst prune
+                    # aggregate functions and left-join subtrees, so the
+                    # probed shape would partly not run (see bench.py)
+                    fn(frame).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                    after = completed_stages(spark)
+                    if before is not None and after is not None:
+                        # bytes from the LAST run (identical plan; steady
+                        # state) — sums over the stages this run completed
+                        new = [v for k, v in after.items() if k not in before]
+                        mb = 1024.0 * 1024.0
+                        stage_bytes = {
+                            "sr": round(sum(s["shuffleReadBytes"] for s in new) / mb, 1),
+                            "sw": round(sum(s["shuffleWriteBytes"] for s in new) / mb, 1),
+                            "spill": round(sum(
+                                s["memoryBytesSpilled"] + s["diskBytesSpilled"]
+                                for s in new) / mb, 1),
+                        }
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
             results[f"{name}_{scale}x"] = round(best, 2)
             if stage_bytes is not None:
                 results[f"{name}_{scale}x_shuffle_read_mb"] = stage_bytes["sr"]
@@ -365,17 +421,41 @@ def main():
         for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s):
             f_.unpersist()
 
-    for name in SHAPE_NAMES:
-        results[f"{name}_scaling_ratio"] = round(
-            results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
-        )
-        w1 = results.get(f"{name}_1x_shuffle_write_mb")
-        w10 = results.get(f"{name}_10x_shuffle_write_mb")
-        if w1 is not None and w10 is not None and w1 > 0:
-            results[f"{name}_shuffle_write_ratio"] = round(w10 / w1, 1)
-    print(json.dumps(results))
+    if smoke:
+        # the assertion IS the product here: every shape must have run
+        # AND the byte instrumentation must be live — probe code can
+        # never again land unexecuted (round-4 finding #1)
+        missing = [n for n in SHAPE_NAMES
+                   if f"{n}_1x" not in results
+                   or f"{n}_1x_shuffle_write_mb" not in results]
+        assert not missing, f"smoke: shapes without wall+bytes: {missing}"
+    else:
+        for name in SHAPE_NAMES:
+            results[f"{name}_scaling_ratio"] = round(
+                results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
+            )
+            w1 = results.get(f"{name}_1x_shuffle_write_mb")
+            w10 = results.get(f"{name}_10x_shuffle_write_mb")
+            if w1 is not None and w10 is not None and w1 > 0:
+                results[f"{name}_shuffle_write_ratio"] = round(w10 / w1, 1)
+    results["sf_dir"] = sf_dir
+    results["smoke"] = smoke
+    line = json.dumps(results)
+    print(line)
+    if out_path is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALEPROBE.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="1x only, single rep, assert instrumentation")
+    ap.add_argument("--out", default=None, help="JSON artifact path")
+    args = ap.parse_args()
+    main(smoke=args.smoke, out_path=args.out)

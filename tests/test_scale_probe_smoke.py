@@ -1,0 +1,40 @@
+"""The scaling probe must always be RUNNABLE — round 4 landed three new
+probe shapes plus byte instrumentation that had never been executed
+(VERDICT r4 finding #1).  This smoke test runs the probe as a real
+subprocess (its own SparkSession, exactly like the recorded runs) at
+the smallest scale factor: 1× only, one rep per shape, and the probe
+itself asserts every shape produced BOTH a wall time and live
+shuffle-byte fields before writing the JSON artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_scaling_probe_smoke(tmp_path):
+    out = tmp_path / "scaleprobe_smoke.json"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scaling_probe.py"),
+         "--smoke", "--out", str(out)],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rec = json.loads(out.read_text())
+    assert rec["smoke"] is True
+    # one wall + three byte fields per shape — the probe asserted this
+    # internally too; re-check from the artifact so a silent rewrite
+    # of the probe's own assertion can't pass unnoticed
+    shapes = [k[: -len("_1x")] for k in rec
+              if k.endswith("_1x") and k != "rows_1x"]
+    assert len(shapes) >= 14
+    for n in shapes:
+        assert isinstance(rec[f"{n}_1x"], (int, float))
+        for suffix in ("shuffle_read_mb", "shuffle_write_mb", "spill_mb"):
+            assert f"{n}_1x_{suffix}" in rec, (n, suffix)

@@ -215,6 +215,75 @@ def test_minhash_pairs_are_plausible(spark):
         assert r["id_a"] < r["id_b"]
 
 
+def test_minhash_band_plan_sizing():
+    """rows_per_band grows with log n (background pairs at half the
+    threshold similarity collide ≤ 1/n per band — the structural O(n)
+    property); bands from the analytic recall curve, capped at 48."""
+    import math
+
+    import pytest as _pytest
+
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        minhash_band_plan,
+    )
+
+    for n in (500, 20_000, 1_000_000, 10_000_000_000):
+        for thr in (0.5, 0.8, 0.9):
+            r, b = minhash_band_plan(n, thr)
+            t_bg = min(thr / 2.0, 0.95)
+            assert t_bg ** r <= 1.0 / n * 1.0000001  # bg collision ≤ 1/n
+            assert 1 <= b <= 48
+    r, b = minhash_band_plan(500, 0.9)
+    assert 1.0 - (1.0 - 0.9 ** r) ** b >= 0.9  # feasible regime hits target
+    with _pytest.raises(ValueError):
+        minhash_band_plan(100, 0.0)
+    with _pytest.raises(ValueError):
+        minhash_band_plan(100, 0.9, target_recall=1.0)
+
+
+def test_minhash_banded_pairs_recall_precision_determinism(spark):
+    """AND-amplified banded MinHash: precision exact by construction
+    (every candidate verified with the exact jaccard_token_sets),
+    recall above the analytic floor vs the exact prefix-filter answer,
+    identical output under repartition and via the expected_n path."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        minhash_banded_pairs,
+    )
+
+    d = table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in prefix_filter_jaccard_pairs(
+            d, "text", "doc_id", "lang", threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_banded_pairs(
+            d, "text", "doc_id", "lang", threshold=0.9
+        ).collect()
+    }
+    assert set(got) <= set(exact)          # precision 1.0: exact verify
+    assert all(got[p] == exact[p] for p in got)  # same rounded sims
+    assert len(exact) > 0
+    # analytic recall 1-(1-0.9^r)^b ≈ 0.94 at n=500; floor well below
+    assert len(got) / len(exact) >= 0.7
+
+    n = d.count()
+    again = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_banded_pairs(
+            d.repartition(13), "text", "doc_id", "lang",
+            threshold=0.9, expected_n=n,
+        ).collect()
+    }
+    assert again == got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        minhash_banded_pairs(d, "text", "doc_id", "lang", bands=8)
+
+
 def test_simhash_hamming_pairs_exact(spark):
     """Banded Hamming pairs must equal the brute-force popcount answer
     EXACTLY — the pigeonhole guarantee (bands > max_hamming ⇒ every
