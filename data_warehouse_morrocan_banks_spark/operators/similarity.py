@@ -1290,7 +1290,13 @@ def _srp_band_rows_numpy(corpus: DataFrame, id_col: str, vec_col: str,
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    return corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    # NULL vectors are dropped up front: they could never verify (NULL
+    # cosine), and np.asarray over a None row would crash the batch —
+    # the expression path reaches the same no-pair outcome via NULL
+    # signatures filtered at verify
+    return (corpus.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .mapInPandas(gen, out_schema))
 
 
 def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
