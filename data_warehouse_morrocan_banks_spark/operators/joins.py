@@ -132,6 +132,33 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     )
 
 
+def suggest_interval_bucket_width(intervals: DataFrame, lo_col: str,
+                                  hi_col: str) -> float:
+    """Derive :func:`interval_join`'s ``bucket_width`` from the data:
+    the median interval span (one aggregate scan,
+    ``percentile_approx``).
+
+    The cost model: replicas per interval ≈ span/width + 1 (shuffle
+    volume on the interval side), candidates per point grow with
+    width (join fan-in on the point side).  The median span balances
+    both — half the intervals replicate ≤ 2×, and a point's bucket
+    holds intervals from a window ~one median span wide.  Skewed span
+    distributions (a few huge intervals) still replicate the outliers
+    heavily; cap such intervals upstream or bucket on a coarser key.
+
+    Degenerate inputs (all point-intervals, empty frame) return 1.0 —
+    any positive width is correct there since every interval lands in
+    ≤ 2 buckets regardless.
+    """
+    row = intervals.select(
+        F.percentile_approx(
+            F.col(hi_col) - F.col(lo_col), F.lit(0.5)
+        ).alias("m")
+    ).first()
+    m = row["m"] if row is not None else None
+    return float(m) if m is not None and m > 0 else 1.0
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
                   lo_col: str, hi_col: str, bucket_width: float,
                   key: str | None = None) -> DataFrame:

@@ -264,6 +264,37 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_suggest_interval_bucket_width(spark):
+    """The derived width is the median span; degenerate frames
+    (point-intervals only, empty) fall back to a positive 1.0; the
+    suggestion plugs into interval_join and preserves exactness."""
+    from data_warehouse_morrocan_banks_spark.operators.joins import (
+        interval_join,
+        suggest_interval_bucket_width,
+    )
+
+    ivs = [(j, "u1", float(10 * j), float(10 * j) + s)
+           for j, s in enumerate([2.0, 4.0, 6.0, 8.0, 100.0])]
+    iv = spark.createDataFrame(ivs, "iid INT, user STRING, lo DOUBLE, hi DOUBLE")
+    w = suggest_interval_bucket_width(iv, "lo", "hi")
+    assert w == 6.0  # median of [2,4,6,8,100]
+
+    pts = [(i, "u1", float(i)) for i in range(0, 120, 3)]
+    p = spark.createDataFrame(pts, "pid INT, user STRING, x DOUBLE")
+    got = sorted((r["pid"], r["iid"]) for r in interval_join(
+        p, iv, "x", "lo", "hi", bucket_width=w, key="user").collect())
+    brute = p.join(iv, (p["user"] == iv["user"]) & (p["x"] >= iv["lo"])
+                   & (p["x"] <= iv["hi"]), "inner")
+    want = sorted((r["pid"], r["iid"]) for r in brute.collect())
+    assert got == want and len(want) > 0
+
+    points_only = spark.createDataFrame(
+        [(1, 5.0, 5.0)], "iid INT, lo DOUBLE, hi DOUBLE")
+    assert suggest_interval_bucket_width(points_only, "lo", "hi") == 1.0
+    empty = points_only.filter("iid < 0")
+    assert suggest_interval_bucket_width(empty, "lo", "hi") == 1.0
+
+
 def test_interval_join_rejects_nonpositive_bucket_width(spark):
     """bucket_width=0 would abort under ANSI x/0 and a negative width
     silently mis-buckets — both must raise up front."""
