@@ -975,6 +975,21 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
     )
 
 
+def suggest_ivf_k(n: int) -> int:
+    """Size the IVF centroid count to the corpus: ``K ≈ √n``.
+
+    Per-bucket population is ~n/K, so per-bucket candidate pairs are
+    ~(n/K)² and the total over K buckets is ~n²/K — with K = √n that
+    is n^1.5; more importantly per-BUCKET work is n, bounded per
+    task.  A FIXED K is the same structural trap as a fixed LSH band
+    width (fine at one scale, quadratic at 100×, the round-4 SRP
+    lesson).  Floor of 8 matches the oracle query's deterministic
+    seeded-sample centroids; k-means fit cost grows with K — fit on
+    a sample at large n (``kmeans_centroids`` docstring).
+    """
+    return max(8, math.isqrt(max(n, 1)))
+
+
 def cosine_near_dup_pairs(corpus: DataFrame,
                           centroids: list[tuple[int, list[float]]],
                           threshold: float = 0.95, nprobe: int = 2,
@@ -990,7 +1005,9 @@ def cosine_near_dup_pairs(corpus: DataFrame,
     recall (two high-sim vectors straddling a bucket boundary both
     probe the neighboring bucket — measured in tests vs the
     brute-force pairs, not assumed): the trade is candidates
-    ~N²·nprobe/K per bucket-sphere instead of the N² cross join.
+    ~N²·nprobe/K per bucket-sphere instead of the N² cross join —
+    size K with the corpus (:func:`suggest_ivf_k`: K ≈ √n), a fixed
+    K re-creates the quadratic-at-scale trap.
 
     Scale: shuffle keys are bucket ids; vectors ride the candidate
     join once, there is no all-pairs comparison and no Python.

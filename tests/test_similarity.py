@@ -215,6 +215,20 @@ def test_minhash_pairs_are_plausible(spark):
         assert r["id_a"] < r["id_b"]
 
 
+def test_suggest_ivf_k():
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        suggest_ivf_k,
+    )
+
+    assert suggest_ivf_k(0) == 8
+    assert suggest_ivf_k(500) == 22          # isqrt(500)
+    assert suggest_ivf_k(1_000_000) == 1000
+    # per-bucket population n/K stays ~sqrt(n): bounded per-task work
+    for n in (10_000, 10_000_000):
+        k = suggest_ivf_k(n)
+        assert n / k <= (n ** 0.5) * 1.1
+
+
 def test_minhash_band_plan_sizing():
     """rows_per_band grows with log n (background pairs at half the
     threshold similarity collide ≤ 1/n per band — the structural O(n)
