@@ -1,0 +1,289 @@
+"""Manifest-log snapshot tables over plain parquet — the transactional
+layer this runtime lacks (no Delta/Iceberg jars; SCALE.md carry-over).
+The commit protocol is the reduced core of those formats:
+
+- **Data files are immutable.**  Every write lands new parquet files
+  under a unique ``data/<uuid>/`` subdir; nothing ever rewrites a
+  file in place.
+- **A table version is a manifest**: one JSON file in ``_manifests/``
+  listing exactly the data files of that snapshot (plus the schema
+  and lineage metadata).  Readers pick the highest committed version
+  — or a pinned one, which is time travel — and read those files BY
+  PATH: no directory-listing races, no visibility of half-written
+  output, and at 100 TB no O(files) S3 LIST per query.
+- **Commit is one atomic link** of a fully-written temp file to
+  ``v{N+1:08d}.json`` (``os.link`` fails with ``FileExistsError`` if
+  the version exists, and the name appears atomically with complete
+  content — a partially-written manifest can never be observed).
+  Concurrent writers collide on the version file; the loser re-reads
+  the log and retries (appends merge trivially; compaction aborts if
+  its base files changed).  On a real deployment the link maps to an
+  S3 conditional PUT (If-None-Match) / HDFS create-no-overwrite —
+  everything else is unchanged.
+- **Crash anywhere before the manifest link** leaves orphan data
+  files invisible to every reader; :func:`vacuum` GCs anything the
+  kept manifests don't reference.
+
+Reference parity: the reference's dbt snapshots (snapshots/*.sql,
+dbt_project.yml) version DIMENSION history row-by-row (our SCD2
+operator); this layer versions TABLE state with read-your-snapshot
+isolation, which is what the reference's drop-and-rebuild dbt runs
+(run_pipeline.py:100-140) get implicitly from rebuilding into fresh
+tables.
+
+Scale notes: the manifest is O(#files) JSON handled on the driver —
+the same growth law as Delta's JSON log before checkpointing; bound
+it by compacting data files (:func:`compact`) and expiring history
+(:func:`vacuum`).  All listing here is one ``os.listdir`` of
+``_manifests/`` per read, never a recursive data-directory walk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_V_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A compacting/overwriting commit found its base snapshot changed
+    (or the commit retry budget ran out under contention)."""
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def _versions(path: str) -> list[int]:
+    d = _mdir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _V_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(path: str) -> int | None:
+    """Highest committed version, or None for a non-table path."""
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_mdir(path), f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def history(path: str) -> list[dict]:
+    """All committed manifests, oldest first (version/op/ts/file
+    count) — the table's audit log."""
+    out = []
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        out.append({"version": m["version"], "op": m["op"],
+                    "ts": m["ts"], "n_files": len(m["files"])})
+    return out
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write df as immutable parquet files under a fresh uuid subdir;
+    return table-relative paths.  Orphaned on crash (no manifest will
+    reference them) — vacuum() collects."""
+    sub = os.path.join("data", uuid.uuid4().hex)
+    target = os.path.join(path, sub)
+    df.write.mode("errorifexists").parquet(target)
+    rel = sorted(
+        os.path.join(sub, name) for name in os.listdir(target)
+        if name.endswith(".parquet")
+    )
+    return rel
+
+
+def _commit(path: str, build_entry, max_retries: int = 50) -> int:
+    """Optimistic-concurrency commit: materialize the manifest to a
+    temp file, then atomically link it to the next version slot.
+    ``build_entry(current_version_or_0)`` is re-invoked per retry so
+    the entry is always built against the latest committed log."""
+    d = _mdir(path)
+    os.makedirs(d, exist_ok=True)
+    for _ in range(max_retries):
+        vs = _versions(path)
+        cur = vs[-1] if vs else 0
+        entry = build_entry(cur)
+        entry["version"] = cur + 1
+        entry["ts"] = time.time()
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(d, f"v{cur + 1:08d}.json")
+        try:
+            os.link(tmp, target)
+            return cur + 1
+        except FileExistsError:
+            continue  # lost the race — rebuild against the new log
+        finally:
+            os.unlink(tmp)
+    raise ConcurrentWriteError(
+        f"commit to {path}: {max_retries} retries exhausted")
+
+
+def _check_schema(stored_json: str, df: DataFrame) -> None:
+    stored = StructType.fromJson(json.loads(stored_json))
+    got = df.schema
+    stored_sig = [(f.name, f.dataType) for f in stored.fields]
+    got_sig = [(f.name, f.dataType) for f in got.fields]
+    if stored_sig != got_sig:
+        raise ValueError(
+            "append schema mismatch (name/type, nullability ignored): "
+            f"table={[ (n, t.simpleString()) for n, t in stored_sig ]} "
+            f"vs df={[ (n, t.simpleString()) for n, t in got_sig ]}")
+
+
+def create(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Create a snapshot table at ``path`` from ``df`` (version 1).
+    Fails if a table already exists there."""
+    if current_version(path) is not None:
+        raise ValueError(f"snapshot table already exists at {path}")
+    files = _write_data_files(df, path)
+
+    def entry(cur: int) -> dict:
+        if cur != 0:
+            raise ConcurrentWriteError(
+                f"table appeared at {path} during create")
+        return {"op": "create", "files": files,
+                "schema": df.schema.json(), "parent": 0}
+
+    return _commit(path, entry)
+
+
+def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Append ``df`` as a new snapshot (old version stays readable).
+    Merges trivially with concurrent appends: the retry rebuilds the
+    file union against whatever version won."""
+    v = current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    files = _write_data_files(df, path)
+
+    def entry(cur: int) -> dict:
+        base = _read_manifest(path, cur)
+        _check_schema(base["schema"], df)
+        return {"op": "append", "files": base["files"] + files,
+                "schema": base["schema"], "parent": cur}
+
+    return _commit(path, entry)
+
+
+def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Replace the table contents (schema may change); previous
+    versions remain readable until vacuumed."""
+    if current_version(path) is None:
+        raise ValueError(f"no snapshot table at {path}")
+    files = _write_data_files(df, path)
+
+    def entry(cur: int) -> dict:
+        return {"op": "overwrite", "files": files,
+                "schema": df.schema.json(), "parent": cur}
+
+    return _commit(path, entry)
+
+
+def read(spark: SparkSession, path: str,
+         version: int | None = None) -> DataFrame:
+    """Read a snapshot (default: latest).  Passing ``version`` is time
+    travel; the file list is pinned at manifest-read time, so the
+    returned frame is stable under any concurrent writes (snapshot
+    isolation — writers never mutate referenced files)."""
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    abs_files = [os.path.join(path, f) for f in m["files"]]
+    # explicit schema: a snapshot's schema is the MANIFEST's, not
+    # whatever a union of footers would infer
+    return spark.read.schema(schema).parquet(*abs_files)
+
+
+def compact(spark: SparkSession, path: str,
+            target_partitions: int = 1) -> int:
+    """Rewrite the current snapshot into ``target_partitions`` files
+    and commit the swap.  Content-identical by construction (one read
+    → one write of the same rows); aborts with
+    :class:`ConcurrentWriteError` if the base snapshot changed while
+    compacting — never silently drops a concurrent append."""
+    base_v = current_version(path)
+    if base_v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    base = _read_manifest(path, base_v)
+    compacted = read(spark, path, base_v).repartition(target_partitions)
+    files = _write_data_files(compacted, path)
+
+    def entry(cur: int) -> dict:
+        now = _read_manifest(path, cur)
+        if now["files"] != base["files"]:
+            raise ConcurrentWriteError(
+                f"snapshot at {path} changed during compaction "
+                f"(v{base_v} -> v{cur}); re-run")
+        return {"op": "compact", "files": files,
+                "schema": now["schema"], "parent": cur}
+
+    return _commit(path, entry)
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Expire history: keep the last ``keep_last`` manifests, delete
+    older ones plus every data file no kept manifest references
+    (crash orphans included) and stale commit temp files.  Returns
+    removed paths.  Time travel reaches only kept versions after."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(path)
+    if not vs:
+        return []
+    keep_vs = vs[-keep_last:]
+    referenced = set()
+    for v in keep_vs:
+        referenced.update(_read_manifest(path, v)["files"])
+    removed = []
+    for v in vs[: -keep_last]:
+        p = os.path.join(_mdir(path), f"v{v:08d}.json")
+        os.unlink(p)
+        removed.append(p)
+    for name in os.listdir(_mdir(path)):
+        if name.startswith(".tmp-"):
+            p = os.path.join(_mdir(path), name)
+            os.unlink(p)
+            removed.append(p)
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for name in sorted(os.listdir(subdir)):
+                rel = os.path.join("data", sub, name)
+                if name.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(subdir, name))
+                    removed.append(os.path.join(subdir, name))
+            # writer-side markers (_SUCCESS, .crc) go with the last
+            # data file; keep the dir while any referenced file lives
+            live = [n for n in os.listdir(subdir)
+                    if n.endswith(".parquet")]
+            if not live:
+                shutil.rmtree(subdir)
+    return removed

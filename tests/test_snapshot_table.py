@@ -1,0 +1,164 @@
+"""Manifest-log snapshot tables: commit atomicity, snapshot isolation,
+time travel, crash-state invisibility, optimistic-concurrency retry,
+compaction guard, and vacuum GC."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.sources import snapshot_table as st
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame([(i, f"s{i}") for i in vals],
+                                 "k INT, v STRING")
+
+
+def test_create_append_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = st.create(spark, path, _mk(spark, [1, 2]))
+    assert v1 == 1 and st.current_version(path) == 1
+    v2 = st.append(spark, path, _mk(spark, [3]))
+    assert v2 == 2
+    assert _rows(st.read(spark, path)) == [(1, "s1"), (2, "s2"), (3, "s3")]
+    # time travel: v1 unchanged by the append
+    assert _rows(st.read(spark, path, version=1)) == [(1, "s1"), (2, "s2")]
+    hist = st.history(path)
+    assert [(h["version"], h["op"]) for h in hist] == [
+        (1, "create"), (2, "append")]
+    with pytest.raises(ValueError):
+        st.create(spark, path, _mk(spark, [9]))
+
+
+def test_snapshot_isolation_under_overwrite(spark, tmp_path):
+    """A reader's frame is pinned to the manifest it read — a later
+    overwrite commits new files and never mutates referenced ones."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1, 2]))
+    pinned = st.read(spark, path, version=1)
+    st.overwrite(spark, path, _mk(spark, [7]))
+    assert _rows(st.read(spark, path)) == [(7, "s7")]
+    assert _rows(pinned) == [(1, "s1"), (2, "s2")]   # still the old snapshot
+
+
+def test_append_schema_enforced_overwrite_may_evolve(spark, tmp_path):
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    bad = spark.createDataFrame([(1.5, "x")], "k DOUBLE, v STRING")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append(spark, path, bad)
+    st.overwrite(spark, path, bad)                    # overwrite may evolve
+    assert _rows(st.read(spark, path)) == [(1.5, "x")]
+    assert st.read(spark, path).schema["k"].dataType.simpleString() == "double"
+
+
+def test_crash_states_are_invisible_and_vacuumable(spark, tmp_path):
+    """Orphan data files (crash before manifest link) and stale commit
+    temp files must be invisible to readers and collected by vacuum."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    # crash state A: data written, no manifest
+    _mk(spark, [99]).write.parquet(os.path.join(path, "data", "orphan"))
+    # crash state B: half-finished commit temp
+    tmp_manifest = os.path.join(path, "_manifests", ".tmp-deadbeef")
+    with open(tmp_manifest, "w") as fh:
+        fh.write('{"version": 999')                   # truncated JSON
+    assert _rows(st.read(spark, path)) == [(1, "s1")]
+    assert st.current_version(path) == 1
+    removed = st.vacuum(path, keep_last=1)
+    assert any("orphan" in p for p in removed)
+    assert tmp_manifest in removed
+    assert not os.path.exists(os.path.join(path, "data", "orphan"))
+    assert _rows(st.read(spark, path)) == [(1, "s1")]
+
+
+def test_concurrent_append_retry_merges(spark, tmp_path, monkeypatch):
+    """Losing the commit race must rebuild against the winner's log:
+    the racer's files survive in the final snapshot (file union)."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and dst.endswith("v00000002.json"):
+            state["raced"] = True
+            # the "other writer" wins version 2 first
+            racer_files = st._write_data_files(_mk(spark, [50]), path)
+            base = st._read_manifest(path, 1)
+            entry = {"op": "append", "files": base["files"] + racer_files,
+                     "schema": base["schema"], "parent": 1,
+                     "version": 2, "ts": 0.0}
+            with open(dst, "w") as fh:
+                json.dump(entry, fh)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    v = st.append(spark, path, _mk(spark, [2]))
+    assert v == 3                                     # lost v2, won v3
+    assert _rows(st.read(spark, path)) == [
+        (1, "s1"), (2, "s2"), (50, "s50")]            # both appends kept
+
+
+def test_compact_swap_and_concurrent_guard(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    for i in (2, 3, 4):
+        st.append(spark, path, _mk(spark, [i]))
+    before = _rows(st.read(spark, path))
+    v = st.compact(spark, path, target_partitions=1)
+    assert _rows(st.read(spark, path)) == before      # content-identical
+    assert len(st._read_manifest(path, v)["files"]) == 1
+
+    # a concurrent append between the compactor's read and its commit
+    # must abort the compaction, never be dropped
+    real_write = st._write_data_files
+    state = {"hit": False}
+
+    def write_then_race(df, p):
+        files = real_write(df, p)
+        if not state["hit"]:
+            state["hit"] = True
+            st.append(spark, path, _mk(spark, [9]))
+        return files
+
+    monkeypatch.setattr(st, "_write_data_files", write_then_race)
+    with pytest.raises(st.ConcurrentWriteError):
+        st.compact(spark, path)
+    monkeypatch.undo()
+    assert _rows(st.read(spark, path)) == before + [(9, "s9")]
+
+
+def test_vacuum_expires_history_keeps_current(spark, tmp_path):
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    st.append(spark, path, _mk(spark, [2]))
+    st.compact(spark, path)
+    st.vacuum(path, keep_last=1)
+    assert _rows(st.read(spark, path)) == [(1, "s1"), (2, "s2")]
+    assert st._versions(path) == [3]
+    with pytest.raises(FileNotFoundError):
+        st.read(spark, path, version=1)
+    # only the compacted file remains on disk
+    live = []
+    for root, _dirs, names in os.walk(os.path.join(path, "data")):
+        live += [n for n in names if n.endswith(".parquet")]
+    assert len(live) == 1
+
+
+def test_empty_table_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    empty = _mk(spark, []).filter(F.lit(False))
+    st.create(spark, path, empty)
+    got = st.read(spark, path)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
