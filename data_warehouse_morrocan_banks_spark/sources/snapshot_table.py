@@ -124,6 +124,13 @@ def _commit(path: str, build_entry, max_retries: int = 50) -> int:
         entry = build_entry(cur)
         entry["version"] = cur + 1
         entry["ts"] = time.time()
+        # the streaming dedup high-water mark survives EVERY commit
+        # kind — without this, one normal append would reset it and a
+        # replayed micro-batch could double-commit
+        if cur > 0 and "stream_batch_id" not in entry:
+            prev = _read_manifest(path, cur).get("stream_batch_id")
+            if prev is not None:
+                entry["stream_batch_id"] = prev
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -245,6 +252,89 @@ def compact(spark: SparkSession, path: str,
                 "schema": now["schema"], "parent": cur}
 
     return _commit(path, entry)
+
+
+def merge(spark: SparkSession, path: str, source: DataFrame,
+          keys: list[str], **merge_kwargs) -> int:
+    """Transactional MERGE INTO the snapshot table: read the current
+    snapshot, apply :func:`operators.merge.merge_into` (upsert /
+    conditional delete — same kwargs), commit the result as a new
+    version.  The read and the commit are pinned to the same base
+    version, so a concurrent commit in between raises
+    :class:`ConcurrentWriteError` instead of silently losing either
+    write (re-run to rebase, classic optimistic MERGE).  Old versions
+    stay readable — this is the Delta MERGE shape on plain parquet.
+
+    The whole snapshot rewrites (full-outer merge); for small change
+    batches on a bucketed layout, ``operators.merge
+    .partitioned_merge_write`` remains the rewrite-only-touched-
+    buckets plan — this form buys isolation, that one buys IO.
+    """
+    from ..operators.merge import merge_into
+
+    base_v = current_version(path)
+    if base_v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    base = _read_manifest(path, base_v)
+    merged = merge_into(read(spark, path, base_v), source, keys,
+                        **merge_kwargs)
+    files = _write_data_files(merged, path)
+
+    def entry(cur: int) -> dict:
+        now = _read_manifest(path, cur)
+        if now["files"] != base["files"]:
+            raise ConcurrentWriteError(
+                f"snapshot at {path} changed during merge "
+                f"(v{base_v} -> v{cur}); re-run to rebase")
+        return {"op": "merge", "files": files,
+                "schema": merged.schema.json(), "parent": cur}
+
+    return _commit(path, entry)
+
+
+def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
+                        batch_id: int) -> int | None:
+    """Idempotent micro-batch append for ``foreachBatch`` sinks.
+
+    Structured Streaming re-delivers a batch after recovery (at-least
+    -once into the sink); recording ``batch_id`` in the manifest and
+    refusing ids ≤ the last committed one makes the append
+    exactly-once — the txn-id pattern transactional sinks use.  The
+    dedup check happens INSIDE the commit retry (against the winning
+    manifest), so racing replays of the same batch commit once: the
+    loser re-reads the log, sees the id, and skips.
+
+    Returns the committed version, or None if the batch was already
+    committed (replay skipped).  Use from a sink as::
+
+        q = (stream.writeStream.foreachBatch(
+                lambda b, i: append_stream_batch(spark, path, b, i)
+             ).start())
+    """
+    if current_version(path) is None:
+        raise ValueError(f"no snapshot table at {path}")
+
+    class _AlreadyCommitted(Exception):
+        pass
+
+    files = _write_data_files(df, path)
+
+    def entry(cur: int) -> dict:
+        base = _read_manifest(path, cur)
+        last = base.get("stream_batch_id")
+        if last is not None and batch_id <= last:
+            raise _AlreadyCommitted()
+        _check_schema(base["schema"], df)
+        return {"op": "stream_append", "files": base["files"] + files,
+                "schema": base["schema"], "parent": cur,
+                "stream_batch_id": batch_id}
+
+    try:
+        return _commit(path, entry)
+    except _AlreadyCommitted:
+        # replayed batch: the files written above are orphans (no
+        # manifest references them) — vacuum() collects
+        return None
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

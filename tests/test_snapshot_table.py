@@ -155,6 +155,92 @@ def test_vacuum_expires_history_keeps_current(spark, tmp_path):
     assert len(live) == 1
 
 
+def test_transactional_merge(spark, tmp_path, monkeypatch):
+    """MERGE INTO the snapshot table: upsert semantics from
+    operators.merge, committed as a new version; a concurrent commit
+    between the merge's read and its commit aborts (lost-update
+    guard), and the previous version stays readable."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1, 2]))
+    changes = spark.createDataFrame(
+        [(2, "UPDATED"), (3, "s3")], "k INT, v STRING")
+    v = st.merge(spark, path, changes, ["k"])
+    assert v == 2
+    assert _rows(st.read(spark, path)) == [
+        (1, "s1"), (2, "UPDATED"), (3, "s3")]
+    assert _rows(st.read(spark, path, version=1)) == [(1, "s1"), (2, "s2")]
+
+    real_write = st._write_data_files
+    state = {"hit": False}
+
+    def write_then_race(df, p):
+        files = real_write(df, p)
+        if not state["hit"]:
+            state["hit"] = True
+            st.append(spark, path, _mk(spark, [7]))
+        return files
+
+    monkeypatch.setattr(st, "_write_data_files", write_then_race)
+    with pytest.raises(st.ConcurrentWriteError):
+        st.merge(spark, path, changes, ["k"])
+    monkeypatch.undo()
+    assert (7, "s7") in _rows(st.read(spark, path))   # racer preserved
+
+
+def test_stream_batch_append_is_idempotent(spark, tmp_path):
+    """foreachBatch replay semantics: same batch_id commits once;
+    later batches commit; the high-water mark survives interleaved
+    NORMAL commits (it would otherwise reset and re-admit replays)."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    assert st.append_stream_batch(spark, path, _mk(spark, [10]), 0) == 2
+    assert st.append_stream_batch(spark, path, _mk(spark, [10]), 0) is None
+    assert _rows(st.read(spark, path)) == [(1, "s1"), (10, "s10")]
+
+    st.append(spark, path, _mk(spark, [2]))           # normal commit between
+    assert st.append_stream_batch(spark, path, _mk(spark, [10]), 0) is None
+    assert st.append_stream_batch(spark, path, _mk(spark, [11]), 1) is not None
+    assert _rows(st.read(spark, path)) == [
+        (1, "s1"), (2, "s2"), (10, "s10"), (11, "s11")]
+    # replayed-batch orphans are vacuumable, content unchanged
+    st.vacuum(path, keep_last=1)
+    assert _rows(st.read(spark, path)) == [
+        (1, "s1"), (2, "s2"), (10, "s10"), (11, "s11")]
+
+
+def test_stream_sink_end_to_end(spark, tmp_path):
+    """Real Structured Streaming e2e: file source → foreachBatch →
+    append_stream_batch.  A rerun from a FRESH checkpoint re-delivers
+    everything as batch 0; the table must reject the replay — the
+    manifest high-water mark, not the checkpoint, is the dedup
+    authority (exactly-once even when the checkpoint is lost)."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    table_path = str(tmp_path / "t")
+    st.create(spark, table_path,
+              _mk(spark, []).filter("k IS NOT NULL"))
+
+    _mk(spark, [1, 2]).write.mode("append").parquet(landing)
+
+    def run(checkpoint):
+        stream = (spark.readStream.schema("k INT, v STRING")
+                  .parquet(landing))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, i: st.append_stream_batch(
+                 spark, table_path, b, i))
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert _rows(st.read(spark, table_path)) == [(1, "s1"), (2, "s2")]
+
+    # a FRESH checkpoint re-reads everything as batch 0 — the table's
+    # high-water mark must reject the replay
+    run(str(tmp_path / "ckpt2"))
+    assert _rows(st.read(spark, table_path)) == [(1, "s1"), (2, "s2")]
+
+
 def test_empty_table_roundtrip(spark, tmp_path):
     path = str(tmp_path / "t")
     empty = _mk(spark, []).filter(F.lit(False))
