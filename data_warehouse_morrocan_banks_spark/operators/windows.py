@@ -40,6 +40,110 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
     return df.withColumn(key_name, F.monotonically_increasing_id())
 
 
+def global_rank(df: DataFrame, order_by: list[Column | str],
+                kind: str = "rank", out_col: str = "rank",
+                ascending: bool | list[bool] = True,
+                num_partitions: int | None = None,
+                boundaries: list | None = None) -> DataFrame:
+    """Distributed global rank — the scale-safe form of
+    ``RANK() OVER (ORDER BY …)`` with NO partition key, which Spark
+    plans as a SINGLE-TASK sort of the entire input (the documented
+    W/O hazard: fine on a post-aggregate mart of thousands of rows,
+    fatal on a row-grain 100 TB frame).
+
+    Plan: bucket the rows by DRIVER-COLLECTED percentile boundaries
+    of the LEADING order column (one ``percentile_approx``
+    aggregate), rank within each bucket (window keyed on the bucket
+    id), and add per-bucket offsets (row counts for
+    ``rank``/``row_number``, distinct-key counts for ``dense_rank``)
+    cumulated over the tiny #buckets-row frame and broadcast-joined
+    back: ``global = offset(bucket) + local``.  Exact because the
+    bucket id is a PURE EXPRESSION of the row against literal
+    boundaries: equal leading keys can never straddle a bucket, and
+    every row in an earlier bucket is strictly smaller in the full
+    lexicographic order.  (The first implementation derived bucket
+    ids from ``repartitionByRange`` + ``spark_partition_id``; column
+    pruning gave the rank subtree and the offsets subtree two
+    SEPARATE executions of that sampling-based exchange with
+    DIFFERENT boundaries — caught by the equality test.  Coupling
+    correctness across two instances of a sampled exchange is
+    unsound; literal boundaries make both subtrees agree by
+    construction, and cost one full shuffle instead of two.)
+
+    For ``rank``/``dense_rank`` ties are handled exactly; for
+    ``row_number`` pass a TOTAL order (ties make any row_number —
+    including Spark's single-task one — layout-dependent).  The
+    leading order column must be numeric (percentile boundaries) —
+    for other types pass explicit ``boundaries`` (ascending split
+    points, e.g. from a profile).  Boundary quality affects only
+    BALANCE, never values; a constant leading key degenerates to one
+    bucket (ties must co-locate — lead with a selective column).
+    NULL leading keys land in the first bucket for ascending order,
+    the last for descending — Spark's NULLS FIRST/LAST defaults.
+    """
+    kinds = {"rank": F.rank, "dense_rank": F.dense_rank,
+             "row_number": F.row_number}
+    if kind not in kinds:
+        raise ValueError(f"kind must be one of {sorted(kinds)}: {kind!r}")
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_cols)
+    if len(ascending) != len(order_cols):
+        raise ValueError("ascending flags must match order_by length")
+    sort_exprs = [c.asc() if a else c.desc()
+                  for c, a in zip(order_cols, ascending)]
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = 200
+    lead = order_cols[0]
+    if boundaries is None:
+        probs = [i / num_partitions for i in range(1, num_partitions)]
+        row = df.select(F.percentile_approx(
+            lead.cast("double"), F.array(*[F.lit(p) for p in probs]),
+            F.lit(10_000)).alias("b")).first()
+        boundaries = [] if row is None or row["b"] is None else \
+            [b for b in row["b"] if b is not None]
+        lead_expr = lead.cast("double")
+    else:
+        boundaries = sorted(boundaries)
+        lead_expr = lead
+    # ascending bucket: #boundaries strictly below the key; NULL
+    # compares to nothing → bucket 0 (asc, NULLS FIRST) and flips to
+    # the last bucket under desc (NULLS LAST)
+    ab = sum((F.when(lead_expr > F.lit(b), 1).otherwise(0)
+              for b in boundaries), F.lit(0))
+    bucket = ab if ascending[0] else F.lit(len(boundaries)) - ab
+    staged = df.withColumn("__gr_bkt", bucket)
+
+    w_local = Window.partitionBy("__gr_bkt").orderBy(*sort_exprs)
+    local = staged.withColumn("__gr_local", kinds[kind]().over(w_local))
+
+    # distinct keys need the BARE expressions (SortOrder wrappers are
+    # not value expressions); direction only matters for ordering
+    if kind == "dense_rank":
+        per_bkt = staged.groupBy("__gr_bkt").agg(
+            F.countDistinct(F.struct(*order_cols)).alias("__gr_n"))
+    else:
+        per_bkt = staged.groupBy("__gr_bkt").agg(
+            F.count(F.lit(1)).alias("__gr_n"))
+    w_off = (Window.orderBy("__gr_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bkt.select(
+        "__gr_bkt",
+        F.coalesce(F.sum("__gr_n").over(w_off),
+                   F.lit(0)).cast("long").alias("__gr_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__gr_bkt")
+        .withColumn(out_col,
+                    (F.col("__gr_off") + F.col("__gr_local")).cast("long"))
+        .drop("__gr_bkt", "__gr_local", "__gr_off")
+    )
+
+
 def rank_by(df: DataFrame, rank_name: str, order_by: list[Column],
             partition_by: list[str] | None = None, dense: bool = False) -> DataFrame:
     """W2: RANK (gapped) / dense_rank with multi-key tie-break."""

@@ -264,6 +264,67 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_global_rank_equals_single_task_window(spark):
+    """Distributed global rank ≡ the single-task global window for
+    rank/dense_rank (ties present: l_quantity repeats heavily) and
+    row_number under a total order; desc direction; layout-invariant;
+    and the plan range-partitions the data instead of collapsing it
+    to one partition."""
+    from pyspark.sql import Window
+
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    from .conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+
+    for kind, fn in (("rank", F.rank), ("dense_rank", F.dense_rank)):
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+            for r in global_rank(li, ["l_quantity"], kind=kind,
+                                 num_partitions=7).collect()
+        }
+        w = Window.orderBy("l_quantity")
+        want = {
+            (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+            for r in li.withColumn(
+                "rank", getattr(F, kind)().over(w)).collect()
+        }
+        assert got == want, kind
+
+    # row_number needs a TOTAL order; also exercise desc + layout
+    total = ["l_quantity", "l_orderkey", "l_linenumber"]
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+        for r in global_rank(li.repartition(13), total,
+                             kind="row_number", ascending=False,
+                             num_partitions=5).collect()
+    }
+    w = Window.orderBy(*[F.col(c).desc() for c in total])
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+        for r in li.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    # the DATA window is keyed on the literal-boundary bucket — the
+    # single-partition exchange in the plan belongs to the tiny
+    # #buckets-row offsets frame, never the data
+    df = global_rank(li, ["l_quantity"], num_partitions=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__gr_bkt" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        global_rank(li, ["l_quantity"], kind="ntile")
+    with _pytest.raises(ValueError):
+        global_rank(li, ["l_quantity"], ascending=[True, False])
+
+
 def test_suggest_interval_bucket_width(spark):
     """The derived width is the median span; degenerate frames
     (point-intervals only, empty) fall back to a positive 1.0; the
