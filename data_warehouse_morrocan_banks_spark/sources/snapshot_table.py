@@ -97,6 +97,48 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def _file_stats(abs_path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER row-group stats —
+    no data scan (pyarrow reads metadata only).  Only
+    JSON-representable scalar types (numbers, strings, bools) are
+    kept; columns without stats are simply absent, which pruning
+    treats as 'may match'.  Any footer-reading failure degrades to no
+    stats, never a failed write."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+        agg: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[col.path_in_schema] = None  # poison: no stats
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        agg[name] = None
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    agg[name] = None
+                    continue
+                if agg.get(name, "__absent__") is None:
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+                else:
+                    agg[name] = [mn, mx]
+        return {k: v for k, v in agg.items() if v is not None}
+    except Exception:
+        return {}
+
+
 def _write_data_files(df: DataFrame, path: str) -> list[str]:
     """Write df as immutable parquet files under a fresh uuid subdir;
     return table-relative paths.  Orphaned on crash (no manifest will
@@ -109,6 +151,10 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
         if name.endswith(".parquet")
     )
     return rel
+
+
+def _stats_for(path: str, files: list[str]) -> dict:
+    return {f: _file_stats(os.path.join(path, f)) for f in files}
 
 
 def _commit(path: str, build_entry, max_retries: int = 50) -> int:
@@ -172,6 +218,7 @@ def create(spark: SparkSession, path: str, df: DataFrame) -> int:
             raise ConcurrentWriteError(
                 f"table appeared at {path} during create")
         return {"op": "create", "files": files,
+                "stats": _stats_for(path, files),
                 "schema": df.schema.json(), "parent": 0}
 
     return _commit(path, entry)
@@ -190,6 +237,8 @@ def append(spark: SparkSession, path: str, df: DataFrame) -> int:
         base = _read_manifest(path, cur)
         _check_schema(base["schema"], df)
         return {"op": "append", "files": base["files"] + files,
+                "stats": {**base.get("stats", {}),
+                          **_stats_for(path, files)},
                 "schema": base["schema"], "parent": cur}
 
     return _commit(path, entry)
@@ -204,6 +253,7 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
 
     def entry(cur: int) -> dict:
         return {"op": "overwrite", "files": files,
+                "stats": _stats_for(path, files),
                 "schema": df.schema.json(), "parent": cur}
 
     return _commit(path, entry)
@@ -228,6 +278,66 @@ def read(spark: SparkSession, path: str,
     return spark.read.schema(schema).parquet(*abs_files)
 
 
+def pruned_files(path: str, column: str, lower=None, upper=None,
+                 version: int | None = None) -> list[str]:
+    """Relative paths of snapshot files that MAY contain rows with
+    ``column`` in [lower, upper], per the manifest's footer stats.
+    Files without stats for the column are KEPT — stats are an
+    optimization, never a correctness filter; so are files whose
+    stats aren't comparable to the bounds (type mismatch)."""
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(column)
+        if s is not None:
+            mn, mx = s
+            try:
+                if lower is not None and mx < lower:
+                    continue
+                if upper is not None and mn > upper:
+                    continue
+            except TypeError:
+                pass  # incomparable bounds → may match
+        keep.append(f)
+    return keep
+
+
+def read_pruned(spark: SparkSession, path: str, column: str,
+                lower=None, upper=None,
+                version: int | None = None) -> DataFrame:
+    """Snapshot read with MANIFEST-level file pruning on a range
+    predicate: files whose footer [min, max] cannot contain the range
+    are dropped BEFORE Spark ever lists them — Iceberg-style scan
+    planning on the driver, on top of (not instead of) parquet's own
+    row-group pushdown.  The residual row filter is applied, so the
+    result equals ``read().filter(lower <= col <= upper)`` exactly
+    (range predicates drop NULLs, standard SQL semantics).  At 100 TB
+    with time-ordered appends this turns a point-in-time query from
+    a full-table scan into a handful of files."""
+    from pyspark.sql import functions as F
+
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    m = _read_manifest(path, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    files = pruned_files(path, column, lower, upper, v)
+    if not files:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files])
+    if lower is not None:
+        out = out.filter(F.col(column) >= F.lit(lower))
+    if upper is not None:
+        out = out.filter(F.col(column) <= F.lit(upper))
+    return out
+
+
 def compact(spark: SparkSession, path: str,
             target_partitions: int = 1) -> int:
     """Rewrite the current snapshot into ``target_partitions`` files
@@ -249,6 +359,7 @@ def compact(spark: SparkSession, path: str,
                 f"snapshot at {path} changed during compaction "
                 f"(v{base_v} -> v{cur}); re-run")
         return {"op": "compact", "files": files,
+                "stats": _stats_for(path, files),
                 "schema": now["schema"], "parent": cur}
 
     return _commit(path, entry)
@@ -287,6 +398,7 @@ def merge(spark: SparkSession, path: str, source: DataFrame,
                 f"snapshot at {path} changed during merge "
                 f"(v{base_v} -> v{cur}); re-run to rebase")
         return {"op": "merge", "files": files,
+                "stats": _stats_for(path, files),
                 "schema": merged.schema.json(), "parent": cur}
 
     return _commit(path, entry)
@@ -326,6 +438,8 @@ def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
             raise _AlreadyCommitted()
         _check_schema(base["schema"], df)
         return {"op": "stream_append", "files": base["files"] + files,
+                "stats": {**base.get("stats", {}),
+                          **_stats_for(path, files)},
                 "schema": base["schema"], "parent": cur,
                 "stream_batch_id": batch_id}
 

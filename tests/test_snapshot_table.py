@@ -241,6 +241,48 @@ def test_stream_sink_end_to_end(spark, tmp_path):
     assert _rows(st.read(spark, table_path)) == [(1, "s1"), (2, "s2")]
 
 
+def test_manifest_stats_file_pruning(spark, tmp_path):
+    """Footer min/max stats land in the manifest at every write; a
+    range read prunes non-overlapping files BEFORE Spark lists them,
+    and equals the unpruned read + filter exactly (incl. string
+    stats, files without usable stats, and the empty-selection
+    case)."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1, 2]).coalesce(1))
+    st.append(spark, path, _mk(spark, [10, 11]).coalesce(1))
+    st.append(spark, path, _mk(spark, [20, 21]).coalesce(1))
+
+    m = st._read_manifest(path, 3)
+    assert len(m["files"]) == 3
+    assert all(f in m["stats"] and "k" in m["stats"][f]
+               for f in m["files"])
+
+    assert len(st.pruned_files(path, "k", 10, 11)) == 1
+    assert len(st.pruned_files(path, "k", 2, 10)) == 2
+    assert len(st.pruned_files(path, "k", None, 1)) == 1
+    assert len(st.pruned_files(path, "k", 100, None)) == 0
+    # string column stats prune too (lexicographic: "s10" sits inside
+    # file 1's ["s1","s2"] range, so two files may match; file 3's
+    # ["s20","s21"] cannot)
+    assert len(st.pruned_files(path, "v", "s10", "s11")) == 2
+    # incomparable bounds keep everything (never a correctness filter)
+    assert len(st.pruned_files(path, "k", "zzz", None)) == 3
+
+    got = _rows(st.read_pruned(spark, path, "k", 10, 20))
+    want = _rows(st.read(spark, path).filter("k >= 10 AND k <= 20"))
+    assert got == want == [(10, "s10"), (11, "s11"), (20, "s20")]
+    assert _rows(st.read_pruned(spark, path, "k", 100, 200)) == []
+    # stats survive dropping the stats map (pre-stats manifests):
+    m2 = dict(m)
+    m2.pop("stats")
+    with open(os.path.join(path, "_manifests", "v%08d.json" % 3),
+              "w") as fh:
+        json.dump(m2, fh)
+    assert len(st.pruned_files(path, "k", 10, 11)) == 3  # keep all
+    assert _rows(st.read_pruned(spark, path, "k", 10, 11)) == [
+        (10, "s10"), (11, "s11")]
+
+
 def test_empty_table_roundtrip(spark, tmp_path):
     path = str(tmp_path / "t")
     empty = _mk(spark, []).filter(F.lit(False))
