@@ -338,6 +338,69 @@ def read_pruned(spark: SparkSession, path: str, column: str,
     return out
 
 
+def overwrite_range(spark: SparkSession, path: str, df: DataFrame,
+                    column: str, lower, upper,
+                    enforce: bool = True) -> int:
+    """Delta's ``replaceWhere`` on the manifest log: atomically replace
+    exactly the rows with ``column`` in [lower, upper] by ``df`` —
+    the incremental-pipeline op (reload one day/partition of a large
+    table without touching the rest).
+
+    Plan: manifest stats select the files that MAY hold in-range rows
+    (:func:`pruned_files`); those files' OUT-of-range rows (including
+    NULL-column rows — a range NEVER matches NULL, so NULLs are
+    preserved) are rewritten, every other file is carried by
+    reference, and the new data lands alongside.  IO is proportional
+    to the affected files, not the table — with time-ordered appends
+    a daily reload rewrites ~one day of files.  Commit aborts with
+    :class:`ConcurrentWriteError` if the base snapshot changed
+    (never silently drops a concurrent write).
+
+    ``enforce=True`` (one count job) rejects ``df`` rows OUTSIDE the
+    range — otherwise out-of-range rows would silently coexist with
+    the carried files' copies, the classic replaceWhere footgun.
+    """
+    from pyspark.sql import functions as F
+
+    base_v = current_version(path)
+    if base_v is None:
+        raise ValueError(f"no snapshot table at {path}")
+    base = _read_manifest(path, base_v)
+    _check_schema(base["schema"], df)
+    in_range = (F.col(column) >= F.lit(lower)) & (F.col(column) <= F.lit(upper))
+    if enforce:
+        n_bad = df.filter(~in_range | F.col(column).isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"overwrite_range: {n_bad} incoming rows outside "
+                f"[{lower}, {upper}] on {column!r} (or NULL); filter "
+                "them or widen the range")
+
+    affected = set(pruned_files(path, column, lower, upper, base_v))
+    carried = [f for f in base["files"] if f not in affected]
+    new_files = list(_write_data_files(df, path))
+    if affected:
+        schema = StructType.fromJson(json.loads(base["schema"]))
+        kept_rows = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in sorted(affected)]
+        ).filter(~in_range | F.col(column).isNull())
+        new_files += _write_data_files(kept_rows, path)
+
+    def entry(cur: int) -> dict:
+        now = _read_manifest(path, cur)
+        if now["files"] != base["files"]:
+            raise ConcurrentWriteError(
+                f"snapshot at {path} changed during overwrite_range "
+                f"(v{base_v} -> v{cur}); re-run")
+        carried_stats = {f: s for f, s in now.get("stats", {}).items()
+                         if f in carried}
+        return {"op": "overwrite_range", "files": carried + new_files,
+                "stats": {**carried_stats, **_stats_for(path, new_files)},
+                "schema": base["schema"], "parent": cur}
+
+    return _commit(path, entry)
+
+
 def compact(spark: SparkSession, path: str,
             target_partitions: int = 1) -> int:
     """Rewrite the current snapshot into ``target_partitions`` files

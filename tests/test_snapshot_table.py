@@ -17,6 +17,10 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
 def _mk(spark, vals):
     return spark.createDataFrame([(i, f"s{i}") for i in vals],
                                  "k INT, v STRING")
@@ -281,6 +285,42 @@ def test_manifest_stats_file_pruning(spark, tmp_path):
     assert len(st.pruned_files(path, "k", 10, 11)) == 3  # keep all
     assert _rows(st.read_pruned(spark, path, "k", 10, 11)) == [
         (10, "s10"), (11, "s11")]
+
+
+def test_overwrite_range_replace_where(spark, tmp_path):
+    """replaceWhere semantics: exactly the in-range rows are replaced;
+    untouched files carry BY REFERENCE (no rewrite); NULL-column rows
+    in affected files survive (a range never matches NULL);
+    out-of-range incoming rows are rejected; stats stay prunable."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1, 2]).coalesce(1))
+    st.append(spark, path, _mk(spark, [10, 11]).coalesce(1))
+    null_row = spark.createDataFrame([(None, "null-k"), (12, "s12")],
+                                     "k INT, v STRING").coalesce(1)
+    st.append(spark, path, null_row)
+    before = st._read_manifest(path, 3)
+
+    fresh = spark.createDataFrame([(10, "NEW10"), (12, "NEW12")],
+                                  "k INT, v STRING")
+    v = st.overwrite_range(spark, path, fresh, "k", 10, 15)
+    assert _rowset(st.read(spark, path)) == {
+        (None, "null-k"), (1, "s1"), (2, "s2"),
+        (10, "NEW10"), (12, "NEW12")}
+    # the [1,2] file was out of range — carried by reference, not
+    # rewritten
+    after = st._read_manifest(path, v)
+    file_12 = [f for f in before["files"]
+               if before["stats"][f].get("k") == [1, 2]]
+    assert file_12 and all(f in after["files"] for f in file_12)
+    # stats still prune on the new layout
+    assert len(st.pruned_files(path, "k", 1, 2)) < len(after["files"])
+
+    with pytest.raises(ValueError, match="outside"):
+        st.overwrite_range(spark, path, _mk(spark, [99]), "k", 10, 15)
+    with pytest.raises(ValueError, match="outside"):
+        st.overwrite_range(spark, path, null_row, "k", 10, 15)
+    # old version untouched (snapshot isolation)
+    assert (10, "s10") in _rowset(st.read(spark, path, version=3))
 
 
 def test_empty_table_roundtrip(spark, tmp_path):
