@@ -224,10 +224,37 @@ def create(spark: SparkSession, path: str, df: DataFrame) -> int:
     return _commit(path, entry)
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def _evolved_schema(stored_json: str, df: DataFrame) -> str:
+    """Union of the stored schema and df's schema by field name —
+    additive evolution only.  Existing fields must keep their exact
+    type (a type CHANGE would silently corrupt old files read under
+    the new schema); new fields append, and old files read as NULL
+    for them (Spark's parquet reader null-fills columns absent from
+    a file)."""
+    stored = StructType.fromJson(json.loads(stored_json))
+    by_name = {f.name: f for f in stored.fields}
+    out = list(stored.fields)
+    for f in df.schema.fields:
+        if f.name in by_name:
+            if by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot CHANGE a type: "
+                    f"{f.name} is "
+                    f"{by_name[f.name].dataType.simpleString()} in the "
+                    f"table, {f.dataType.simpleString()} in the append")
+        else:
+            out.append(f)
+    return StructType(out).json()
+
+
+def append(spark: SparkSession, path: str, df: DataFrame,
+           merge_schema: bool = False) -> int:
     """Append ``df`` as a new snapshot (old version stays readable).
     Merges trivially with concurrent appends: the retry rebuilds the
-    file union against whatever version won."""
+    file union against whatever version won.  ``merge_schema=True``
+    allows ADDITIVE evolution (new columns append to the table
+    schema; old files read them as NULL; a type change is always an
+    error) — Delta's ``mergeSchema`` semantics."""
     v = current_version(path)
     if v is None:
         raise ValueError(f"no snapshot table at {path}")
@@ -235,11 +262,15 @@ def append(spark: SparkSession, path: str, df: DataFrame) -> int:
 
     def entry(cur: int) -> dict:
         base = _read_manifest(path, cur)
-        _check_schema(base["schema"], df)
+        if merge_schema:
+            schema = _evolved_schema(base["schema"], df)
+        else:
+            _check_schema(base["schema"], df)
+            schema = base["schema"]
         return {"op": "append", "files": base["files"] + files,
                 "stats": {**base.get("stats", {}),
                           **_stats_for(path, files)},
-                "schema": base["schema"], "parent": cur}
+                "schema": schema, "parent": cur}
 
     return _commit(path, entry)
 
@@ -402,17 +433,33 @@ def overwrite_range(spark: SparkSession, path: str, df: DataFrame,
 
 
 def compact(spark: SparkSession, path: str,
-            target_partitions: int = 1) -> int:
+            target_partitions: int = 1,
+            sort_by: list[str] | None = None) -> int:
     """Rewrite the current snapshot into ``target_partitions`` files
     and commit the swap.  Content-identical by construction (one read
     → one write of the same rows); aborts with
     :class:`ConcurrentWriteError` if the base snapshot changed while
-    compacting — never silently drops a concurrent append."""
+    compacting — never silently drops a concurrent append.
+
+    ``sort_by`` range-partitions and sorts the rewrite on those
+    columns (Delta's OPTIMIZE ZORDER, reduced to one dimension +
+    tiebreaks): each output file then covers a TIGHT [min, max]
+    range, which is what makes :func:`read_pruned`'s footer-stats
+    pruning effective after a history of unordered appends.
+    """
     base_v = current_version(path)
     if base_v is None:
         raise ValueError(f"no snapshot table at {path}")
     base = _read_manifest(path, base_v)
-    compacted = read(spark, path, base_v).repartition(target_partitions)
+    compacted = read(spark, path, base_v)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        compacted = compacted.repartitionByRange(
+            target_partitions, *cols).sortWithinPartitions(*cols)
+    else:
+        compacted = compacted.repartition(target_partitions)
     files = _write_data_files(compacted, path)
 
     def entry(cur: int) -> dict:

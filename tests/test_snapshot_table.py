@@ -330,3 +330,52 @@ def test_empty_table_roundtrip(spark, tmp_path):
     got = st.read(spark, path)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """merge_schema=True: new columns append; old files read NULL for
+    them; type changes are always rejected; plain append still
+    enforces the exact schema."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    wide = spark.createDataFrame([(2, "s2", 9.5)],
+                                 "k INT, v STRING, score DOUBLE")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append(spark, path, wide)
+    st.append(spark, path, wide, merge_schema=True)
+    got = st.read(spark, path)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "score"]
+    assert _rowset(got) == {(1, "s1", None), (2, "s2", 9.5)}
+    # narrower-than-table appends need the exact schema (no silent
+    # column drop) but evolve cleanly via merge_schema
+    st.append(spark, path, _mk(spark, [3]), merge_schema=True)
+    assert (3, "s3", None) in _rowset(st.read(spark, path))
+    bad = spark.createDataFrame([(1, "x", "not-a-double")],
+                                "k INT, v STRING, score STRING")
+    with pytest.raises(ValueError, match="cannot CHANGE a type"):
+        st.append(spark, path, bad, merge_schema=True)
+
+
+def test_sorted_compaction_tightens_stats(spark, tmp_path):
+    """compact(sort_by=...) range-partitions the rewrite so each file
+    covers a tight key range — pruning selects ~1/N of the files
+    afterwards, where unordered appends left every file overlapping."""
+    import random
+
+    path = str(tmp_path / "t")
+    rng = random.Random(3)
+    vals = list(range(100))
+    rng.shuffle(vals)
+    st.create(spark, path, _mk(spark, vals[:50]).coalesce(1))
+    st.append(spark, path, _mk(spark, vals[50:]).coalesce(1))
+    # unordered: both files span ~the full domain -> nothing prunes
+    assert len(st.pruned_files(path, "k", 10, 12)) == 2
+
+    before = _rows(st.read(spark, path))
+    st.compact(spark, path, target_partitions=4, sort_by=["k"])
+    assert _rows(st.read(spark, path)) == before
+    m = st._read_manifest(path, st.current_version(path))
+    assert len(m["files"]) == 4
+    assert len(st.pruned_files(path, "k", 10, 12)) == 1
+    got = _rows(st.read_pruned(spark, path, "k", 10, 12))
+    assert got == [(10, "s10"), (11, "s11"), (12, "s12")]
