@@ -63,8 +63,11 @@ def _mdir(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR)
 
 
-def _versions(path: str) -> list[int]:
-    d = _mdir(path)
+_PUB_DIR = "_publications"
+
+
+def _versions(path: str, dirname: str = _MANIFEST_DIR) -> list[int]:
+    d = os.path.join(path, dirname)
     if not os.path.isdir(d):
         return []
     out = []
@@ -157,15 +160,16 @@ def _stats_for(path: str, files: list[str]) -> dict:
     return {f: _file_stats(os.path.join(path, f)) for f in files}
 
 
-def _commit(path: str, build_entry, max_retries: int = 50) -> int:
+def _commit(path: str, build_entry, max_retries: int = 50,
+            dirname: str = _MANIFEST_DIR) -> int:
     """Optimistic-concurrency commit: materialize the manifest to a
     temp file, then atomically link it to the next version slot.
     ``build_entry(current_version_or_0)`` is re-invoked per retry so
     the entry is always built against the latest committed log."""
-    d = _mdir(path)
+    d = os.path.join(path, dirname)
     os.makedirs(d, exist_ok=True)
     for _ in range(max_retries):
-        vs = _versions(path)
+        vs = _versions(path, dirname)
         cur = vs[-1] if vs else 0
         entry = build_entry(cur)
         entry["version"] = cur + 1
@@ -173,7 +177,8 @@ def _commit(path: str, build_entry, max_retries: int = 50) -> int:
         # the streaming dedup high-water mark survives EVERY commit
         # kind — without this, one normal append would reset it and a
         # replayed micro-batch could double-commit
-        if cur > 0 and "stream_batch_id" not in entry:
+        if (dirname == _MANIFEST_DIR and cur > 0
+                and "stream_batch_id" not in entry):
             prev = _read_manifest(path, cur).get("stream_batch_id")
             if prev is not None:
                 entry["stream_batch_id"] = prev
@@ -559,6 +564,64 @@ def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
         # replayed batch: the files written above are orphans (no
         # manifest references them) — vacuum() collects
         return None
+
+
+def publish(spark: SparkSession, root: str,
+            tables: dict[str, DataFrame]) -> int:
+    """Atomically publish a CONSISTENT SET of tables — the
+    multi-table transaction a warehouse build needs (the reference's
+    dbt run drops and rebuilds its marts in place; a reader mid-run
+    sees some new tables and some old ones).
+
+    Each table commits as its own snapshot table under
+    ``root/<name>`` (create on first publish, overwrite after); then
+    ONE publication manifest (same exclusive-link protocol, under
+    ``root/_publications/``) records the exact table→version vector.
+    Readers resolve through :func:`load_publication`, so visibility
+    is all-or-nothing: a crash mid-publish leaves the new table
+    versions committed but UNREFERENCED by any publication — every
+    reader keeps the previous consistent vector, and the next
+    successful publish supersedes the partial state.
+    """
+    versions: dict[str, int] = {}
+    for name, df in sorted(tables.items()):
+        p = os.path.join(root, name)
+        if current_version(p) is None:
+            versions[name] = create(spark, p, df)
+        else:
+            versions[name] = overwrite(spark, p, df)
+
+    def entry(cur: int) -> dict:
+        return {"op": "publish", "tables": versions}
+
+    return _commit(root, entry, dirname=_PUB_DIR)
+
+
+def publications(root: str) -> list[dict]:
+    """Committed publications, oldest first (version/ts/table
+    vector)."""
+    out = []
+    for v in _versions(root, _PUB_DIR):
+        with open(os.path.join(root, _PUB_DIR,
+                               f"v{v:08d}.json")) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def load_publication(spark: SparkSession, root: str,
+                     version: int | None = None) -> dict[str, DataFrame]:
+    """Resolve a publication (default: latest) to its table frames —
+    every frame is pinned to the version recorded in the publication
+    vector, so the set is mutually consistent regardless of
+    concurrent publishes (cross-table snapshot isolation)."""
+    vs = _versions(root, _PUB_DIR)
+    if not vs:
+        raise ValueError(f"no publications at {root}")
+    v = version if version is not None else vs[-1]
+    with open(os.path.join(root, _PUB_DIR, f"v{v:08d}.json")) as fh:
+        pub = json.load(fh)
+    return {name: read(spark, os.path.join(root, name), version=tv)
+            for name, tv in pub["tables"].items()}
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

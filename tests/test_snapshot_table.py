@@ -379,3 +379,53 @@ def test_sorted_compaction_tightens_stats(spark, tmp_path):
     assert len(st.pruned_files(path, "k", 10, 12)) == 1
     got = _rows(st.read_pruned(spark, path, "k", 10, 12))
     assert got == [(10, "s10"), (11, "s11"), (12, "s12")]
+
+
+def test_publication_cross_table_consistency(spark, tmp_path, monkeypatch):
+    """publish() commits a table->version vector atomically: readers
+    resolve only through publications, so a crash after the table
+    overwrites but BEFORE the publication manifest leaves every
+    reader on the previous consistent vector — never a mixed state."""
+    root = str(tmp_path / "wh")
+    st.publish(spark, root, {"dim": _mk(spark, [1]),
+                             "fact": _mk(spark, [10])})
+    pub1 = st.load_publication(spark, root)
+    assert _rows(pub1["dim"]) == [(1, "s1")]
+    assert _rows(pub1["fact"]) == [(10, "s10")]
+
+    st.publish(spark, root, {"dim": _mk(spark, [2]),
+                             "fact": _mk(spark, [20])})
+    pub2 = st.load_publication(spark, root)
+    assert _rows(pub2["dim"]) == [(2, "s2")]
+    assert _rows(pub2["fact"]) == [(20, "s20")]
+    # time travel to the first publication: BOTH tables roll back
+    old = st.load_publication(spark, root, version=1)
+    assert _rows(old["dim"]) == [(1, "s1")]
+    assert _rows(old["fact"]) == [(10, "s10")]
+
+    # crash mid-publish: table commits land, publication manifest
+    # does not -> readers still see publication 2's vector
+    real_commit = st._commit
+
+    def crashing_commit(path, entry, max_retries=50,
+                        dirname=st._MANIFEST_DIR):
+        if dirname == st._PUB_DIR:
+            raise RuntimeError("simulated crash before publication")
+        return real_commit(path, entry, max_retries, dirname)
+
+    monkeypatch.setattr(st, "_commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        st.publish(spark, root, {"dim": _mk(spark, [3]),
+                                 "fact": _mk(spark, [30])})
+    monkeypatch.undo()
+    cur = st.load_publication(spark, root)
+    assert _rows(cur["dim"]) == [(2, "s2")]       # not the crashed (3,)
+    assert _rows(cur["fact"]) == [(20, "s20")]
+    assert len(st.publications(root)) == 2
+
+    # the next successful publish supersedes the partial state
+    st.publish(spark, root, {"dim": _mk(spark, [4]),
+                             "fact": _mk(spark, [40])})
+    cur = st.load_publication(spark, root)
+    assert _rows(cur["dim"]) == [(4, "s4")]
+    assert _rows(cur["fact"]) == [(40, "s40")]
