@@ -52,6 +52,29 @@ class Warehouse:
     quality: QualityReport
     manifest: RunManifest
 
+    def publish(self, spark: SparkSession, root: str) -> int:
+        """Publish the whole star schema atomically as one snapshot
+        publication (``sources/snapshot_table.publish``): every dim,
+        the fact, and every mart commit as versioned tables plus ONE
+        table→version vector.  A reader resolving through
+        ``load_publication`` can never see this build's fact joined
+        against the previous build's dims — which is exactly what the
+        reference's drop-and-rebuild dbt run cannot guarantee
+        (run_pipeline.py:100-140).  Returns the publication
+        version (previous publications remain loadable: warehouse
+        rollback = publication time travel)."""
+        from ..sources.snapshot_table import publish as _publish
+
+        tables = {
+            "dim_sentiment": self.dim_sentiment,
+            "dim_date": self.dim_date,
+            "dim_bank": self.dim_bank,
+            "dim_branch": self.dim_branch,
+            "fact_reviews": self.fact_reviews,
+            **{f"mart_{k}": v for k, v in self.marts.items()},
+        }
+        return _publish(spark, root, tables)
+
     def register_views(self, spark: SparkSession, prefix: str = "") -> list[str]:
         """S11/G7: expose every layer as temp views (staging=view
         policy); marts stay DataFrames for the caller to persist."""

@@ -184,6 +184,40 @@ def test_build_warehouse_single_entry_point(spark):
     assert joined.count() >= 6
 
 
+def test_warehouse_publish_atomic_star_schema(spark, tmp_path):
+    """Warehouse.publish: the whole star schema lands as ONE snapshot
+    publication — a loaded publication's fact joins ITS OWN dims
+    (key-consistent), and a second build's publication supersedes the
+    first while the first remains loadable (warehouse rollback)."""
+    from data_warehouse_morrocan_banks_spark.sources.snapshot_table import (
+        load_publication,
+        publications,
+    )
+    from data_warehouse_morrocan_banks_spark.star.warehouse import (
+        build_warehouse,
+    )
+
+    root = str(tmp_path / "wh")
+    wh = build_warehouse(spark, raw_reviews_df(spark), min_rows=100)
+    v1 = wh.publish(spark, root)
+    assert v1 == 1
+
+    pub = load_publication(spark, root)
+    assert {"dim_bank", "dim_date", "fact_reviews",
+            "mart_bank_performance"} <= set(pub)
+    # cross-table consistency: every fact bank_key resolves in the
+    # published dim (the orphan check, against the PUBLISHED pair)
+    orphans = pub["fact_reviews"].join(
+        pub["dim_bank"], "bank_key", "left_anti").count()
+    assert orphans == 0
+    assert pub["fact_reviews"].count() == wh.fact_reviews.count()
+
+    v2 = wh.publish(spark, root)           # rebuild-and-republish
+    assert v2 == 2 and len(publications(root)) == 2
+    old = load_publication(spark, root, version=1)
+    assert old["fact_reviews"].count() == pub["fact_reviews"].count()
+
+
 def test_enriched_quality_flag_ladder_order(spark):
     """P5 (stg_nlp_enriched_reviews.sql:59-66): first-match precedence
     missing_id → invalid_rating → empty_text → invalid_sentiment → valid."""
