@@ -429,3 +429,78 @@ def test_publication_cross_table_consistency(spark, tmp_path, monkeypatch):
     cur = st.load_publication(spark, root)
     assert _rows(cur["dim"]) == [(4, "s4")]
     assert _rows(cur["fact"]) == [(40, "s40")]
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random sequences of append / overwrite /
+    merge / overwrite_range / compact / vacuum must keep the table
+    equal to a driver-side Python model of the same ops (hypothesis
+    picks the sequences; per-op Spark cost keeps examples small)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hs
+
+    ops = hs.lists(
+        hs.one_of(
+            hs.tuples(hs.just("append"),
+                      hs.lists(hs.integers(0, 99), min_size=1,
+                               max_size=3, unique=True)),
+            hs.tuples(hs.just("overwrite"),
+                      hs.lists(hs.integers(0, 99), min_size=1,
+                               max_size=3, unique=True)),
+            hs.tuples(hs.just("merge"),
+                      hs.lists(hs.integers(0, 99), min_size=1,
+                               max_size=3, unique=True)),
+            hs.tuples(hs.just("overwrite_range"),
+                      hs.integers(0, 80), hs.integers(0, 19)),
+            hs.tuples(hs.just("compact"), hs.just(None)),
+            hs.tuples(hs.just("vacuum"), hs.just(None)),
+        ),
+        min_size=1, max_size=6,
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(ops=ops)
+    def run(ops):
+        counter["n"] += 1
+        path = str(tmp_path / f"t{counter['n']}")
+        st.create(spark, path, _mk(spark, [0]))
+        model = {0: "s0"}
+        for op in ops:
+            if op[0] == "append":
+                # keep keys unique table-wide (append has no upsert
+                # semantics; the model is a dict)
+                fresh = [k for k in op[1] if k not in model]
+                if not fresh:
+                    continue
+                st.append(spark, path, _mk(spark, fresh))
+                model.update({k: f"s{k}" for k in fresh})
+            elif op[0] == "overwrite":
+                st.overwrite(spark, path, _mk(spark, op[1]))
+                model = {k: f"s{k}" for k in op[1]}
+            elif op[0] == "merge":
+                changes = spark.createDataFrame(
+                    [(k, f"m{k}") for k in op[1]], "k INT, v STRING")
+                st.merge(spark, path, changes, ["k"])
+                model.update({k: f"m{k}" for k in op[1]})
+            elif op[0] == "overwrite_range":
+                lo, width = op[1], op[2]
+                hi = lo + width
+                mid = lo + width // 2
+                st.overwrite_range(
+                    spark, path, _mk(spark, [mid]), "k", lo, hi)
+                model = {k: v for k, v in model.items()
+                         if not (lo <= k <= hi)}
+                model[mid] = f"s{mid}"
+            elif op[0] == "compact":
+                st.compact(spark, path, target_partitions=2,
+                           sort_by=["k"])
+            elif op[0] == "vacuum":
+                st.vacuum(path, keep_last=1)
+        got = dict(_rowset(st.read(spark, path)))
+        assert got == model, (ops, got, model)
+
+    run()
