@@ -312,6 +312,15 @@ def main(smoke: bool = False, out_path: str | None = None):
         return minhash_banded_pairs(d, "text", "doc_id", "lang",
                                     threshold=0.9)
 
+    def grank(lineitem):
+        """Row-grain distributed global rank (the single-task-window
+        hazard's scale-safe form): literal percentile-boundary
+        buckets + per-bucket windows + broadcast offsets."""
+        from data_warehouse_morrocan_banks_spark.operators.windows import (
+            global_rank,
+        )
+        return global_rank(lineitem, ["l_extendedprice"], kind="rank")
+
     def simhash_band(d):
         """64-bit fingerprints, k=3 → four 16-bit pigeonhole bands
         (the 16-BIT default fingerprint had 4-bit bands — the same
@@ -344,6 +353,7 @@ def main(smoke: bool = False, out_path: str | None = None):
         "pack_streaming", "pack_skewed", "span_dedup",
         "stratified_sample", "scd2_merge", "rollup_maint",
         "interval_join", "srp_lsh", "minhash_banded", "simhash_band",
+        "global_rank",
     )
     results = {}
     for scale in ((1,) if smoke else (1, 10)):
@@ -374,6 +384,7 @@ def main(smoke: bool = False, out_path: str | None = None):
             ("srp_lsh", srp, e_s, None),
             ("minhash_banded", minhash, z_s, None),
             ("simhash_band", simhash_band, z_s, None),
+            ("global_rank", grank, li_s, None),
         )
         assert tuple(n for n, _, _, _ in shapes) == SHAPE_NAMES
         reps = 1 if smoke else 2
