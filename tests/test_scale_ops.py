@@ -325,6 +325,28 @@ def test_global_rank_equals_single_task_window(spark):
         global_rank(li, ["l_quantity"], ascending=[True, False])
 
 
+def test_global_rank_null_keys_match_window_semantics(spark):
+    """NULL leading keys follow Spark's window defaults exactly:
+    NULLS FIRST under asc (bucket 0), NULLS LAST under desc (last
+    bucket) — pinned against the single-task window."""
+    from pyspark.sql import Window
+
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+
+    rows = [(i, float(i % 7) if i % 5 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE")
+    for asc in (True, False):
+        got = {r["id"]: r["rank"]
+               for r in global_rank(df, ["x"], ascending=asc,
+                                    num_partitions=4).collect()}
+        w = Window.orderBy(F.col("x").asc() if asc else F.col("x").desc())
+        want = {r["id"]: r["rank"]
+                for r in df.withColumn("rank", F.rank().over(w)).collect()}
+        assert got == want, f"ascending={asc}"
+
+
 def test_suggest_interval_bucket_width(spark):
     """The derived width is the median span; degenerate frames
     (point-intervals only, empty) fall back to a positive 1.0; the
