@@ -624,22 +624,39 @@ def load_publication(spark: SparkSession, root: str,
             for name, tv in pub["tables"].items()}
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(path: str, keep_last: int = 1,
+           min_age_s: float = 0.0) -> list[str]:
     """Expire history: keep the last ``keep_last`` manifests, delete
     older ones plus every data file no kept manifest references
     (crash orphans included) and stale commit temp files.  Returns
-    removed paths.  Time travel reaches only kept versions after."""
+    removed paths.  Time travel reaches only kept versions after.
+
+    ``min_age_s`` is the retention window: manifests committed within
+    the last ``min_age_s`` seconds are kept regardless of
+    ``keep_last``.  Spark frames are LAZY — a reader holding a frame
+    pinned to an old version re-opens its files at every action, so
+    vacuuming a version a job is still using fails that job's next
+    action.  Set the window ≥ your longest reader (Delta's
+    ``delta.deletedFileRetentionDuration`` trade, default 7 days
+    there; 0 here because the tests ARE the longest reader)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(path)
     if not vs:
         return []
     keep_vs = vs[-keep_last:]
+    if min_age_s > 0:
+        cutoff = time.time() - min_age_s
+        young = [v for v in vs
+                 if v not in keep_vs and _read_manifest(path, v)["ts"] >= cutoff]
+        keep_vs = sorted(set(keep_vs) | set(young))
     referenced = set()
     for v in keep_vs:
         referenced.update(_read_manifest(path, v)["files"])
     removed = []
-    for v in vs[: -keep_last]:
+    for v in vs:
+        if v in keep_vs:
+            continue
         p = os.path.join(_mdir(path), f"v{v:08d}.json")
         os.unlink(p)
         removed.append(p)

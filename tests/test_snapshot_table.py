@@ -504,3 +504,20 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         assert got == model, (ops, got, model)
 
     run()
+
+
+def test_vacuum_retention_window_protects_recent_versions(spark, tmp_path):
+    """min_age_s keeps recently-committed manifests (and their files)
+    even past keep_last — the lazy-reader protection window."""
+    path = str(tmp_path / "t")
+    st.create(spark, path, _mk(spark, [1]))
+    st.overwrite(spark, path, _mk(spark, [2]))
+    pinned_v1 = st.read(spark, path, version=1)
+    # both versions are seconds old: a 1-hour window must keep v1
+    removed = st.vacuum(path, keep_last=1, min_age_s=3600)
+    assert st._versions(path) == [1, 2]
+    assert not any(p.endswith(".json") for p in removed)
+    assert _rows(pinned_v1) == [(1, "s1")]   # lazy re-read still works
+    # without the window, v1 goes
+    st.vacuum(path, keep_last=1)
+    assert st._versions(path) == [2]
