@@ -1,0 +1,88 @@
+"""Incremental corpus dedup: dedupe each arriving batch against the
+ALL-TIME fingerprint set, exactly-once — the streaming form of
+"dedupe the new crawl against the existing corpus" that a continuous
+LLM-data ingest needs (the batch operators in ``operators/dedup``
+dedupe one corpus against itself; this composes them with the
+snapshot-table log so history accumulates transactionally).
+
+Two snapshot tables:
+
+- ``out_path`` — the deduped corpus (one row per first-seen content);
+- ``hashes_path`` — the all-time fingerprint set (``content_md5``).
+
+Per micro-batch: keep-first WITHIN the batch on the content hash,
+anti-join against the historical fingerprints, then commit the fresh
+documents and the fresh fingerprints as idempotent stream appends
+(``snapshot_table.append_stream_batch`` — the manifest's batch
+high-water mark makes replays no-ops even across checkpoint loss).
+
+**Commit order is the correctness invariant**: documents FIRST,
+fingerprints SECOND.  A crash between the two leaves the batch's
+documents committed and its fingerprints missing; the replay
+recomputes the SAME fresh set (fingerprints unchanged), skips the
+document append (batch id already committed), and lands the
+fingerprints — convergent.  The reverse order would lose data: a
+crash after the fingerprint commit makes the replay's anti-join see
+its own batch's hashes, compute ``fresh = ∅``, and never emit the
+documents.
+
+Scale: the anti-join shuffles on the 32-char digest — documents never
+move for it; the fingerprint table is one slim column, and
+``snapshot_table.compact`` keeps its file count flat as batches
+accumulate.  Cross-batch ties (same content in two IN-FLIGHT batches)
+serialize through the table: batch N+1's anti-join reads the manifest
+committed by batch N — foreachBatch runs batches sequentially per
+query, which is exactly the ordering this relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import content_hash, dedup_keep_first
+from ..sources.snapshot_table import append_stream_batch, create, read
+
+
+def init_incremental_dedup(spark: SparkSession, out_path: str,
+                           hashes_path: str,
+                           doc_schema_df: DataFrame) -> None:
+    """Create the two empty tables (document schema from
+    ``doc_schema_df``; fingerprints are one string column)."""
+    create(spark, out_path, doc_schema_df.filter(F.lit(False)))
+    create(spark, hashes_path, spark.createDataFrame(
+        [], "content_md5 STRING"))
+
+
+def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
+                                  hashes_path: str, batch_df: DataFrame,
+                                  batch_id: int, text_col: str,
+                                  id_col: str) -> None:
+    """foreachBatch body — use as::
+
+        stream.writeStream.foreachBatch(
+            lambda b, i: incremental_exact_dedup_batch(
+                spark, out, hashes, b, i, "text", "doc_id")
+        ).start()
+    """
+    hashed = batch_df.withColumn("content_md5", content_hash(text_col))
+    # keep-first within the batch (lowest id — deterministic under
+    # any layout), then against history
+    in_batch = dedup_keep_first(hashed, ["content_md5"],
+                                [F.col(id_col).asc()])
+    seen = read(spark, hashes_path).select("content_md5")
+    fresh = in_batch.join(seen, "content_md5", "left_anti")
+    # stage once: both appends and the document/fingerprint split must
+    # see the SAME rows, and recomputing the anti-join between the two
+    # commits would race the fingerprint append.  Lifecycle-pinned so
+    # each batch releases the previous batch's checkpoint blocks
+    # (CLAUDE.md: materialized frames need a release path).
+    from ..operators.lifecycle import begin, pin_local_checkpoint
+
+    begin("incremental_dedup")
+    fresh = pin_local_checkpoint("incremental_dedup", fresh, eager=True)
+    # documents FIRST, fingerprints SECOND (see module docstring)
+    append_stream_batch(spark, out_path, fresh.drop("content_md5"),
+                        batch_id)
+    append_stream_batch(spark, hashes_path,
+                        fresh.select("content_md5"), batch_id)

@@ -1,0 +1,95 @@
+"""Incremental corpus dedup (streaming batches vs the all-time
+fingerprint snapshot): cross-batch dedup, replay idempotence, and
+crash-between-commits convergence (the commit-order invariant)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_morrocan_banks_spark.sources import snapshot_table as st
+from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (
+    incremental_exact_dedup_batch,
+    init_incremental_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def _ids(spark, out):
+    return sorted(r["doc_id"] for r in st.read(spark, out).collect())
+
+
+def test_cross_batch_dedup_and_replay(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes,
+                           _docs(spark, [(0, "x")]))
+
+    # batch 0: an in-batch dup (1,2 same text) — keep-first
+    b0 = _docs(spark, [(1, "hello world"), (2, "hello world"),
+                       (3, "unique one")])
+    incremental_exact_dedup_batch(spark, out, hashes, b0, 0,
+                                  "text", "doc_id")
+    assert _ids(spark, out) == [1, 3]
+
+    # batch 1: a cross-batch dup (4 repeats batch 0's content) and a
+    # fresh doc
+    b1 = _docs(spark, [(4, "hello world"), (5, "brand new")])
+    incremental_exact_dedup_batch(spark, out, hashes, b1, 1,
+                                  "text", "doc_id")
+    assert _ids(spark, out) == [1, 3, 5]
+
+    # replayed batch 1 (restart redelivery): no-op on BOTH tables
+    incremental_exact_dedup_batch(spark, out, hashes, b1, 1,
+                                  "text", "doc_id")
+    assert _ids(spark, out) == [1, 3, 5]
+    assert st.read(spark, hashes).count() == 3
+
+
+def test_crash_between_commits_converges(spark, tmp_path, monkeypatch):
+    """Crash AFTER the document commit, BEFORE the fingerprint commit:
+    the replay must land the fingerprints without duplicating the
+    documents — the docs-first commit order makes the recomputed
+    fresh set identical on replay."""
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes, _docs(spark, [(0, "x")]))
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(1, "aa")]), 0,
+        "text", "doc_id")
+
+    real = st.append_stream_batch
+    state = {"fail_next_hashes": True}
+
+    def crashing(spark_, path, df, batch_id):
+        if state["fail_next_hashes"] and path == hashes:
+            state["fail_next_hashes"] = False
+            raise RuntimeError("simulated crash before fingerprint commit")
+        return real(spark_, path, df, batch_id)
+
+    import data_warehouse_morrocan_banks_spark.streaming.incremental_dedup as mod
+    monkeypatch.setattr(mod, "append_stream_batch", crashing)
+
+    b1 = _docs(spark, [(2, "bb"), (3, "aa")])   # 3 is a historical dup
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_exact_dedup_batch(spark, out, hashes, b1, 1,
+                                      "text", "doc_id")
+    # docs committed, fingerprints not
+    assert _ids(spark, out) == [1, 2]
+    assert st.read(spark, hashes).count() == 1
+
+    # replay of the same batch: docs append skips (batch id), the
+    # fingerprint append lands — converged, no duplicates
+    incremental_exact_dedup_batch(spark, out, hashes, b1, 1,
+                                  "text", "doc_id")
+    assert _ids(spark, out) == [1, 2]
+    assert st.read(spark, hashes).count() == 2
+
+    # and the pipeline continues normally
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(4, "bb"), (5, "cc")]), 2,
+        "text", "doc_id")
+    assert _ids(spark, out) == [1, 2, 5]
+    assert st.read(spark, hashes).count() == 3
