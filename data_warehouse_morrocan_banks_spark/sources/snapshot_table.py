@@ -608,6 +608,50 @@ def publications(root: str) -> list[dict]:
     return out
 
 
+def vacuum_publications(root: str, keep_last: int = 1) -> list[str]:
+    """Publication-consistent GC: keep the last ``keep_last``
+    publications, delete older publication manifests, then vacuum
+    every table under ``root`` keeping exactly the versions a KEPT
+    publication references plus each table's current version (an
+    in-flight publish may have committed tables but not its
+    publication yet — their heads must survive).  This is the ONLY
+    safe GC for a publication root: plain table-level :func:`vacuum`
+    keeps a version suffix and would delete non-suffix versions an
+    older publication still pins, breaking
+    :func:`load_publication` time travel."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    pubs = _versions(root, _PUB_DIR)
+    if not pubs:
+        return []
+    keep_pubs = pubs[-keep_last:]
+    pinned: dict[str, set[int]] = {}
+    for v in keep_pubs:
+        with open(os.path.join(root, _PUB_DIR, f"v{v:08d}.json")) as fh:
+            for name, tv in json.load(fh)["tables"].items():
+                pinned.setdefault(name, set()).add(tv)
+    removed = []
+    for v in pubs:
+        if v in keep_pubs:
+            continue
+        p = os.path.join(root, _PUB_DIR, f"v{v:08d}.json")
+        os.unlink(p)
+        removed.append(p)
+    # every snapshot table under root, pinned by a kept publication
+    # or not (a table dropped from newer publications still gets its
+    # history bounded)
+    for name in sorted(os.listdir(root)):
+        tpath = os.path.join(root, name)
+        if name == _PUB_DIR or not os.path.isdir(tpath):
+            continue
+        cur = current_version(tpath)
+        if cur is None:
+            continue
+        keep_vs = pinned.get(name, set()) | {cur}
+        removed += _vacuum_keep(tpath, keep_vs)
+    return removed
+
+
 def load_publication(spark: SparkSession, root: str,
                      version: int | None = None) -> dict[str, DataFrame]:
     """Resolve a publication (default: latest) to its table frames —
@@ -638,21 +682,33 @@ def vacuum(path: str, keep_last: int = 1,
     vacuuming a version a job is still using fails that job's next
     action.  Set the window ≥ your longest reader (Delta's
     ``delta.deletedFileRetentionDuration`` trade, default 7 days
-    there; 0 here because the tests ARE the longest reader)."""
+    there; 0 here because the tests ARE the longest reader).
+
+    Tables under a publication root must be GC'd with
+    :func:`vacuum_publications` instead — table-level vacuum keeps a
+    version SUFFIX and cannot see that an older publication still
+    pins a non-suffix version."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(path)
     if not vs:
         return []
-    keep_vs = vs[-keep_last:]
+    keep_vs = set(vs[-keep_last:])
     if min_age_s > 0:
         cutoff = time.time() - min_age_s
-        young = [v for v in vs
-                 if v not in keep_vs and _read_manifest(path, v)["ts"] >= cutoff]
-        keep_vs = sorted(set(keep_vs) | set(young))
+        keep_vs |= {v for v in vs
+                    if _read_manifest(path, v)["ts"] >= cutoff}
+    return _vacuum_keep(path, keep_vs)
+
+
+def _vacuum_keep(path: str, keep_vs: set[int]) -> list[str]:
+    """GC worker: delete every manifest not in ``keep_vs`` and every
+    data file / commit temp no kept manifest references."""
+    vs = _versions(path)
     referenced = set()
-    for v in keep_vs:
-        referenced.update(_read_manifest(path, v)["files"])
+    for v in vs:
+        if v in keep_vs:
+            referenced.update(_read_manifest(path, v)["files"])
     removed = []
     for v in vs:
         if v in keep_vs:

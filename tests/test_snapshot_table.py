@@ -521,3 +521,32 @@ def test_vacuum_retention_window_protects_recent_versions(spark, tmp_path):
     # without the window, v1 goes
     st.vacuum(path, keep_last=1)
     assert st._versions(path) == [2]
+
+
+def test_vacuum_publications_keeps_pinned_versions(spark, tmp_path):
+    """Publication-aware GC: kept publications' table versions survive
+    (even non-suffix ones), expired publications' exclusive versions
+    go, and every kept publication still loads completely."""
+    root = str(tmp_path / "wh")
+    for i in (1, 2, 3):
+        st.publish(spark, root, {"dim": _mk(spark, [i]),
+                                 "fact": _mk(spark, [10 * i])})
+    assert len(st.publications(root)) == 3
+
+    removed = st.vacuum_publications(root, keep_last=2)
+    assert len(st.publications(root)) == 2
+    # publications 2 and 3 load completely; 1 is gone
+    p2 = st.load_publication(spark, root, version=2)
+    assert _rows(p2["dim"]) == [(2, "s2")]
+    assert _rows(p2["fact"]) == [(20, "s20")]
+    p3 = st.load_publication(spark, root)
+    assert _rows(p3["dim"]) == [(3, "s3")]
+    with pytest.raises(FileNotFoundError):
+        st.load_publication(spark, root, version=1)
+    # publication 1's exclusive table versions were GC'd
+    assert st._versions(os.path.join(root, "dim")) == [2, 3]
+    assert any(p.endswith("v00000001.json") for p in removed)
+
+    # plain table-level vacuum would have been WRONG here: it keeps a
+    # suffix, but publication 2 pins dim v2 which a keep_last=1
+    # suffix would drop — vacuum_publications kept it.
