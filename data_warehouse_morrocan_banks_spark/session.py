@@ -34,6 +34,13 @@ ENGINE_CONFS: dict[str, str] = {
     # At 100 TB, files.maxPartitionBytes governs scan parallelism;
     # 128m default is right, stated here to make it explicit/tunable.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Spark's default INT96 timestamps write NO parquet min/max
+    # statistics (caught by the snapshot-table stats-pruning test):
+    # every downstream footer-stats optimization — manifest file
+    # pruning, row-group skipping in other engines — goes blind on
+    # time columns, the headline pruning use case.  INT96 is
+    # deprecated; MICROS is the modern interop type.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -71,4 +78,8 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # stats-bearing timestamp writes on externally built sessions too
+    # (runtime-mutable; see ENGINE_CONFS rationale)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
     return spark

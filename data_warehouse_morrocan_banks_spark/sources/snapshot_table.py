@@ -100,11 +100,34 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def _stat_scalar(v):
+    """Normalize a stats value or pruning bound to a JSON-able,
+    ORDER-PRESERVING scalar.  Datetimes become fixed-width
+    ``YYYY-mm-dd HH:MM:SS.ffffff`` strings (UTC-normalized when
+    tz-aware; at uniform width lexicographic order IS chronological
+    order), dates become ISO strings — so time columns, the headline
+    pruning use case, actually prune.  Ints/floats/strings/bools pass
+    through.  Anything else (Decimal: float-rounding could SHRINK a
+    range and wrongly exclude a file) returns None → no stats, prune
+    keeps the file."""
+    import datetime as _dt
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):          # before date: subclass
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
 def _file_stats(abs_path: str) -> dict:
     """Per-column [min, max] from the parquet FOOTER row-group stats —
-    no data scan (pyarrow reads metadata only).  Only
-    JSON-representable scalar types (numbers, strings, bools) are
-    kept; columns without stats are simply absent, which pruning
+    no data scan (pyarrow reads metadata only).  Values normalize via
+    :func:`_stat_scalar` (numbers/strings/bools/datetimes/dates);
+    columns without usable stats are simply absent, which pruning
     treats as 'may match'.  Any footer-reading failure degrades to no
     stats, never a failed write."""
     try:
@@ -128,7 +151,8 @@ def _file_stats(abs_path: str) -> dict:
                     except UnicodeDecodeError:
                         agg[name] = None
                         continue
-                if not isinstance(mn, (int, float, str, bool)):
+                mn, mx = _stat_scalar(mn), _stat_scalar(mx)
+                if mn is None or mx is None:
                     agg[name] = None
                     continue
                 if agg.get(name, "__absent__") is None:
@@ -174,14 +198,14 @@ def _commit(path: str, build_entry, max_retries: int = 50,
         entry = build_entry(cur)
         entry["version"] = cur + 1
         entry["ts"] = time.time()
-        # the streaming dedup high-water mark survives EVERY commit
-        # kind — without this, one normal append would reset it and a
-        # replayed micro-batch could double-commit
+        # the streaming dedup high-water marks survive EVERY commit
+        # kind — without this, one normal append would reset them and
+        # a replayed micro-batch could double-commit
         if (dirname == _MANIFEST_DIR and cur > 0
-                and "stream_batch_id" not in entry):
-            prev = _read_manifest(path, cur).get("stream_batch_id")
-            if prev is not None:
-                entry["stream_batch_id"] = prev
+                and "stream_txn" not in entry):
+            prev = _read_manifest(path, cur).get("stream_txn")
+            if prev:
+                entry["stream_txn"] = prev
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -193,17 +217,45 @@ def _commit(path: str, build_entry, max_retries: int = 50,
             return cur + 1
         except FileExistsError:
             continue  # lost the race — rebuild against the new log
+        except FileNotFoundError:
+            # our temp vanished (an over-eager vacuum with no
+            # retention window) — rebuild and re-stage rather than
+            # crash after the expensive data write
+            continue
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
     raise ConcurrentWriteError(
         f"commit to {path}: {max_retries} retries exhausted")
+
+
+def _canon_type(dt):
+    """Strip nullability RECURSIVELY (array containsNull, map
+    valueContainsNull, nested struct fields) — schema compatibility
+    here is name+type; without this a transform-built array column
+    with containsNull=false would spuriously mismatch the table's
+    containsNull=true, despite the 'nullability ignored' contract."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(dt, _St):
+        return _St([StructField(f.name, _canon_type(f.dataType), True)
+                    for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_canon_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_canon_type(dt.keyType),
+                       _canon_type(dt.valueType), True)
+    return dt
 
 
 def _check_schema(stored_json: str, df: DataFrame) -> None:
     stored = StructType.fromJson(json.loads(stored_json))
     got = df.schema
-    stored_sig = [(f.name, f.dataType) for f in stored.fields]
-    got_sig = [(f.name, f.dataType) for f in got.fields]
+    stored_sig = [(f.name, _canon_type(f.dataType)) for f in stored.fields]
+    got_sig = [(f.name, _canon_type(f.dataType)) for f in got.fields]
     if stored_sig != got_sig:
         raise ValueError(
             "append schema mismatch (name/type, nullability ignored): "
@@ -241,7 +293,8 @@ def _evolved_schema(stored_json: str, df: DataFrame) -> str:
     out = list(stored.fields)
     for f in df.schema.fields:
         if f.name in by_name:
-            if by_name[f.name].dataType != f.dataType:
+            if _canon_type(by_name[f.name].dataType) != \
+                    _canon_type(f.dataType):
                 raise ValueError(
                     f"schema evolution cannot CHANGE a type: "
                     f"{f.name} is "
@@ -326,15 +379,23 @@ def pruned_files(path: str, column: str, lower=None, upper=None,
         raise ValueError(f"no snapshot table at {path}")
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
+    # bounds normalize through the SAME function as the stored stats,
+    # so datetime/date predicates compare against their stored string
+    # form; a bound that doesn't normalize disables pruning (keep all)
+    lo = _stat_scalar(lower) if lower is not None else None
+    hi = _stat_scalar(upper) if upper is not None else None
+    if (lower is not None and lo is None) or \
+            (upper is not None and hi is None):
+        return list(m["files"])
     keep = []
     for f in m["files"]:
         s = stats.get(f, {}).get(column)
         if s is not None:
             mn, mx = s
             try:
-                if lower is not None and mx < lower:
+                if lo is not None and mx < lo:
                     continue
-                if upper is not None and mn > upper:
+                if hi is not None and mn > hi:
                     continue
             except TypeError:
                 pass  # incomparable bounds → may match
@@ -520,26 +581,46 @@ def merge(spark: SparkSession, path: str, source: DataFrame,
 
 
 def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
-                        batch_id: int) -> int | None:
+                        batch_id: int,
+                        app_id: str = "default") -> int | None:
     """Idempotent micro-batch append for ``foreachBatch`` sinks.
 
     Structured Streaming re-delivers a batch after recovery (at-least
-    -once into the sink); recording ``batch_id`` in the manifest and
-    refusing ids ≤ the last committed one makes the append
-    exactly-once — the txn-id pattern transactional sinks use.  The
-    dedup check happens INSIDE the commit retry (against the winning
-    manifest), so racing replays of the same batch commit once: the
-    loser re-reads the log, sees the id, and skips.
+    -once into the sink); recording ``(app_id, batch_id)`` in the
+    manifest and refusing ids ≤ that app's last committed one makes
+    the append exactly-once — Delta's ``(txnAppId, txnVersion)``
+    sink pattern.  ``app_id`` scopes the high-water mark: two
+    independent queries feeding one table must use distinct app ids
+    or they would dedupe against each other's batch numbers.  The
+    authoritative check happens INSIDE the commit retry (against the
+    winning manifest), so racing replays of one batch commit once; a
+    cheap pre-check against the current manifest skips the Spark
+    write entirely on the common known-replay path.
+
+    Semantics on CHECKPOINT LOSS (inherent to the txn-id pattern,
+    same as Delta's): a restart from a fresh checkpoint re-reads the
+    source as batches 0..k under the SAME app_id, and all of them —
+    including any containing genuinely new data — are ≤ the mark and
+    skipped.  Resetting the checkpoint therefore requires a NEW
+    ``app_id``; everything then re-appends, and de-duplication is the
+    content layer's job (``streaming/incremental_dedup`` composes
+    correctly: its anti-join drops already-ingested content whatever
+    the app id).
 
     Returns the committed version, or None if the batch was already
     committed (replay skipped).  Use from a sink as::
 
         q = (stream.writeStream.foreachBatch(
-                lambda b, i: append_stream_batch(spark, path, b, i)
+                lambda b, i: append_stream_batch(spark, path, b, i,
+                                                 app_id="ingest-v1")
              ).start())
     """
-    if current_version(path) is None:
+    v = current_version(path)
+    if v is None:
         raise ValueError(f"no snapshot table at {path}")
+    mark = _read_manifest(path, v).get("stream_txn", {}).get(app_id)
+    if mark is not None and batch_id <= mark:
+        return None  # known replay: skip the write job entirely
 
     class _AlreadyCommitted(Exception):
         pass
@@ -548,7 +629,8 @@ def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
 
     def entry(cur: int) -> dict:
         base = _read_manifest(path, cur)
-        last = base.get("stream_batch_id")
+        txn = base.get("stream_txn", {})
+        last = txn.get(app_id)
         if last is not None and batch_id <= last:
             raise _AlreadyCommitted()
         _check_schema(base["schema"], df)
@@ -556,13 +638,13 @@ def append_stream_batch(spark: SparkSession, path: str, df: DataFrame,
                 "stats": {**base.get("stats", {}),
                           **_stats_for(path, files)},
                 "schema": base["schema"], "parent": cur,
-                "stream_batch_id": batch_id}
+                "stream_txn": {**txn, app_id: batch_id}}
 
     try:
         return _commit(path, entry)
     except _AlreadyCommitted:
-        # replayed batch: the files written above are orphans (no
-        # manifest references them) — vacuum() collects
+        # lost a race against our own replay: the files written above
+        # are orphans (no manifest references them) — vacuum collects
         return None
 
 
@@ -583,6 +665,8 @@ def publish(spark: SparkSession, root: str,
     reader keeps the previous consistent vector, and the next
     successful publish supersedes the partial state.
     """
+    pub_vs = _versions(root, _PUB_DIR)
+    base_pub = pub_vs[-1] if pub_vs else 0
     versions: dict[str, int] = {}
     for name, df in sorted(tables.items()):
         p = os.path.join(root, name)
@@ -592,6 +676,15 @@ def publish(spark: SparkSession, root: str,
             versions[name] = overwrite(spark, p, df)
 
     def entry(cur: int) -> dict:
+        # monotonicity guard: a retry MUST NOT re-link this publish's
+        # vector over a publication that landed after our table
+        # writes began — latest-publication readers would travel
+        # BACKWARDS to our (now stale) versions.  Abort like
+        # compact/merge; the caller re-runs against fresh state.
+        if cur != base_pub:
+            raise ConcurrentWriteError(
+                f"another publication landed at {root} during publish "
+                f"(v{base_pub} -> v{cur}); re-run")
         return {"op": "publish", "tables": versions}
 
     return _commit(root, entry, dirname=_PUB_DIR)
@@ -608,7 +701,8 @@ def publications(root: str) -> list[dict]:
     return out
 
 
-def vacuum_publications(root: str, keep_last: int = 1) -> list[str]:
+def vacuum_publications(root: str, keep_last: int = 1,
+                        min_age_s: float = 0.0) -> list[str]:
     """Publication-consistent GC: keep the last ``keep_last``
     publications, delete older publication manifests, then vacuum
     every table under ``root`` keeping exactly the versions a KEPT
@@ -648,7 +742,7 @@ def vacuum_publications(root: str, keep_last: int = 1) -> list[str]:
         if cur is None:
             continue
         keep_vs = pinned.get(name, set()) | {cur}
-        removed += _vacuum_keep(tpath, keep_vs)
+        removed += _vacuum_keep(tpath, keep_vs, min_age_s)
     return removed
 
 
@@ -698,12 +792,30 @@ def vacuum(path: str, keep_last: int = 1,
         cutoff = time.time() - min_age_s
         keep_vs |= {v for v in vs
                     if _read_manifest(path, v)["ts"] >= cutoff}
-    return _vacuum_keep(path, keep_vs)
+    return _vacuum_keep(path, keep_vs, min_age_s)
 
 
-def _vacuum_keep(path: str, keep_vs: set[int]) -> list[str]:
+def _vacuum_keep(path: str, keep_vs: set[int],
+                 min_age_s: float = 0.0) -> list[str]:
     """GC worker: delete every manifest not in ``keep_vs`` and every
-    data file / commit temp no kept manifest references."""
+    data file / commit temp no kept manifest references.
+
+    ``min_age_s`` ALSO protects young unreferenced artifacts — every
+    write op stages data files (and a commit temp) BEFORE its
+    manifest exists, so an unreferenced file younger than the window
+    may belong to an IN-FLIGHT writer: deleting it corrupts the
+    version that writer is about to commit (the review-caught race).
+    With a window ≥ the longest write job, only genuinely dead
+    orphans are collected — Delta's vacuum applies the same retention
+    to unreferenced files for the same reason.
+    """
+    now = time.time()
+
+    def _young(p: str) -> bool:
+        try:
+            return min_age_s > 0 and now - os.path.getmtime(p) < min_age_s
+        except OSError:
+            return True  # vanished or unreadable → leave it alone
     vs = _versions(path)
     referenced = set()
     for v in vs:
@@ -719,7 +831,12 @@ def _vacuum_keep(path: str, keep_vs: set[int]) -> list[str]:
     for name in os.listdir(_mdir(path)):
         if name.startswith(".tmp-"):
             p = os.path.join(_mdir(path), name)
-            os.unlink(p)
+            if _young(p):
+                continue  # may be a live commit's temp
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                continue  # its commit just finished/cleaned it
             removed.append(p)
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
@@ -727,13 +844,18 @@ def _vacuum_keep(path: str, keep_vs: set[int]) -> list[str]:
             subdir = os.path.join(data_root, sub)
             for name in sorted(os.listdir(subdir)):
                 rel = os.path.join("data", sub, name)
-                if name.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(subdir, name))
-                    removed.append(os.path.join(subdir, name))
+                full = os.path.join(subdir, name)
+                if (name.endswith(".parquet") and rel not in referenced
+                        and not _young(full)):
+                    os.unlink(full)
+                    removed.append(full)
             # writer-side markers (_SUCCESS, .crc) go with the last
-            # data file; keep the dir while any referenced file lives
+            # data file; keep the dir while any referenced OR
+            # still-protected file lives — and never rm a young dir
+            # (it may be a write in progress, holding only
+            # _temporary/)
             live = [n for n in os.listdir(subdir)
                     if n.endswith(".parquet")]
-            if not live:
+            if not live and not _young(subdir):
                 shutil.rmtree(subdir)
     return removed

@@ -30,6 +30,8 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(v: Any) -> Any:
     """Canonicalize a cell for cross-engine comparison."""
+    import datetime as _dt
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -38,6 +40,13 @@ def _canon(v: Any) -> Any:
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        # Spark TIMESTAMP is LTZ, so TIMESTAMP_MICROS parquet carries
+        # isAdjustedToUTC=true and DuckDB surfaces TIMESTAMPTZ for
+        # engine-written files (the driver's pyarrow testdata stays
+        # naive); same instant, different carrier — normalize to
+        # UTC-naive so representation never fails the value gate
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v
 
 

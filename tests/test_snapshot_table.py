@@ -550,3 +550,92 @@ def test_vacuum_publications_keeps_pinned_versions(spark, tmp_path):
     # plain table-level vacuum would have been WRONG here: it keeps a
     # suffix, but publication 2 pins dim v2 which a keep_last=1
     # suffix would drop — vacuum_publications kept it.
+
+
+def test_review_fixes_round5(spark, tmp_path, monkeypatch):
+    """Code-review fixes, one scenario each:
+    (a) publish retry must not re-link a stale vector over a newer
+        publication (monotonic latest-publication reads);
+    (b) stream high-water marks are scoped per app_id, and a known
+        replay skips the Spark write entirely;
+    (c) timestamp columns carry order-preserving stats and prune;
+    (d) nested nullability differences (array containsNull) never
+        fail the schema check;
+    (e) vacuum's retention window protects YOUNG unreferenced data
+        files (a possibly in-flight writer's staging)."""
+    import datetime as dt
+
+    import os as _os
+
+    # (a) racing publication -> ConcurrentWriteError, v2 stays newest
+    root = str(tmp_path / "wh")
+    st.publish(spark, root, {"t": _mk(spark, [1])})
+    real_commit = st._commit
+    state = {"raced": False}
+
+    def racing_commit(path, entry, max_retries=50,
+                      dirname=st._MANIFEST_DIR):
+        if dirname == st._PUB_DIR and not state["raced"]:
+            state["raced"] = True
+            real_commit(path, lambda cur: {"op": "publish",
+                                           "tables": {"t": 2}},
+                        dirname=st._PUB_DIR)
+        return real_commit(path, entry, max_retries, dirname)
+
+    monkeypatch.setattr(st, "_commit", racing_commit)
+    with pytest.raises(st.ConcurrentWriteError, match="another publication"):
+        st.publish(spark, root, {"t": _mk(spark, [9])})
+    monkeypatch.undo()
+    assert len(st.publications(root)) == 2  # racer's v2 is newest
+
+    # (b) per-app marks + write-skipping pre-check
+    t2 = str(tmp_path / "t2")
+    st.create(spark, t2, _mk(spark, [0]))
+    assert st.append_stream_batch(spark, t2, _mk(spark, [1]), 0,
+                                  app_id="A") is not None
+    assert st.append_stream_batch(spark, t2, _mk(spark, [2]), 0,
+                                  app_id="B") is not None  # B's own 0
+    data_dirs = len(_os.listdir(_os.path.join(t2, "data")))
+    assert st.append_stream_batch(spark, t2, _mk(spark, [3]), 0,
+                                  app_id="A") is None      # replay
+    assert len(_os.listdir(_os.path.join(t2, "data"))) == data_dirs  # no write
+    assert _rowset(st.read(spark, t2)) == {(0, "s0"), (1, "s1"), (2, "s2")}
+
+    # (c) timestamp stats prune
+    t3 = str(tmp_path / "t3")
+    def ts_df(day):
+        return spark.createDataFrame(
+            [(day, dt.datetime(2024, 1, day, 12, 0, 0))],
+            "id INT, ts TIMESTAMP")
+    st.create(spark, t3, ts_df(1).coalesce(1))
+    st.append(spark, t3, ts_df(2).coalesce(1))
+    st.append(spark, t3, ts_df(3).coalesce(1))
+    pruned = st.pruned_files(path=t3, column="ts",
+                             lower=dt.datetime(2024, 1, 2),
+                             upper=dt.datetime(2024, 1, 2, 23))
+    assert len(pruned) == 1
+    got = st.read_pruned(spark, t3, "ts", dt.datetime(2024, 1, 2),
+                         dt.datetime(2024, 1, 2, 23))
+    assert [r["id"] for r in got.collect()] == [2]
+
+    # (d) nested nullability tolerated
+    t4 = str(tmp_path / "t4")
+    from pyspark.sql import functions as F
+    base = spark.createDataFrame([(1, ["a", None])],
+                                 "id INT, toks ARRAY<STRING>")
+    st.create(spark, t4, base)
+    nn = spark.range(1).select(
+        F.col("id").cast("int"),
+        F.split(F.lit("x y"), " ").alias("toks"))  # containsNull=false
+    st.append(spark, t4, nn)                       # must not raise
+    assert st.read(spark, t4).count() == 2
+
+    # (e) young unreferenced data files survive a windowed vacuum
+    t5 = str(tmp_path / "t5")
+    st.create(spark, t5, _mk(spark, [1]))
+    _mk(spark, [99]).write.parquet(_os.path.join(t5, "data", "staging"))
+    removed = st.vacuum(t5, keep_last=1, min_age_s=3600)
+    assert _os.path.isdir(_os.path.join(t5, "data", "staging"))
+    assert not any("staging" in p for p in removed)
+    st.vacuum(t5, keep_last=1)                     # no window: collected
+    assert not _os.path.isdir(_os.path.join(t5, "data", "staging"))
