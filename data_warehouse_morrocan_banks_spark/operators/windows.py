@@ -44,7 +44,8 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 kind: str = "rank", out_col: str = "rank",
                 ascending: bool | list[bool] = True,
                 num_partitions: int | None = None,
-                boundaries: list | None = None) -> DataFrame:
+                boundaries: list | None = None,
+                materialize: bool = True) -> DataFrame:
     """Distributed global rank — the scale-safe form of
     ``RANK() OVER (ORDER BY …)`` with NO partition key, which Spark
     plans as a SINGLE-TASK sort of the entire input (the documented
@@ -80,6 +81,14 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     bucket (ties must co-locate — lead with a selective column).
     NULL leading keys land in the first bucket for ascending order,
     the last for descending — Spark's NULLS FIRST/LAST defaults.
+
+    ``num_partitions`` is the bucket count = the rank stage's
+    parallelism (one window task per bucket) AND the per-row bucket
+    assignment cost (O(B) comparisons) — size it to rows-per-task.
+    ``materialize=True`` (default) lifecycle-pins the bucketed frame
+    so the rank and offsets subtrees read one computation instead of
+    re-running the input lineage twice; pass ``False`` when the input
+    is a cheap scan and pinning it would cost more than recompute.
     """
     kinds = {"rank": F.rank, "dense_rank": F.dense_rank,
              "row_number": F.row_number}
@@ -112,11 +121,39 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         lead_expr = lead
     # ascending bucket: #boundaries strictly below the key; NULL
     # compares to nothing → bucket 0 (asc, NULLS FIRST) and flips to
-    # the last bucket under desc (NULLS LAST)
-    ab = sum((F.when(lead_expr > F.lit(b), 1).otherwise(0)
-              for b in boundaries), F.lit(0))
+    # the last bucket under desc (NULLS LAST).  Form depends on
+    # boundary count (review-caught): chained when/sum codegens well
+    # but builds a B-deep Catalyst tree — at cluster-tuned
+    # shuffle.partitions (2000-10000) analysis and codegen crawl, so
+    # past 64 boundaries the count folds over ONE array literal
+    # (shallow tree, interpreted per element).  Either way per-row
+    # cost is O(B); B also sets the rank stage's parallelism (one
+    # window task per bucket), so size num_partitions to
+    # rows-per-task, not per-row comparisons.
+    if len(boundaries) <= 64:
+        ab = sum((F.when(lead_expr > F.lit(b), 1).otherwise(0)
+                  for b in boundaries), F.lit(0))
+    elif boundaries:
+        ab = F.aggregate(
+            F.array(*[F.lit(b) for b in boundaries]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(lead_expr > b, 1).otherwise(0),
+        )
+    else:
+        ab = F.lit(0)
     bucket = ab if ascending[0] else F.lit(len(boundaries)) - ab
     staged = df.withColumn("__gr_bkt", bucket)
+    # pin: the percentile job already scanned the input once, and the
+    # rank subtree + offsets subtree would each recompute its full
+    # lineage again (column pruning keeps the two subtrees from
+    # sharing one exchange — the same effect the sampled-boundary war
+    # story above hit).  One materialization, both subtrees read it;
+    # released at the next global_rank call (lifecycle pattern).
+    if materialize:
+        from .lifecycle import begin, pin_local_checkpoint
+
+        begin("global_rank")
+        staged = pin_local_checkpoint("global_rank", staged)
 
     w_local = Window.partitionBy("__gr_bkt").orderBy(*sort_exprs)
     local = staged.withColumn("__gr_local", kinds[kind]().over(w_local))

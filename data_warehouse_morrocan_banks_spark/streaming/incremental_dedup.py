@@ -27,9 +27,11 @@ its own batch's hashes, compute ``fresh = ∅``, and never emit the
 documents.
 
 Scale: the anti-join shuffles on the 32-char digest — documents never
-move for it; the fingerprint table is one slim column, and
-``snapshot_table.compact`` keeps its file count flat as batches
-accumulate.  Cross-batch ties (same content in two IN-FLIGHT batches)
+move for it; the fingerprint table is one slim column, and the
+``compact_every`` hook (or a separate maintenance job) keeps both
+tables' file counts flat as batches accumulate — without it, file
+groups and manifests grow one per batch, unbounded.
+Cross-batch ties (same content in two IN-FLIGHT batches)
 serialize through the table: batch N+1's anti-join reads the manifest
 committed by batch N — foreachBatch runs batches sequentially per
 query, which is exactly the ordering this relies on.
@@ -57,13 +59,34 @@ def init_incremental_dedup(spark: SparkSession, out_path: str,
 def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
                                   hashes_path: str, batch_df: DataFrame,
                                   batch_id: int, text_col: str,
-                                  id_col: str) -> None:
+                                  id_col: str, app_id: str = "default",
+                                  compact_every: int | None = None) -> None:
     """foreachBatch body — use as::
 
         stream.writeStream.foreachBatch(
             lambda b, i: incremental_exact_dedup_batch(
-                spark, out, hashes, b, i, "text", "doc_id")
+                spark, out, hashes, b, i, "text", "doc_id",
+                app_id="crawl-ingest-v1")
         ).start()
+
+    ``app_id`` scopes the exactly-once high-water mark
+    (``append_stream_batch``): distinct streaming queries feeding the
+    SAME table pair must use distinct app ids, and a CHECKPOINT RESET
+    requires a fresh app id (batch numbering restarts at 0, which the
+    old app's mark would silently swallow).  With a fresh app id the
+    source replays from scratch and convergence moves to the CONTENT
+    level: the anti-join drops everything already fingerprinted, so
+    re-processing is wasted work but never duplicated data — this
+    wrapper is the checkpoint-loss-safe composition the raw batch
+    sink cannot be on its own.
+
+    ``compact_every=N`` compacts both tables inside every Nth batch
+    (file-count maintenance; foreachBatch bodies run sequentially per
+    query, so the compaction cannot race this stream's own commits).
+    Without it, file groups and manifest size grow per batch
+    unbounded — run ``snapshot_table.compact`` as a separate
+    maintenance job instead, expecting occasional
+    ``ConcurrentWriteError`` retries against live commits.
     """
     hashed = batch_df.withColumn("content_md5", content_hash(text_col))
     # keep-first within the batch (lowest id — deterministic under
@@ -76,13 +99,23 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     # see the SAME rows, and recomputing the anti-join between the two
     # commits would race the fingerprint append.  Lifecycle-pinned so
     # each batch releases the previous batch's checkpoint blocks
-    # (CLAUDE.md: materialized frames need a release path).
+    # (CLAUDE.md: materialized frames need a release path).  The key
+    # is SCOPED PER TABLE: a process-wide constant would let two
+    # concurrent streams release each other's live blocks
+    # (review-caught).
     from ..operators.lifecycle import begin, pin_local_checkpoint
 
-    begin("incremental_dedup")
-    fresh = pin_local_checkpoint("incremental_dedup", fresh, eager=True)
+    key = f"incremental_dedup:{out_path}"
+    begin(key)
+    fresh = pin_local_checkpoint(key, fresh, eager=True)
     # documents FIRST, fingerprints SECOND (see module docstring)
     append_stream_batch(spark, out_path, fresh.drop("content_md5"),
-                        batch_id)
+                        batch_id, app_id=app_id)
     append_stream_batch(spark, hashes_path,
-                        fresh.select("content_md5"), batch_id)
+                        fresh.select("content_md5"), batch_id,
+                        app_id=app_id)
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        from ..sources.snapshot_table import compact
+
+        compact(spark, out_path)
+        compact(spark, hashes_path)

@@ -63,11 +63,11 @@ def test_crash_between_commits_converges(spark, tmp_path, monkeypatch):
     real = st.append_stream_batch
     state = {"fail_next_hashes": True}
 
-    def crashing(spark_, path, df, batch_id):
+    def crashing(spark_, path, df, batch_id, app_id="default"):
         if state["fail_next_hashes"] and path == hashes:
             state["fail_next_hashes"] = False
             raise RuntimeError("simulated crash before fingerprint commit")
-        return real(spark_, path, df, batch_id)
+        return real(spark_, path, df, batch_id, app_id=app_id)
 
     import data_warehouse_morrocan_banks_spark.streaming.incremental_dedup as mod
     monkeypatch.setattr(mod, "append_stream_batch", crashing)
@@ -93,3 +93,48 @@ def test_crash_between_commits_converges(spark, tmp_path, monkeypatch):
         "text", "doc_id")
     assert _ids(spark, out) == [1, 2, 5]
     assert st.read(spark, hashes).count() == 3
+
+
+def test_checkpoint_loss_recovery_via_new_app_id(spark, tmp_path):
+    """After checkpoint loss the stream renumbers from batch 0: under
+    the OLD app id everything (including genuinely new content) is
+    silently swallowed by the high-water mark; under a NEW app id the
+    replay re-processes from scratch and the content-level anti-join
+    keeps the corpus exactly-once — the wrapper's recovery story."""
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes, _docs(spark, [(0, "x")]))
+    for bid, rows in ((0, [(1, "aa")]), (1, [(2, "bb")])):
+        incremental_exact_dedup_batch(spark, out, hashes,
+                                      _docs(spark, rows), bid,
+                                      "text", "doc_id", app_id="v1")
+    assert _ids(spark, out) == [1, 2]
+
+    # checkpoint lost; replay EVERYTHING + one new doc as batch 0
+    replay = _docs(spark, [(1, "aa"), (2, "bb"), (3, "NEW content")])
+    # old app id: swallowed — including the new doc (the documented
+    # footgun this wrapper's app_id parameter exists to escape)
+    incremental_exact_dedup_batch(spark, out, hashes, replay, 0,
+                                  "text", "doc_id", app_id="v1")
+    assert _ids(spark, out) == [1, 2]
+    # new app id: re-processed; old content deduped at the CONTENT
+    # level, the new doc lands exactly once
+    incremental_exact_dedup_batch(spark, out, hashes, replay, 0,
+                                  "text", "doc_id", app_id="v2")
+    assert _ids(spark, out) == [1, 2, 3]
+    assert st.read(spark, hashes).count() == 3
+
+
+def test_compact_every_bounds_file_growth(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes, _docs(spark, [(0, "x")]))
+    for bid in range(1, 5):
+        incremental_exact_dedup_batch(
+            spark, out, hashes,
+            _docs(spark, [(10 * bid, f"text {bid}")]), bid,
+            "text", "doc_id", compact_every=2)
+    assert _ids(spark, out) == [10, 20, 30, 40]
+    m = st._read_manifest(out, st.current_version(out))
+    assert m["op"] == "compact" and len(m["files"]) == 1
+    assert st.read(spark, hashes).count() == 4

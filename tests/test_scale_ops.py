@@ -325,6 +325,33 @@ def test_global_rank_equals_single_task_window(spark):
         global_rank(li, ["l_quantity"], ascending=[True, False])
 
 
+def test_global_rank_wide_bucket_hof_path(spark):
+    """num_partitions > 64 switches the bucket assignment to the
+    array-fold form (shallow tree instead of a B-deep when-chain);
+    values must stay identical to the single-task window, with and
+    without the lifecycle pin."""
+    from pyspark.sql import Window
+
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    from .conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    w = Window.orderBy("l_extendedprice")
+    want = {(r["l_orderkey"], r["l_linenumber"]): r["rank"]
+            for r in li.withColumn("rank", F.rank().over(w)).collect()}
+    for mat in (True, False):
+        got = {(r["l_orderkey"], r["l_linenumber"]): r["rank"]
+               for r in global_rank(li, ["l_extendedprice"],
+                                    num_partitions=100,
+                                    materialize=mat).collect()}
+        assert got == want, f"materialize={mat}"
+
+
 def test_global_rank_null_keys_match_window_semantics(spark):
     """NULL leading keys follow Spark's window defaults exactly:
     NULLS FIRST under asc (bucket 0), NULLS LAST under desc (last
