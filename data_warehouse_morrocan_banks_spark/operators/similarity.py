@@ -251,9 +251,13 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
             c["cid"].alias("bucket_id"),
         ),
     )
+    # __scores materialized before the Generate (HOF-explode
+    # discipline) — cost here is per QUERY row, but the inferred
+    # size-filter re-run is pure waste either way
     probes = (
-        q.withColumn("__cand", F.explode(F.slice(
-            F.sort_array(scores, asc=False), 1, nprobe)))
+        q.withColumn("__scores", scores)
+        .withColumn("__cand", F.explode(F.slice(
+            F.sort_array("__scores", asc=False), 1, nprobe)))
         .select(query_id_col, "__qvec", "__qnorm",
                 F.col("__cand.bucket_id").alias("bucket_id"))
     )
@@ -397,7 +401,8 @@ def _dense_vocab_ranks(freq: DataFrame, vocab_shards: int = 1) -> DataFrame:
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 group_col: str, threshold: float = 0.9,
                                 nd: int = 6, vocab_shards: int = 1,
-                                dedup_sets: bool = True) -> DataFrame:
+                                dedup_sets: bool = True,
+                                include_group: bool = False) -> DataFrame:
     """EXACT all-pairs token-set Jaccard ≥ threshold without an
     all-pairs join — prefix filtering (Chaudhuri/Bayardo AllPairs).
 
@@ -434,6 +439,16 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
       document (id, n, chunk→mask map); the candidate→mask joins are
       plain equi-joins AQE auto-broadcasts while the table is small
       and shuffles once it isn't.
+
+    One documented recall boundary: candidate pruning guarantees
+    recall 1.0 for TRUE ``J ≥ t``, while the final filter (and the
+    DuckDB oracle) admit pairs whose 6dp-ROUNDED sim reaches ``t`` —
+    a pair with true J in ``[t − 5·10⁻⁷, t)`` could in principle be
+    pruned here yet kept by the oracle.  Adjacent distinct Jaccard
+    values are ≥ 1/(u_a·u_b) apart, so such a pair needs union
+    cardinalities ≥ ~2·10⁶ distinct tokens — unreachable at driver
+    scale, and at corpus scale it is a definition choice (round
+    before or after thresholding), not an error.
 
     A size filter (t·n_a ≤ n_b ≤ n_a/t) also prunes before
     verification.  ⌈t·n⌉ computes in exact integer arithmetic on the
@@ -619,8 +634,15 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .select("__grp", "__ida", "__idb", sim.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    # ids are only unique WITHIN a group — without the group column a
+    # consumer joining back on (id_a, id_b) conflates cross-group
+    # pairs; include_group=True emits it (named after group_col).
+    # Default stays off: the driver oracle's output contract predates
+    # the flag.
+    grp_out = ([F.col("__grp").alias(group_col)] if include_group else [])
     if not dedup_sets:
         return verified.select(
+            *grp_out,
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
             "jaccard_sim",
@@ -637,6 +659,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         verified.join(mem_a, ["__grp", "__ida"], "inner")
         .join(mem_b, ["__grp", "__idb"], "inner")
         .select(
+            *grp_out,
             F.least("__da", "__db").alias("id_a"),
             F.greatest("__da", "__db").alias("id_b"),
             "jaccard_sim",
@@ -651,6 +674,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         m1.join(m2, ["__grp", "__sid"], "inner")
         .filter(F.col("__da") < F.col("__db"))
         .select(
+            *grp_out,
             F.col("__da").alias("id_a"),
             F.col("__db").alias("id_b"),
             F.when(F.col("__n") > 0, F.lit(1.0)).alias("jaccard_sim"),
@@ -670,12 +694,26 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, seed: int = 42,
     seeded-sample ones.  The fit is one Spark job over the corpus (at
     100 TB: fit on a sample, assign the full corpus map-only); k
     centroid vectors collect to the driver — kilobytes.
+
+    The input is CANONICALIZED before the fit (content-hash
+    repartition + in-partition sort — the ``fit_topics`` pattern,
+    CLAUDE.md): k-means|| initialization samples per (partition,
+    seed), so without it the "seeded → reproducible" claim only held
+    for one fixed file-split/AQE layout — a re-read with different
+    splits would shift every downstream IVF bucket (review-caught).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = corpus.select(
-        array_to_vector(as_double_array(vec_col)).alias("features")
+    canon = F.xxhash64(as_double_array(vec_col))
+    feat = (
+        corpus.select(
+            array_to_vector(as_double_array(vec_col)).alias("features"),
+            canon.alias("__canon"),
+        )
+        .repartition(16, F.col("__canon"))
+        .sortWithinPartitions("__canon")
+        .drop("__canon")
     )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
     return [
@@ -775,7 +813,8 @@ def minhash_banded_pairs(df: DataFrame, text_col: str, id_col: str,
                          rows_per_band: int | None = None,
                          seed: int = 42, nd: int = 6,
                          expected_n: int | None = None,
-                         target_recall: float = 0.9) -> DataFrame:
+                         target_recall: float = 0.9,
+                         include_group: bool = False) -> DataFrame:
     """Token-set Jaccard near-duplicate pairs via banded MinHash with
     AND-amplification — the 100 TB MinHash plan.
 
@@ -861,10 +900,14 @@ def minhash_banded_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.col("__t").alias("__ta"))
     tb = toks.select(F.col("__grp"), F.col("__id").alias("__idb"),
                      F.col("__t").alias("__tb"))
+    if include_group and group_col is None:
+        raise ValueError("include_group needs a group_col")
+    grp_out = ([F.col("__grp").alias(group_col)] if include_group else [])
     return (
         cands.join(ta, ["__grp", "__ida"], "inner")
         .join(tb, ["__grp", "__idb"], "inner")
         .select(
+            *grp_out,
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
             jaccard_token_sets(F.col("__ta"), F.col("__tb"), nd)
@@ -922,7 +965,15 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, tokens: Column,
     if bands > bits:
         raise ValueError(f"bands ({bands}) cannot exceed bits ({bits})")
 
-    fp = simhash_agg(df, id_col, tokens, bits=bits)
+    # zero-token documents all fingerprint to 0 (simhash_agg keeps
+    # them for the bucketing query's benefit) — in the PAIRS operator
+    # they would form one C(blank,2) candidate bucket and as many
+    # hamming-0 output rows, a quadratic blowup on whitespace-heavy
+    # corpora, and the Jaccard/MinHash family's contract is that
+    # blank docs never pair.  Filter them here (NULL token arrays
+    # drop too: size(NULL) is NULL).
+    fp = simhash_agg(df.filter(F.size(tokens) > 0), id_col, tokens,
+                     bits=bits)
 
     # band b covers bit positions [b*bits//bands, (b+1)*bits//bands)
     band_cols = []
@@ -1034,10 +1085,16 @@ def cosine_near_dup_pairs(corpus: DataFrame,
     # shuffle moves an id + an int per (vector, probe), never the
     # embedding; the vector/norm payload joins back AFTER the
     # candidate distinct (recomputing one norm fold per side is local
-    # map work — at scale the candidate shuffle dominates)
+    # map work — at scale the candidate shuffle dominates).
+    # __scores materializes BEFORE the Generate: exploding the HOF
+    # inline would re-run the K-centroid scoring transform in
+    # Catalyst's inferred size(generator)>0 filter once more per
+    # corpus row (the HOF-explode hazard, CLAUDE.md) — this runs over
+    # the FULL corpus, the operator's largest stage
     probed = (
-        tagged.withColumn("__cand", F.explode(F.slice(
-            F.sort_array(scores, asc=False), 1, nprobe)))
+        tagged.withColumn("__scores", scores)
+        .withColumn("__cand", F.explode(F.slice(
+            F.sort_array("__scores", asc=False), 1, nprobe)))
         .select(id_col, F.col("__cand.bucket_id").alias("__bucket"))
     )
     pa, pb = probed.alias("pa"), probed.alias("pb")
@@ -1103,11 +1160,20 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
     sort last and fall out of any top-k with enough candidates); this
     kernel emits NaN, which numpy's sort also places last.  Corpora
     where zero vectors must rank identically across BOTH forms should
-    filter them upstream.
+    filter them upstream.  NULL vectors (and vectors with NULL
+    elements) are DROPPED on both sides — ``np.asarray`` would abort
+    the job on them where the expression twin yields NULL sims that
+    sort last; the observable top-k only diverges when a query has
+    fewer than k valid candidates (the expression form pads with
+    NULL-sim rows).
     """
     from pyspark.sql import Window
 
-    q_rows = queries.select(
+    def _valid(c):
+        return c.isNotNull() & F.forall(c, lambda x: x.isNotNull())
+
+    corpus = corpus.filter(_valid(F.col(vec_col)))
+    q_rows = queries.filter(_valid(F.col(vec_col))).select(
         F.col(id_col), as_double_array(vec_col).alias("__q")
     ).collect()
     q_ids = [r[id_col] for r in q_rows]
@@ -1135,6 +1201,8 @@ def brute_force_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
         scale = 10.0 ** ndd
         cand_ids, cand_sims = [], []                      # per-batch kept
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # shape-(0,) arrays crash the axis-1 norm
             ids = pdf[id_col].to_numpy()
             c = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -1309,8 +1377,9 @@ def _srp_band_rows_numpy(corpus: DataFrame, id_col: str, vec_col: str,
 
     # NULL vectors are dropped up front: they could never verify (NULL
     # cosine), and np.asarray over a None row would crash the batch —
-    # the expression path reaches the same no-pair outcome via NULL
-    # signatures filtered at verify
+    # the expression path applies the same filter (a NULL dot would
+    # otherwise fold to signature 0, piling every NULL row into one
+    # bucket per band)
     return (corpus.select(id_col, vec_col)
             .filter(F.col(vec_col).isNotNull())
             .mapInPandas(gen, out_schema))
@@ -1378,9 +1447,15 @@ def srp_lsh_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
     # embedding per side (at scale the candidate shuffle dominates;
     # recomputing one norm fold per payload join is local map work)
     if planes <= 63:
+        # NULL vectors drop HERE too: srp_signature's when(...).
+        # otherwise(0) swallows the NULL dot into bit 0, so a NULL
+        # vector gets signature 0 — every NULL row would share band
+        # value 0 of every band, an n_null² candidate bucket that only
+        # dies at verify (review-caught); the numpy branch already
+        # filters identically
         signed = corpus.select(
             F.col(id_col), v.alias("__v"),
-        ).withColumn(
+        ).filter(F.col("__v").isNotNull()).withColumn(
             "__sig",
             srp_signature(F.col("__v"), srp_hyperplanes(dim, planes, seed)),
         )

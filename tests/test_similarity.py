@@ -724,6 +724,76 @@ def test_srp_signature_deterministic_and_guarded(spark):
         srp_lsh_pairs(df, dim=4, planes=10, bands=4)
 
 
+def test_null_vectors_do_not_crash_numpy_or_expression_srp(spark):
+    """NULL vectors and NULL-element vectors: the numpy top-k kernel
+    drops them (np.asarray would abort the job), and BOTH srp band
+    paths filter them (a NULL dot would fold to signature 0, piling
+    every NULL row into one bucket per band)."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        brute_force_topk_numpy,
+        srp_lsh_pairs,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]),
+            (3, None), (4, [1.0, None])]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    topk = brute_force_topk_numpy(emb, emb, k=2)
+    got = {(r["query_id"], r["vec_id"]) for r in topk.collect()}
+    assert (1, 2) in got and (2, 1) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+    for planes, bands in ((8, 4), (None, None)):  # expr + auto/numpy
+        pairs = srp_lsh_pairs(emb, dim=2, threshold=0.5,
+                              planes=planes, bands=bands)
+        ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert all(3 not in p and 4 not in p for p in ids), (planes,)
+
+
+def test_kmeans_centroids_layout_invariant(spark):
+    """Seeded k-means centroids must not depend on partition layout —
+    the fit canonicalizes its input (content-hash repartition +
+    in-partition sort) like fit_topics does."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    a = kmeans_centroids(emb.repartition(1), k=4, seed=42, max_iter=5)
+    b = kmeans_centroids(emb.repartition(9), k=4, seed=42, max_iter=5)
+    assert a == b
+
+
+def test_pair_operators_include_group(spark):
+    """include_group=True emits the group column (ids are only unique
+    within a group — without it cross-group pairs are ambiguous);
+    default output shape unchanged."""
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        minhash_banded_pairs,
+    )
+
+    rows = [(1, "g1", "alpha beta gamma delta"),
+            (2, "g1", "alpha beta gamma delta"),
+            (1, "g2", "alpha beta gamma delta"),
+            (2, "g2", "alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id INT, grp STRING, text STRING")
+    out = prefix_filter_jaccard_pairs(d, "text", "doc_id", "grp", 0.9,
+                                      include_group=True)
+    assert out.columns == ["grp", "id_a", "id_b", "jaccard_sim"]
+    got = {(r["grp"], r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {("g1", 1, 2), ("g2", 1, 2)}
+    # non-dedup path carries it too
+    out2 = prefix_filter_jaccard_pairs(d, "text", "doc_id", "grp", 0.9,
+                                       dedup_sets=False,
+                                       include_group=True)
+    assert {(r["grp"], r["id_a"], r["id_b"]) for r in out2.collect()} == got
+    mh = minhash_banded_pairs(d, "text", "doc_id", "grp", 0.9,
+                              include_group=True)
+    assert mh.columns == ["grp", "id_a", "id_b", "jaccard_sim"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="needs a group_col"):
+        minhash_banded_pairs(d, "text", "doc_id", include_group=True)
+
+
 def test_zero_norm_vectors_do_not_crash_cosine_family(spark):
     """Spark 4 defaults to ANSI mode, where a raw double division by a
     zero norm aborts the whole job; the cosine family routes through
@@ -811,10 +881,13 @@ def test_simhash_64bit_parity_and_hamming_pairs(spark):
     assert got == expected
 
 
-def test_simhash_hamming_pairs_includes_empty_documents(spark):
-    """Zero-token documents fingerprint to 0 inside simhash_agg now, so
-    two whitespace-only docs are trivial near-dups (hamming 0) in the
-    banded pair output — previously they vanished in the explode."""
+def test_simhash_hamming_pairs_excludes_empty_documents(spark):
+    """Family contract: blank documents never pair.  simhash_agg keeps
+    zero-token docs (fingerprint 0 — the bucketing query counts them),
+    but the PAIRS operator filters them: B blanks would otherwise form
+    one C(B,2) hamming-0 candidate bucket, quadratic on
+    whitespace-heavy corpora and inconsistent with the Jaccard/MinHash
+    operators, which exclude blank pairs."""
     from data_warehouse_morrocan_banks_spark.functions.text import (
         whitespace_tokens,
     )
@@ -823,15 +896,16 @@ def test_simhash_hamming_pairs_includes_empty_documents(spark):
         simhash_hamming_pairs,
     )
 
-    rows = [(1, "   "), (2, "\t"), (3, "totally different content here")]
+    rows = [(1, "   "), (2, "\t"), (3, "same real content here"),
+            (4, "same real content here"), (5, None)]
     d = spark.createDataFrame(rows, "doc_id INT, text STRING")
     toks = whitespace_tokens(F.lower(F.col("text")))
     fp = {r["doc_id"]: r["simhash"]
           for r in simhash_agg(d, "doc_id", toks).collect()}
-    assert fp[1] == 0 and fp[2] == 0
+    assert fp[1] == 0 and fp[2] == 0   # agg still fingerprints blanks
     pairs = simhash_hamming_pairs(d, "doc_id", toks, max_hamming=0)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    assert (1, 2) in got
+    assert got == {(3, 4)}             # real dups pair; blanks/NULL never
 
 
 def test_minhash_keeps_boundary_similarity_pairs(spark):
