@@ -75,10 +75,16 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     requires a fresh app id (batch numbering restarts at 0, which the
     old app's mark would silently swallow).  With a fresh app id the
     source replays from scratch and convergence moves to the CONTENT
-    level: the anti-join drops everything already fingerprinted, so
-    re-processing is wasted work but never duplicated data — this
-    wrapper is the checkpoint-loss-safe composition the raw batch
-    sink cannot be on its own.
+    level: the anti-join drops everything already FINGERPRINTED.  That
+    covers every single-failure replay under the old app id, but NOT a
+    crash BETWEEN the two commits followed by a checkpoint reset: that
+    batch's documents are committed while its fingerprints never
+    landed, so the fresh app's anti-join cannot see them and would
+    re-append exactly that content (review-caught).  Run
+    :func:`repair_fingerprints` before switching app ids — it closes
+    the gap by re-deriving the fingerprint set from the committed
+    corpus itself, after which re-processing is wasted work but never
+    duplicated data.
 
     ``compact_every=N`` compacts both tables inside every Nth batch
     (file-count maintenance; foreachBatch bodies run sequentially per
@@ -119,3 +125,42 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
 
         compact(spark, out_path)
         compact(spark, hashes_path)
+
+
+def repair_fingerprints(spark: SparkSession, out_path: str,
+                        hashes_path: str, text_col: str) -> int:
+    """Re-derive fingerprints from the committed corpus and append the
+    ones ``hashes_path`` is missing; returns how many were added.
+
+    REQUIRED before a checkpoint reset (fresh ``app_id``): a crash
+    between the document commit and the fingerprint commit leaves
+    content in ``out_path`` that ``hashes_path`` doesn't know.  Under
+    the OLD app id the replay self-heals (the batch high-water mark
+    skips the document append and lands the fingerprints), but a fresh
+    app id replays from batch 0 and the anti-join would re-admit
+    exactly the unfingerprinted content — duplicating it.  The corpus
+    is the ground truth (documents commit FIRST, so every committed
+    fingerprint has its document; this closes the converse), making
+    the repair idempotent: a second run appends nothing.
+
+    Run it with the stream STOPPED — it uses a plain append, and a
+    concurrent batch's fingerprint commit would merge fine but the
+    corpus scan could miss in-flight documents."""
+    missing = (
+        read(spark, out_path)
+        .select(content_hash(text_col).alias("content_md5"))
+        .distinct()
+        .join(read(spark, hashes_path), "content_md5", "left_anti")
+    )
+    from ..operators.lifecycle import begin, pin_local_checkpoint
+    from ..sources.snapshot_table import append
+
+    # pin: the count and the append must see the same rows, and the
+    # append's schema check re-evaluates lazily
+    key = f"incremental_dedup_repair:{hashes_path}"
+    begin(key)
+    missing = pin_local_checkpoint(key, missing, eager=True)
+    n = missing.count()
+    if n:
+        append(spark, hashes_path, missing)
+    return n

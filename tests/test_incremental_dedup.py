@@ -138,3 +138,54 @@ def test_compact_every_bounds_file_growth(spark, tmp_path):
     m = st._read_manifest(out, st.current_version(out))
     assert m["op"] == "compact" and len(m["files"]) == 1
     assert st.read(spark, hashes).count() == 4
+
+
+def test_checkpoint_reset_after_partial_commit_needs_repair(
+        spark, tmp_path, monkeypatch):
+    """Round-6 review (low): crash BETWEEN the document commit and the
+    fingerprint commit, then a checkpoint reset to a fresh app_id —
+    the fresh replay starts at batch 0, so the high-water mark can't
+    save us and the anti-join can't see the unfingerprinted content.
+    repair_fingerprints() closes the gap from the corpus itself."""
+    from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (
+        repair_fingerprints,
+    )
+
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes, _docs(spark, [(0, "x")]))
+
+    # batch 0 under app A crashes between the two commits: documents
+    # landed, fingerprints did not
+    real = st.append_stream_batch
+    calls = {"n": 0}
+
+    def crash_after_docs(spark_, path, df, batch_id, app_id="default"):
+        calls["n"] += 1
+        if calls["n"] == 2:                      # the fingerprint commit
+            raise RuntimeError("crash")
+        return real(spark_, path, df, batch_id, app_id=app_id)
+
+    import data_warehouse_morrocan_banks_spark.streaming.incremental_dedup as mod
+    monkeypatch.setattr(mod, "append_stream_batch", crash_after_docs)
+    with pytest.raises(RuntimeError, match="crash"):
+        incremental_exact_dedup_batch(
+            spark, out, hashes, _docs(spark, [(1, "aa"), (2, "bb")]), 0,
+            "text", "doc_id", app_id="appA")
+    monkeypatch.setattr(mod, "append_stream_batch", real)
+    assert _ids(spark, out) == [1, 2]
+    assert st.read(spark, hashes).count() == 0   # the gap
+
+    # repair re-derives fingerprints from the committed corpus
+    assert repair_fingerprints(spark, out, hashes, "text") == 2
+    assert repair_fingerprints(spark, out, hashes, "text") == 0  # idempotent
+
+    # fresh app id replays from batch 0: content-level dedup holds
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(1, "aa"), (2, "bb")]), 0,
+        "text", "doc_id", app_id="appB")
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(3, "aa"), (4, "new")]), 1,
+        "text", "doc_id", app_id="appB")
+    assert _ids(spark, out) == [1, 2, 4]
+    assert st.read(spark, hashes).count() == 3
