@@ -226,7 +226,9 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
 
 
 def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
-                      k: int = 8, carry: list[str] | None = None) -> DataFrame:
+                      k: int = 8, carry: list[str] | None = None,
+                      dup_broadcast_max: int = 500_000,
+                      rem_broadcast_max: int = 200_000) -> DataFrame:
     """Exact k-token span dedup, keep-first — the corpus-rewrite form
     of duplicate removal (vs. :func:`dedup_exact_content`, which drops
     whole documents): every k-gram that occurs more than once in the
@@ -259,10 +261,41 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     hash128) gram table — documents themselves never shuffle; the
     argmin is one partial-aggregating groupBy on the gram hash
     (map-side combine absorbs hot boilerplate grams, the skew-safe
-    form — deliberately NOT a per-key window); winners join back on
-    the hash (AQE broadcasts while small); removed starts aggregate
-    per document (ONE row per doc, bounded by n/1 starts) and join
-    back id-to-id.  The per-document cut pre-merges the sorted
+    form — deliberately NOT a per-key window); the join-back side is
+    pre-filtered to DUPLICATED winners only (count > 1 — a unique
+    gram's sole occurrence IS its winner and can never be removed),
+    lifecycle-pinned and COUNTED, and the count drives an explicit
+    broadcast/shuffle decision (``dup_broadcast_max``, the
+    corpus-derived-plan convention).  On natural corpora duplicate
+    families are a sliver of the vocabulary (sf0.1 probe corpus:
+    ~8.6 k of 225 k distinct grams), so the join broadcasts and the
+    gram table shuffles exactly ONCE (the groupBy, inside the count
+    job; the main job joins the cached families against a re-scanned
+    map-only gram build).  The decision must be explicit: without it
+    the winners side is |distinct grams| ≈ |grams|, the static
+    planner picks SortMergeJoin past the broadcast threshold, and
+    even when AQE later converts to broadcast the probe side's
+    shuffle files are already written — the round-5 probe read that
+    one-time transition as a 20.1x shuffle-byte ratio at 10x
+    (attribution measured in SCALE.md; intermediates scale exactly
+    10.0x).  Past ``dup_broadcast_max`` families (pathological
+    corpora) the join degrades to the same co-partitioned SMJ as
+    before — never a driver OOM.  Removed starts aggregate per
+    document (ONE row per doc, bounded by n/1 starts) and join back
+    id-to-id under the same measured decision (``rem_broadcast_max``):
+    on natural corpora the affected-document frame broadcasts, so the
+    token-array frame — the WIDEST frame here, effectively the whole
+    corpus — never shuffles at all.  Net on natural corpora: the only
+    corpus-sized exchange in the entire operator is the slim
+    (id, start, hash) groupBy; the corpus is scanned three times
+    (two decision counts + the rebuild) and shuffled zero times —
+    scans are cheaper than shuffles (no write+re-read, no network),
+    the right trade at 100 TB.
+
+    Generation contract: the returned frame reads a persist-pinned
+    families frame released at the NEXT ``dedup_spans_exact`` call
+    (lifecycle pattern); a stale re-read recomputes from lineage —
+    results never change, only the caching.  The per-document cut pre-merges the sorted
     removed starts into disjoint coverage intervals (one fold), so
     the higher-order filter is O(n·|intervals|) — a pathologically
     repetitive document whose every gram is a duplicate collapses to
@@ -301,16 +334,39 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
         )
     )
     winners = grams.groupBy("__h").agg(
-        F.min(F.struct("__id", "__s")).alias("__w")
+        F.min(F.struct("__id", "__s")).alias("__w"),
+        F.count(F.lit(1)).alias("__c"),
     )
+    # only duplicated grams can remove anything: a count-1 gram's sole
+    # occurrence is its winner, so the join side is |duplicate
+    # families| (broadcastable on natural corpora), never
+    # |vocabulary|.  Pin + count, then decide the join strategy from
+    # the measured size — see the docstring's plan-shape notes.
+    from .lifecycle import begin, pin
+
+    begin("dedup_spans_exact")
+    dup_winners = pin("dedup_spans_exact",
+                      winners.filter(F.col("__c") > 1).drop("__c"))
+    n_families = dup_winners.count()
+    join_side = (F.broadcast(dup_winners)
+                 if n_families <= dup_broadcast_max else dup_winners)
     removed = (
-        grams.join(winners, "__h", "inner")
+        grams.join(join_side, "__h", "inner")
         .filter(F.struct("__id", "__s") != F.col("__w"))
         .select("__id", "__s")
     )
     rem_starts = removed.groupBy("__id").agg(
         F.array_sort(F.collect_list("__s")).alias("__S")
     )
+    # same measured decision for the final join: rem_starts is one row
+    # per AFFECTED document — a sliver of the corpus on natural data —
+    # and broadcasting it keeps the token-array frame (the corpus
+    # itself) from ever shuffling.  Rows are wider here (removed-start
+    # arrays), hence the lower default cap.
+    rem_starts = pin("dedup_spans_exact", rem_starts)
+    n_affected = rem_starts.count()
+    rem_side = (F.broadcast(rem_starts)
+                if n_affected <= rem_broadcast_max else rem_starts)
 
     # merge the sorted removed starts into disjoint coverage intervals
     # (a left fold: starts ascend, so each [s, s+k-1] either extends
@@ -341,7 +397,7 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
         F.col("__iv"), lambda iv: (iv["lo"] <= i + 1) & (i + 1 <= iv["hi"])
     )
     return (
-        toks.join(rem_starts, "__id", "left")
+        toks.join(rem_side, "__id", "left")
         .withColumn("__S", F.coalesce("__S", F.array().cast("array<int>")))
         .withColumn("__iv", intervals)
         .withColumn("__kept", F.filter("__t", lambda t, i: ~covered(i)))

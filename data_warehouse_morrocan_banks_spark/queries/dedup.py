@@ -33,6 +33,43 @@ from ..registry import register
 from ..session import ensure_query_confs
 from ..sources.readers import table
 
+
+def _snapshot_roundtrip(spark: SparkSession, df: DataFrame,
+                        sf_dir: str, name: str) -> DataFrame:
+    """Route a query source through the transactional snapshot layer
+    (parquet write → atomic manifest commit → snapshot-isolated read),
+    so the driver's DuckDB oracle gate proves the layer end-to-end —
+    create/overwrite/read/vacuum all under a hash-checked query
+    (round-6; the layer was previously pytest-only).  Values are
+    identical to the direct frame by construction; the staging lives
+    under the gitignored spark-warehouse/ dir, keyed by sf tag so
+    driver (sf0.01), bench (sf0.1) and smoke (sf0.001) runs don't
+    collide."""
+    import os
+
+    from ..sources import snapshot_table as st
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(repo, "spark-warehouse", "dwmb_snapshots",
+                        f"{name}_{tag}")
+    if st.current_version(path) is None:
+        try:
+            st.create(spark, path, df)
+        except st.ConcurrentWriteError:
+            # lost the create race to a parallel run — fall through
+            st.overwrite(spark, path, df)
+    else:
+        # testdata regenerates between rounds: always commit a fresh
+        # version; readers pin the manifest they resolved (snapshot
+        # isolation), so a concurrent run is never half-updated
+        st.overwrite(spark, path, df)
+    # bound history growth across rounds; the age window keeps an
+    # in-flight parallel writer's staging safe (ADVICE r5)
+    st.vacuum(path, keep_last=3, min_age_s=600)
+    return st.read(spark, path)
+
 # --- D1 + D5 + T9: key-based dedup keep-first, synthetic business key -------
 # Reference: drop_duplicates(subset=['review_id'], keep='first') on a
 # frame ordered collected_at DESC (run_phase2_transformation.py:70-74)
@@ -93,7 +130,12 @@ FROM part
 @register("q_d123_dedup_suite", oracle=_D123_ORACLE)
 def q_d123_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    ev = table(spark, sf_dir, "events")
+    # the events source round-trips through the snapshot-table layer
+    # (write → manifest commit → snapshot read) — the driver's oracle
+    # hash-check on this suite is therefore also the transactional
+    # layer's end-to-end gate (round-6 ask #7)
+    ev = _snapshot_roundtrip(
+        spark, table(spark, sf_dir, "events"), sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     p = table(spark, sf_dir, "part")
 

@@ -55,6 +55,25 @@ def replicate(df, n, key_cols):
     return out
 
 
+def replicate_cross(df, n, key_cols):
+    """Same content as :func:`replicate` but via a broadcast crossJoin
+    with an n-row copy index — ONE plan node instead of an n-way
+    union, which is what makes 100x replication analyzable (a 100-arm
+    union bloats Catalyst analysis; the expansion itself is map-only
+    either way)."""
+    spark = df.sparkSession
+    copies = F.broadcast(
+        spark.range(n).select(F.col("id").alias("__copy")))
+    out = df.crossJoin(copies)
+    for k in key_cols:
+        out = out.withColumn(
+            k,
+            F.col(k).cast("long")
+            + F.col("__copy") * F.lit(1_000_000_000).cast("long"),
+        )
+    return out.drop("__copy")
+
+
 def completed_stages(spark):
     """Completed-stage metrics from the UI REST API, keyed by
     (stageId, attemptId).  Returns None (probe degrades to wall-only)
@@ -429,8 +448,97 @@ def main(smoke: bool = False, out_path: str | None = None):
                 results[f"{name}_{scale}x_shuffle_write_mb"] = stage_bytes["sw"]
                 results[f"{name}_{scale}x_spill_mb"] = stage_bytes["spill"]
         results[f"rows_{scale}x"] = n_rows
+
+        # --- attribution instrumentation (round-6) ---
+        # span_dedup output law: gram and removed-span counts derived
+        # from the OUTPUT frame (k=8 → grams/doc = max(n_raw-7, 0)),
+        # so the artifact records whether the answer itself grows
+        # super-linearly (it doesn't: both scale exactly with rows).
+        sp = span_dedup(d_s).agg(
+            F.sum(F.greatest(F.col("n_tokens_raw") - F.lit(7),
+                             F.lit(0))).alias("g"),
+            F.sum("n_spans_removed").alias("r"),
+            F.count(F.when(F.col("n_spans_removed") > 0, 1)).alias("a"),
+        ).first()
+        results[f"span_dedup_grams_{scale}x"] = int(sp["g"])
+        results[f"span_dedup_removed_{scale}x"] = int(sp["r"])
+        results[f"span_dedup_affected_docs_{scale}x"] = int(sp["a"])
+
+        # global_rank wall split: the boundary pass (percentile_approx
+        # over the input — a full extra aggregate job) vs the rank
+        # stage (bucket + window + offsets, boundaries given).
+        from data_warehouse_morrocan_banks_spark.operators.windows import (
+            global_rank,
+        )
+        n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        t0 = time.perf_counter()
+        row = li_s.select(F.percentile_approx(
+            F.col("l_extendedprice").cast("double"),
+            F.array(*[F.lit(i / n_b) for i in range(1, n_b)]),
+            F.lit(10_000)).alias("b")).first()
+        results[f"global_rank_boundary_{scale}x"] = round(
+            time.perf_counter() - t0, 2)
+        bnds = [b for b in row["b"] if b is not None]
+        t0 = time.perf_counter()
+        global_rank(li_s, ["l_extendedprice"], kind="rank",
+                    boundaries=bnds).write.format("noop").mode(
+                        "overwrite").save()
+        results[f"global_rank_rankstage_{scale}x"] = round(
+            time.perf_counter() - t0, 2)
+        if scale == 1:
+            # cluster-scale bucket count: B=2000 exercises the
+            # array-fold assignment path (O(B) per row) and 2000
+            # window tasks on 600k rows — the per-row cost question
+            t0 = time.perf_counter()
+            global_rank(li_s, ["l_extendedprice"], kind="rank",
+                        num_partitions=2000).write.format("noop").mode(
+                            "overwrite").save()
+            results["global_rank_b2000_1x"] = round(
+                time.perf_counter() - t0, 2)
+
         for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s):
             f_.unpersist()
+
+    # --- 100x section (round-6 ask): one point beyond the 10x
+    # anchor for the slim shapes that fit the box at 60 M rows.
+    # Smoke runs it at 2x so the section's code cannot land
+    # unexecuted; reps=1 (bytes are the evidence at this size).
+    xs = 2 if smoke else 100
+    li_x = replicate_cross(li, xs, ["l_orderkey"]).cache()
+    results[f"rows_{xs}x"] = li_x.count()
+    d_x = replicate_cross(docs, xs, ["doc_id"]).cache(); d_x.count()
+    z_x = zipf_docs(6_000 * xs).cache(); z_x.count()
+    for name, fn, frame in (
+        ("q1_agg", q1, li_x),
+        ("pack_streaming", pack, d_x),
+        ("minhash_banded", minhash, z_x),
+        ("global_rank", grank, li_x),
+    ):
+        before = completed_stages(spark)
+        t0 = time.perf_counter()
+        fn(frame).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        after = completed_stages(spark)
+        results[f"{name}_{xs}x"] = round(wall, 2)
+        if before is not None and after is not None:
+            new = [v for k, v in after.items() if k not in before]
+            mb = 1024.0 * 1024.0
+            results[f"{name}_{xs}x_shuffle_write_mb"] = round(
+                sum(s["shuffleWriteBytes"] for s in new) / mb, 1)
+            results[f"{name}_{xs}x_spill_mb"] = round(sum(
+                s["memoryBytesSpilled"] + s["diskBytesSpilled"]
+                for s in new) / mb, 1)
+        if not smoke:
+            results[f"{name}_scaling_ratio_{xs}x"] = round(
+                results[f"{name}_{xs}x"]
+                / max(results[f"{name}_1x"], 1e-9), 1)
+            w1 = results.get(f"{name}_1x_shuffle_write_mb")
+            wx = results.get(f"{name}_{xs}x_shuffle_write_mb")
+            if w1 is not None and wx is not None and w1 > 0:
+                results[f"{name}_shuffle_write_ratio_{xs}x"] = round(
+                    wx / w1, 1)
+    for f_ in (li_x, d_x, z_x):
+        f_.unpersist()
 
     if smoke:
         # the assertion IS the product here: every shape must have run
@@ -440,6 +548,13 @@ def main(smoke: bool = False, out_path: str | None = None):
                    if f"{n}_1x" not in results
                    or f"{n}_1x_shuffle_write_mb" not in results]
         assert not missing, f"smoke: shapes without wall+bytes: {missing}"
+        # round-6 instrumentation must also be live
+        for key in ("span_dedup_grams_1x", "span_dedup_removed_1x",
+                    "global_rank_boundary_1x", "global_rank_rankstage_1x",
+                    "global_rank_b2000_1x", "q1_agg_2x",
+                    "pack_streaming_2x", "minhash_banded_2x",
+                    "global_rank_2x"):
+            assert key in results, f"smoke: missing instrumentation {key}"
     else:
         for name in SHAPE_NAMES:
             results[f"{name}_scaling_ratio"] = round(

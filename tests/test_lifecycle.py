@@ -108,3 +108,45 @@ def test_checkpoint_release_degrades_to_warning_on_api_drift(spark, monkeypatch)
         lifecycle.begin("__drift_test")  # must not raise
     # the generation entry is consumed even on the degraded path
     lifecycle.begin("__drift_test")
+
+
+def test_span_dedup_repeated_invocations_flat_storage(spark):
+    """dedup_spans_exact pins TWO frames per invocation (duplicate
+    families + affected-doc removed starts, both backing measured
+    broadcast decisions); steady state must stay one generation."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    counts_after = []
+    results = []
+    for _ in range(3):
+        out = dedup_spans_exact(docs, "text", "doc_id")
+        results.append(
+            tuple(out.agg(F.sum("n_spans_removed"),
+                          F.sum("n_tokens_kept")).first()))
+        counts_after.append(_pinned(spark))
+    assert results[0] == results[1] == results[2]
+    assert counts_after[0] == counts_after[1] == counts_after[2]
+    release_all()
+    assert _pinned(spark) == 0
+
+
+def test_span_dedup_smj_fallback_same_result(spark):
+    """Forcing both measured decisions past their caps (broadcast_max=0
+    -> co-partitioned SMJ everywhere) must not change a single value —
+    the decision affects only the exchange strategy."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    docs = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .limit(200))
+    a = {tuple(r) for r in dedup_spans_exact(
+        docs, "text", "doc_id").collect()}
+    b = {tuple(r) for r in dedup_spans_exact(
+        docs, "text", "doc_id",
+        dup_broadcast_max=0, rem_broadcast_max=0).collect()}
+    assert a == b
+    release_all()

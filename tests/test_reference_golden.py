@@ -156,3 +156,42 @@ def test_textblob_udf_wiring_via_stub_module(spark, monkeypatch):
     assert out[3]["label"] == "Neutral"         # 0.05 < +0.1 threshold
     assert out[3]["subjectivity"] == 0.6
     assert out[4]["label"] == "Neutral" and out[4]["score"] == 0.0  # NULL→''
+
+
+def test_textblob_udf_real_library_smoke(spark):
+    """Real-TextBlob execution of the lib-backed sentiment path
+    (nlp_processor_simple.py:77-121) — runs whenever the environment
+    ships the library.
+
+    RECORDED IMPOSSIBILITY NOTE (round 6): this sandbox bakes its
+    Python environment and forbids package installation (no pip/apt),
+    and ``textblob`` is not in the image, so in CI here this test
+    SKIPS and the real-library path cannot execute; the stub-injection
+    test above pins the complete UDF wiring (column mapping, ±0.1
+    thresholds, confidence clip, NULL fill) against a deterministic
+    in-process TextBlob.  In any environment that provides the real
+    library this smoke goes green with no code change."""
+    import pytest as _pytest
+
+    _pytest.importorskip("textblob")
+    from data_warehouse_morrocan_banks_spark.nlp.sentiment import (
+        textblob_sentiment_udf,
+    )
+
+    udf = textblob_sentiment_udf()
+    df = spark.createDataFrame(
+        [(1, "The service was excellent and fast"),
+         (2, "Terrible waiting time, very bad agency"),
+         (3, "The branch is on Main Street"),
+         (4, None)],
+        "id INT, text STRING",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", udf("text").alias("s")).select(
+        "id", "s.score", "s.label", "s.confidence").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert r["label"] in ("Positive", "Negative", "Neutral")
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert -1.0 <= r["score"] <= 1.0
+    assert rows[4]["label"] == "Neutral" and rows[4]["score"] == 0.0

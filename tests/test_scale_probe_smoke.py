@@ -31,10 +31,20 @@ def test_scaling_probe_smoke(tmp_path):
     # one wall + three byte fields per shape — the probe asserted this
     # internally too; re-check from the artifact so a silent rewrite
     # of the probe's own assertion can't pass unnoticed
+    # shape keys carry byte fields; instrumentation keys (span_dedup
+    # output-law counts, global_rank stage split — round 6) are
+    # wall/count-only and identified by not having a write_mb sibling
     shapes = [k[: -len("_1x")] for k in rec
-              if k.endswith("_1x") and k != "rows_1x"]
+              if k.endswith("_1x") and k != "rows_1x"
+              and f"{k[: -len('_1x')]}_1x_shuffle_write_mb" in rec]
     assert len(shapes) >= 14
     for n in shapes:
         assert isinstance(rec[f"{n}_1x"], (int, float))
         for suffix in ("shuffle_read_mb", "shuffle_write_mb", "spill_mb"):
             assert f"{n}_1x_{suffix}" in rec, (n, suffix)
+    # the round-6 instrumentation keys themselves (the probe asserts
+    # these internally; re-check from the artifact)
+    for key in ("span_dedup_grams_1x", "span_dedup_removed_1x",
+                "global_rank_boundary_1x", "global_rank_rankstage_1x",
+                "global_rank_b2000_1x", "q1_agg_2x", "minhash_banded_2x"):
+        assert key in rec, key
