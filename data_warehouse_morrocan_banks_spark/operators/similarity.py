@@ -398,10 +398,23 @@ def _dense_vocab_ranks(freq: DataFrame, vocab_shards: int = 1) -> DataFrame:
         .drop("__shard", "__lr", "__off")
 
 
+# dedup_sets="auto" engages the set-dedup guard when the estimated
+# distinct-set ratio drops below this: the guard's window shuffle must
+# shrink the pairing input enough to pay for itself.  Measured
+# (min-of-4, one process, idle box, sf0.1-scale): driver corpus
+# ratio 0.853 → guard WINS (2.64 s vs 3.18 s off — deduping 15% of a
+# degenerate vocabulary shrinks the candidate stage superlinearly);
+# Zipf natural corpus ratio 0.987 → guard is pure overhead (5.49 s
+# vs 4.77 s off).  0.9 splits the measured crossover; the HLL
+# estimate itself is map-side only (~10 ms) and strategy-only —
+# exactness never depends on it.
+_DEDUP_SETS_AUTO_RATIO = 0.9
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 group_col: str, threshold: float = 0.9,
                                 nd: int = 6, vocab_shards: int = 1,
-                                dedup_sets: bool = True,
+                                dedup_sets: bool | str = "auto",
                                 include_group: bool = False) -> DataFrame:
     """EXACT all-pairs token-set Jaccard ≥ threshold without an
     all-pairs join — prefix filtering (Chaudhuri/Bayardo AllPairs).
@@ -499,7 +512,15 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     grow, so candidate-generation work saturates too and only the
     unavoidable output expansion scales with n; on a natural corpus
     sets are ~all unique and the guard costs one extra keyed shuffle.
-    Output is identical either way (pytest-pinned).
+    The DEFAULT is ``"auto"`` (round-6 ask #5): a map-side
+    ``approx_count_distinct`` over (group, sorted set) — partial HLL
+    sketches, no data-sized shuffle — estimates the distinct-set
+    ratio, and the guard engages only below
+    ``_DEDUP_SETS_AUTO_RATIO`` (0.9 — measured crossover, see the
+    constant's comment; HLL's ~2% error is noise against that
+    margin, and the estimate is strategy-only — exactness never
+    depends on it).  Output is identical for auto/True/False
+    (pytest-pinned).
     """
     from pyspark.sql import Window
 
@@ -515,6 +536,15 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             whitespace_tokens(F.lower(F.col(text_col)))
         ).alias("__t"),
     ).withColumn("__n", F.size("__t"))
+
+    if dedup_sets == "auto":
+        est = toks.agg(
+            F.approx_count_distinct(
+                F.struct("__grp", F.array_sort("__t"))).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        dedup_sets = (est["n"] > 0
+                      and est["d"] / est["n"] < _DEDUP_SETS_AUTO_RATIO)
 
     members = None
     if dedup_sets:

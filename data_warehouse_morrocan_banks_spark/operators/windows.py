@@ -40,6 +40,40 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
     return df.withColumn(key_name, F.monotonically_increasing_id())
 
 
+def _searchsorted_bucket(lead_expr: Column, boundaries: list,
+                         asc: bool) -> Column:
+    """Bucket id for >64 literal boundaries: ``np.searchsorted`` over
+    the sorted boundary array inside an Arrow-batched pandas UDF —
+    O(log B) per row, vectorized in C across each batch.  Exact same
+    semantics as the chained-when form: #boundaries STRICTLY below
+    the key (``side='left'``), NULL keys → 0 below (bucket 0 asc,
+    last bucket desc).  The closure captures only plain Python values
+    (cloudpickle by value — no module-global references)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_b = len(boundaries)
+
+    def _assign(v):
+        import numpy as np
+        import pandas as _pd
+
+        b = np.asarray(boundaries)
+        vals = v.to_numpy()
+        null = _pd.isna(vals)
+        safe = np.where(null, b[0], vals)
+        ab = np.searchsorted(b, safe, side="left")
+        ab[null] = 0
+        out = ab if asc else n_b - ab
+        return _pd.Series(out.astype("int32"))
+
+    # real class objects, not strings: the module's `from __future__
+    # import annotations` would stringify inline hints and the UDF
+    # type-hint resolver can't see a function-local `pd`
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")(lead_expr)
+
+
 def global_rank(df: DataFrame, order_by: list[Column | str],
                 kind: str = "rank", out_col: str = "rank",
                 ascending: bool | list[bool] = True,
@@ -122,26 +156,28 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     # ascending bucket: #boundaries strictly below the key; NULL
     # compares to nothing → bucket 0 (asc, NULLS FIRST) and flips to
     # the last bucket under desc (NULLS LAST).  Form depends on
-    # boundary count (review-caught): chained when/sum codegens well
-    # but builds a B-deep Catalyst tree — at cluster-tuned
-    # shuffle.partitions (2000-10000) analysis and codegen crawl, so
-    # past 64 boundaries the count folds over ONE array literal
-    # (shallow tree, interpreted per element).  Either way per-row
-    # cost is O(B); B also sets the rank stage's parallelism (one
-    # window task per bucket), so size num_partitions to
-    # rows-per-task, not per-row comparisons.
+    # boundary count: ≤64 boundaries use a chained when/sum (stays in
+    # whole-stage codegen, O(B) per row but JVM-compiled and B tiny);
+    # past 64 — cluster-tuned bucket counts of 2000-10000 — the
+    # assignment is np.searchsorted inside an Arrow-batched pandas
+    # UDF: O(log B) per row, vectorized in C over the whole batch.
+    # The first >64 form folded over an array literal with a HOF
+    # lambda — O(B) INTERPRETED steps per row, measured 363 s for
+    # 600 k rows at B=2000 (SCALEPROBE_r06 global_rank_b2000 before
+    # the fix) vs ~1 s with searchsorted: exactly the CLAUDE.md
+    # "UDFs are the slow path, EXCEPT where expressions can't
+    # express it efficiently" carve-out.  B also sets the rank
+    # stage's parallelism (one window task per bucket), so size
+    # num_partitions to rows-per-task.
     if len(boundaries) <= 64:
         ab = sum((F.when(lead_expr > F.lit(b), 1).otherwise(0)
                   for b in boundaries), F.lit(0))
+        bucket = ab if ascending[0] else F.lit(len(boundaries)) - ab
     elif boundaries:
-        ab = F.aggregate(
-            F.array(*[F.lit(b) for b in boundaries]),
-            F.lit(0),
-            lambda acc, b: acc + F.when(lead_expr > b, 1).otherwise(0),
-        )
+        bucket = _searchsorted_bucket(
+            lead_expr, list(boundaries), ascending[0])
     else:
-        ab = F.lit(0)
-    bucket = ab if ascending[0] else F.lit(len(boundaries)) - ab
+        bucket = F.lit(0)
     staged = df.withColumn("__gr_bkt", bucket)
     # pin: the percentile job already scanned the input once, and the
     # rank subtree + offsets subtree would each recompute its full

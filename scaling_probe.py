@@ -71,7 +71,14 @@ def replicate_cross(df, n, key_cols):
             F.col(k).cast("long")
             + F.col("__copy") * F.lit(1_000_000_000).cast("long"),
         )
-    return out.drop("__copy")
+    # the crossJoin keeps the INPUT's partition count (a handful of
+    # parquet splits), so without this the 100x cache has 100x rows
+    # in ~8 partitions and every downstream shape is parallelism-
+    # capped at 8 tasks — the first 100x run read that artifact as
+    # 29 s for a 60 M-row hash aggregate.  Round-robin also breaks up
+    # the 100-adjacent-copies runs that made shuffle bytes
+    # artificially compressible.
+    return out.drop("__copy").repartition(256)
 
 
 def completed_stages(spark):
@@ -464,6 +471,29 @@ def main(smoke: bool = False, out_path: str | None = None):
         results[f"span_dedup_removed_{scale}x"] = int(sp["r"])
         results[f"span_dedup_affected_docs_{scale}x"] = int(sp["a"])
 
+        # dedup_sets guard cost, on vs off (round-6 ask #5): min-of-2
+        # on BOTH corpora — the degenerate driver vocabulary (guard
+        # wins) and the Zipfian natural one (guard is overhead);
+        # the auto default's 0.9 ratio threshold is derived from
+        # these rows.
+        if scale == 1:
+            for corpus, frame_ in (("drv", d_s), ("zipf", z_s)):
+                for flag in (True, False):
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        from data_warehouse_morrocan_banks_spark.operators.similarity import (  # noqa: E501
+                            prefix_filter_jaccard_pairs,
+                        )
+                        prefix_filter_jaccard_pairs(
+                            frame_, "text", "doc_id", "lang",
+                            threshold=0.9, dedup_sets=flag,
+                        ).write.format("noop").mode("overwrite").save()
+                        best = min(best, time.perf_counter() - t0)
+                    key = "on" if flag else "off"
+                    results[f"jaccard_{corpus}_dedup_sets_{key}_1x"] = \
+                        round(best, 2)
+
         # global_rank wall split: the boundary pass (percentile_approx
         # over the input — a full extra aggregate job) vs the rank
         # stage (bucket + window + offsets, boundaries given).
@@ -508,6 +538,14 @@ def main(smoke: bool = False, out_path: str | None = None):
     results[f"rows_{xs}x"] = li_x.count()
     d_x = replicate_cross(docs, xs, ["doc_id"]).cache(); d_x.count()
     z_x = zipf_docs(6_000 * xs).cache(); z_x.count()
+    # record the derived band plans so byte ratios attribute to the
+    # n·bands(n) law, not conjecture
+    from data_warehouse_morrocan_banks_spark.operators.similarity import (
+        minhash_band_plan,
+    )
+    for nn, tag in ((6_000, "1x"), (6_000 * xs, f"{xs}x")):
+        r_, b_ = minhash_band_plan(nn, 0.9)
+        results[f"minhash_plan_{tag}"] = f"r={r_},b={b_}"
     for name, fn, frame in (
         ("q1_agg", q1, li_x),
         ("pack_streaming", pack, d_x),
@@ -553,7 +591,8 @@ def main(smoke: bool = False, out_path: str | None = None):
                     "global_rank_boundary_1x", "global_rank_rankstage_1x",
                     "global_rank_b2000_1x", "q1_agg_2x",
                     "pack_streaming_2x", "minhash_banded_2x",
-                    "global_rank_2x"):
+                    "global_rank_2x", "jaccard_drv_dedup_sets_on_1x",
+                    "jaccard_zipf_dedup_sets_off_1x"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         for name in SHAPE_NAMES:

@@ -163,12 +163,50 @@ def test_prefix_filter_set_dedup_path_equality(spark):
     off = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
            for r in prefix_filter_jaccard_pairs(d, dedup_sets=False,
                                                 **kw).collect()}
-    assert on == off
+    auto = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+            for r in prefix_filter_jaccard_pairs(d, dedup_sets="auto",
+                                                 **kw).collect()}
+    assert on == off == auto
     assert (1, 2) in on and on[(1, 2)] == 1.0     # within-set
     assert (1, 9) in on and (2, 9) in on          # 3-member set, full clique
     assert (1, 3) in on and on[(1, 3)] == 0.8     # cross-set expansion
     assert (7, 8) in on                           # groups stay separated
     assert all(4 not in p and 5 not in p for p in on)  # blanks never pair
+
+
+def test_prefix_filter_dedup_sets_auto_picks_by_ratio(spark):
+    """auto mode is strategy-only: a duplicate-heavy corpus engages the
+    set-dedup path (one extra lifecycle-pinned frame — the tagged
+    set-representative frame), an all-unique corpus skips it, and
+    outputs match the forced modes either way."""
+    from data_warehouse_morrocan_banks_spark.operators.lifecycle import (
+        _GENERATIONS,
+        release_all,
+    )
+
+    dup_heavy = spark.createDataFrame(
+        [(i, "g", "alpha beta gamma") for i in range(8)]
+        + [(100, "g", "unrelated tokens entirely")],
+        "doc_id INT, grp STRING, text STRING")
+    uniq = spark.createDataFrame(
+        [(i, "g", f"tok{i} tok{i + 1} tok{i + 2}") for i in range(9)],
+        "doc_id INT, grp STRING, text STRING")
+    kw = dict(text_col="text", id_col="doc_id", group_col="grp",
+              threshold=0.9)
+
+    a = {(r["id_a"], r["id_b"]) for r in
+         prefix_filter_jaccard_pairs(dup_heavy, dedup_sets="auto",
+                                     **kw).collect()}
+    pins_dup = len(_GENERATIONS.get("jaccard_prefix", []))
+    prefix_filter_jaccard_pairs(uniq, dedup_sets="auto", **kw).collect()
+    pins_uniq = len(_GENERATIONS.get("jaccard_prefix", []))
+    # the duplicate-heavy run pins exactly one more frame (the tag)
+    assert pins_dup == pins_uniq + 1
+    b = {(r["id_a"], r["id_b"]) for r in
+         prefix_filter_jaccard_pairs(dup_heavy, dedup_sets=False,
+                                     **kw).collect()}
+    assert a == b and len(a) == 28  # C(8,2) identical-set clique
+    release_all()
 
 
 def test_prefix_filter_plan_has_no_all_pairs_join(spark):
