@@ -40,6 +40,20 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
     return df.withColumn(key_name, F.monotonically_increasing_id())
 
 
+# global_rank's self-sizing (num_partitions=None): bucket count =
+# rows / _TARGET_ROWS_PER_BUCKET (bounded below by shuffle.partitions,
+# above by the quantile grid's resolution).  250k rows sort in-memory
+# in one window task comfortably; the probe's 100x point (60 M rows)
+# spilled 7.4 GB at the old default B=32 (1.9 M rows/task) and sizes
+# to B=240 under this rule.
+_TARGET_ROWS_PER_BUCKET = 250_000
+# grid extraction cost is linear in points (measured 0.44 s at 31 →
+# 1.17 s at 2047 on the sf0.1 frame; accuracy is irrelevant to it):
+# 1024 keeps the one-pass overhead ~0.3 s and self-sizes up to
+# 1024 × 250k = 256 M rows — beyond that pass num_partitions.
+_BOUNDARY_GRID = 1024
+
+
 def _searchsorted_bucket(lead_expr: Column, boundaries: list,
                          asc: bool) -> Column:
     """Bucket id for >64 literal boundaries: ``np.searchsorted`` over
@@ -117,8 +131,14 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     the last for descending — Spark's NULLS FIRST/LAST defaults.
 
     ``num_partitions`` is the bucket count = the rank stage's
-    parallelism (one window task per bucket) AND the per-row bucket
-    assignment cost (O(B) comparisons) — size it to rows-per-task.
+    parallelism (one window task per bucket).  Default (None):
+    SELF-SIZED to rows-per-task — the same pass that collects the
+    quantile grid counts the rows, and B = rows/250k (bounded below
+    by shuffle.partitions, above by the 1024-point grid), so a
+    large frame never lands millions of rows in one window sort
+    (self-sizing covers 256 M rows; beyond, pass num_partitions).
+    Per-row assignment cost is O(B) chained-when below 65 boundaries
+    (codegen) and O(log B) vectorized searchsorted above.
     ``materialize=True`` (default) lifecycle-pins the bucketed frame
     so the rank and offsets subtrees read one computation instead of
     re-running the input lineage twice; pass ``False`` when the input
@@ -135,22 +155,48 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         raise ValueError("ascending flags must match order_by length")
     sort_exprs = [c.asc() if a else c.desc()
                   for c, a in zip(order_cols, ascending)]
-    if num_partitions is None:
-        try:
-            num_partitions = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            num_partitions = 200
+    try:
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = 200
     lead = order_cols[0]
     if boundaries is None:
-        probs = [i / num_partitions for i in range(1, num_partitions)]
-        row = df.select(F.percentile_approx(
-            lead.cast("double"), F.array(*[F.lit(p) for p in probs]),
-            F.lit(10_000)).alias("b")).first()
-        boundaries = [] if row is None or row["b"] is None else \
+        # ONE pass computes a fine quantile grid AND the row count;
+        # when num_partitions wasn't given, B then derives from
+        # rows-per-task (corpus-derived-plan convention) and the grid
+        # THINS to B-1 boundaries.  Without the sizing, the default B
+        # (= shuffle.partitions, 32 locally) put 1.9 M rows in each
+        # window task at the probe's 100x point — 7.4 GB of sort
+        # spill (SCALEPROBE_r06 pre-sizing).  B is capped at the grid
+        # resolution; genuinely larger clusters pass num_partitions
+        # (or boundaries) explicitly.
+        grid_n = num_partitions if num_partitions is not None \
+            else _BOUNDARY_GRID
+        probs = [i / grid_n for i in range(1, grid_n)]
+        row = df.select(
+            F.percentile_approx(
+                lead.cast("double"), F.array(*[F.lit(p) for p in probs]),
+                F.lit(10_000)).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        grid = [] if row is None or row["b"] is None else \
             [b for b in row["b"] if b is not None]
+        if num_partitions is None:
+            n_rows = 0 if row is None else row["n"]
+            num_partitions = min(
+                max(shuffle_parts,
+                    -(-n_rows // _TARGET_ROWS_PER_BUCKET)),
+                _BOUNDARY_GRID)
+            step = max(1, len(grid) // max(num_partitions, 1))
+            boundaries = grid[step - 1::step][: num_partitions - 1] \
+                if grid else []
+        else:
+            boundaries = grid
         lead_expr = lead.cast("double")
     else:
+        if num_partitions is None:
+            num_partitions = shuffle_parts
         boundaries = sorted(boundaries)
         lead_expr = lead
     # ascending bucket: #boundaries strictly below the key; NULL

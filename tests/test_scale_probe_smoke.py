@@ -48,3 +48,34 @@ def test_scaling_probe_smoke(tmp_path):
                 "global_rank_boundary_1x", "global_rank_rankstage_1x",
                 "global_rank_b2000_1x", "q1_agg_2x", "minhash_banded_2x"):
         assert key in rec, key
+
+
+def test_merge_min_walls_is_wall_only(tmp_path):
+    """--merge-min takes the per-key wall MINIMUM across runs of the
+    same code (the box shows multi-minute external noise windows no
+    in-process min-of-2 escapes) but must never touch byte/count
+    columns (deterministic per plan: current run wins) and must
+    recompute ratio keys from the merged walls."""
+    import json as _json
+
+    sys.path.insert(0, REPO)
+    from scaling_probe import merge_min_walls
+
+    cur = {"q1_agg_1x": 3.0, "q1_agg_10x": 6.0, "q1_agg_scaling_ratio": 2.0,
+           "q1_agg_1x_shuffle_write_mb": 1.0, "rows_1x": 5,
+           "span_dedup_grams_1x": 100,
+           "global_rank_100x": 50.0, "global_rank_1x": 2.0,
+           "global_rank_scaling_ratio_100x": 25.0}
+    prev = tmp_path / "prev.json"
+    prev.write_text(_json.dumps(
+        {"q1_agg_1x": 0.5, "q1_agg_10x": 9.0, "rows_1x": 4,
+         "q1_agg_1x_shuffle_write_mb": 0.2, "span_dedup_grams_1x": 1,
+         "global_rank_100x": 40.0}))
+    m = merge_min_walls(cur, str(prev))
+    assert m["q1_agg_1x"] == 0.5 and m["q1_agg_10x"] == 6.0
+    assert m["q1_agg_scaling_ratio"] == 12.0          # recomputed
+    assert m["q1_agg_1x_shuffle_write_mb"] == 1.0     # bytes untouched
+    assert m["span_dedup_grams_1x"] == 100            # counts untouched
+    assert m["rows_1x"] == 5
+    assert m["global_rank_scaling_ratio_100x"] == 20.0
+    assert m["merged_min_keys"] == ["global_rank_100x", "q1_agg_1x"]
