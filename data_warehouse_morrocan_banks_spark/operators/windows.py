@@ -44,14 +44,23 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
 # rows / _TARGET_ROWS_PER_BUCKET (bounded below by shuffle.partitions,
 # above by the quantile grid's resolution).  250k rows sort in-memory
 # in one window task comfortably; the probe's 100x point (60 M rows)
-# spilled 7.4 GB at the old default B=32 (1.9 M rows/task) and sizes
-# to B=240 under this rule.
+# spilled 5.6-7.4 GB at the old default B=32 (1.9 M rows/task) and
+# sizes to B=240 under this rule.
 _TARGET_ROWS_PER_BUCKET = 250_000
-# grid extraction cost is linear in points (measured 0.44 s at 31 →
-# 1.17 s at 2047 on the sf0.1 frame; accuracy is irrelevant to it):
-# 1024 keeps the one-pass overhead ~0.3 s and self-sizes up to
-# 1024 × 250k = 256 M rows — beyond that pass num_partitions.
+# self-sizing covers _BOUNDARY_GRID × 250k = 256 M rows — beyond
+# that pass num_partitions explicitly
 _BOUNDARY_GRID = 1024
+# the boundary sketch sees only ~1/64 of the rows: percentile_approx's
+# PER-ROW cost grows with its accuracy parameter and turns the pass
+# super-linear on big frames (measured on an 18 M-row cached frame:
+# 91 s at accuracy 10000 even with only 31 quantiles; 1.3 s at
+# accuracy 100) — and boundaries only affect BALANCE, never values,
+# so a row sample is exactly as good.  The sample keys on
+# xxhash64(monotonically_increasing_id) — layout-dependent, which is
+# benign here for the same reason (the sketch's own merge order
+# already is), and value-independent so low-cardinality leads don't
+# collapse the sample to a handful of distinct values.
+_BOUNDARY_SAMPLE_MOD = 64
 
 
 def _searchsorted_bucket(lead_expr: Column, boundaries: list,
@@ -174,9 +183,18 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         grid_n = num_partitions if num_partitions is not None \
             else _BOUNDARY_GRID
         probs = [i / grid_n for i in range(1, grid_n)]
-        row = df.select(
+        # the non-deterministic sample flag must live in a Project —
+        # Spark (correctly) rejects it inside an aggregate argument
+        samp = df.select(
+            lead.cast("double").alias("__gr_lead"),
+            (F.pmod(
+                F.xxhash64(F.monotonically_increasing_id(), F.lit(42)),
+                F.lit(_BOUNDARY_SAMPLE_MOD)) == 0).alias("__gr_in"),
+        )
+        row = samp.select(
             F.percentile_approx(
-                lead.cast("double"), F.array(*[F.lit(p) for p in probs]),
+                F.when(F.col("__gr_in"), F.col("__gr_lead")),
+                F.array(*[F.lit(p) for p in probs]),
                 F.lit(10_000)).alias("b"),
             F.count(F.lit(1)).alias("n"),
         ).first()
@@ -237,8 +255,22 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         begin("global_rank")
         staged = pin_local_checkpoint("global_rank", staged)
 
+    # EXPLICIT repartition of the RANK branch to B physical
+    # partitions keyed on the bucket — AFTER the checkpoint, which
+    # erases partitioning info (LogicalRDD reports Unknown, measured:
+    # a pre-checkpoint repartition is re-exchanged by the window back
+    # to spark.sql.shuffle.partitions).  Without it the window hashes
+    # __gr_bkt into the FIXED shuffle partition count — B bucket
+    # VALUES but constant physical parallelism, so "one window task
+    # per bucket" was never physically true and a 60 M-row frame
+    # sorted 1.9 M rows per task (2200 executor-seconds + 5.6 GB
+    # spill in one 32-task stage, SCALEPROBE_r06 pre-fix).  The
+    # offsets branch aggregates the un-repartitioned checkpoint (its
+    # own tiny exchange).  Per-task sort = ~one bucket (250k rows
+    # self-sized), spill-free.
+    ranked_src = staged.repartition(max(num_partitions, 1), "__gr_bkt")
     w_local = Window.partitionBy("__gr_bkt").orderBy(*sort_exprs)
-    local = staged.withColumn("__gr_local", kinds[kind]().over(w_local))
+    local = ranked_src.withColumn("__gr_local", kinds[kind]().over(w_local))
 
     # distinct keys need the BARE expressions (SortOrder wrappers are
     # not value expressions); direction only matters for ordering

@@ -282,33 +282,30 @@ def test_global_rank_equals_single_task_window(spark):
     li = table(spark, SF_SMOKE, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity")
 
+    # MULTISET compares throughout: (l_orderkey, l_linenumber) is NOT
+    # unique in the generated data (r6 debugging: a dict keyed on it
+    # keeps whichever duplicate collects last — plan-order-dependent
+    # phantom mismatches).  Equal sort keys get equal ranks, and for
+    # row_number identical full rows swap assignments symmetrically,
+    # so the row multiset is the faithful comparison either way.
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "rank"]
     for kind, fn in (("rank", F.rank), ("dense_rank", F.dense_rank)):
-        got = {
-            (r["l_orderkey"], r["l_linenumber"]): r["rank"]
-            for r in global_rank(li, ["l_quantity"], kind=kind,
-                                 num_partitions=7).collect()
-        }
+        got = sorted(map(tuple, global_rank(
+            li, ["l_quantity"], kind=kind,
+            num_partitions=7).select(*cols).collect()))
         w = Window.orderBy("l_quantity")
-        want = {
-            (r["l_orderkey"], r["l_linenumber"]): r["rank"]
-            for r in li.withColumn(
-                "rank", getattr(F, kind)().over(w)).collect()
-        }
+        want = sorted(map(tuple, li.withColumn(
+            "rank", getattr(F, kind)().over(w)).select(*cols).collect()))
         assert got == want, kind
 
     # row_number needs a TOTAL order; also exercise desc + layout
     total = ["l_quantity", "l_orderkey", "l_linenumber"]
-    got = {
-        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
-        for r in global_rank(li.repartition(13), total,
-                             kind="row_number", ascending=False,
-                             num_partitions=5).collect()
-    }
+    got = sorted(map(tuple, global_rank(
+        li.repartition(13), total, kind="row_number", ascending=False,
+        num_partitions=5).select(*cols).collect()))
     w = Window.orderBy(*[F.col(c).desc() for c in total])
-    want = {
-        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
-        for r in li.withColumn("rank", F.row_number().over(w)).collect()
-    }
+    want = sorted(map(tuple, li.withColumn(
+        "rank", F.row_number().over(w)).select(*cols).collect()))
     assert got == want
 
     # the DATA window is keyed on the literal-boundary bucket — the
@@ -343,14 +340,20 @@ def test_global_rank_wide_bucket_searchsorted_path(spark):
 
     li = table(spark, SF_SMOKE, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice")
+    # MULTISET compare: (l_orderkey, l_linenumber) is NOT unique in
+    # the generated data (debugged r6: a dict keyed on it silently
+    # keeps whichever duplicate collects last, and collection order
+    # changes with the plan — a phantom mismatch).  Equal prices get
+    # equal ranks, so the row multiset is the faithful comparison.
     w = Window.orderBy("l_extendedprice")
-    want = {(r["l_orderkey"], r["l_linenumber"]): r["rank"]
-            for r in li.withColumn("rank", F.rank().over(w)).collect()}
+    want = sorted(map(tuple, li.withColumn(
+        "rank", F.rank().over(w)).collect()))
     for mat in (True, False):
-        got = {(r["l_orderkey"], r["l_linenumber"]): r["rank"]
-               for r in global_rank(li, ["l_extendedprice"],
-                                    num_partitions=100,
-                                    materialize=mat).collect()}
+        got = sorted(map(tuple, global_rank(
+            li, ["l_extendedprice"], num_partitions=100,
+            materialize=mat).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "rank").collect()))
         assert got == want, f"materialize={mat}"
 
     # NULL leading keys + desc through the searchsorted path: NULLS
