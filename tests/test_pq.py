@@ -1,0 +1,190 @@
+"""Product-quantization ANN (operators/pq.py).
+
+Evidence standard mirrors the rest of the ANN family: recall against
+the EXACT scan is measured, determinism is proven across partition
+layouts, and plan shape (map-only encode, broadcast probe join) is
+asserted — never assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.pq import (
+    ivf_pq_index,
+    ivf_pq_search,
+    pq_encode,
+    pq_rerank_exact,
+    pq_search_adc,
+    pq_train,
+    suggest_pq_dims,
+)
+from data_warehouse_morrocan_banks_spark.operators.similarity import (
+    kmeans_centroids,
+    suggest_ivf_k,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df.localCheckpoint()
+    return df
+
+
+def _exact_topk(vecs: dict, queries: dict, k: int) -> dict:
+    """Driver-side exact squared-L2 top-k, (dist, id) tie-break."""
+    ids = np.asarray(sorted(vecs))
+    x = np.asarray([vecs[i] for i in ids], dtype=np.float64)
+    out = {}
+    for qid, q in queries.items():
+        d = ((x - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+        keep = np.lexsort((ids, d))[:k]
+        out[qid] = [int(i) for i in ids[keep]]
+    return out
+
+
+def _vec_map(df) -> dict:
+    return {r["vec_id"]: list(r["embedding"])
+            for r in df.select("vec_id", "embedding").collect()}
+
+
+def test_suggest_pq_dims():
+    # 64-dim → 8 subspaces of 8; ksub follows the 39×/centroid rule
+    assert suggest_pq_dims(64, 100_000) == (8, 256)
+    m, ksub = suggest_pq_dims(64, 500)
+    assert (m, ksub) == (8, 16)   # 500/39 ≈ 12.8 → floor pow2 → 16 clamp
+    # non-power-of-two dim still picks a divisor near dim/8
+    m96, _ = suggest_pq_dims(96, 10_000)
+    assert m96 == 12 and 96 % m96 == 0
+    # degenerate tiny sample: ksub never exceeds the sample
+    _, ks = suggest_pq_dims(8, 6)
+    assert 2 <= ks <= 6
+
+
+def test_codebooks_layout_invariant(emb):
+    """Same codebooks regardless of partition layout (content-hash
+    canonical sample, seeded init — the fit_topics determinism rule)."""
+    a = pq_train(emb.repartition(1))
+    b = pq_train(emb.repartition(13, "label"))
+    assert a == b
+    assert a["m"] == 8 and a["dim"] == 64 and not a["residual"]
+
+
+def test_encode_map_only_plan(emb):
+    codes = pq_encode(emb, pq_train(emb))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    row = codes.first()
+    assert len(row["pq_code"]) == 8  # 64-dim float → 8 bytes, 32×
+
+
+def test_exact_on_degenerate_corpus(spark):
+    """A corpus with ≤ ksub distinct vectors reconstructs exactly, so
+    ADC distances equal true distances and top-k matches the exact
+    scan bit-for-bit."""
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(6, 16)).round(3)
+    rows = [(i, protos[i % 6].tolist()) for i in range(240)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train(df, m=4, ksub=8, sample_cap=240)
+    codes = pq_encode(df, books)
+    queries = df.filter(F.col("vec_id") < 2) \
+        .withColumnRenamed("vec_id", "query_id")
+    got = pq_search_adc(codes, queries, books, k=5,
+                        query_id_col="query_id")
+    for r in got.collect():
+        # every corpus vector equals a prototype: the query's own
+        # prototype family is at distance exactly 0.0
+        assert r["adc_dist"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_adc_shortlist_rerank_recall(emb):
+    """The documented recipe: ADC shortlist at R=10×k, exact rerank.
+    Measured recall@10 = 0.88 (R=100, default m=8/ksub=16 codebooks,
+    near-random 64-dim corpus — PQ's hard case); floored at 0.75."""
+    books = pq_train(emb)
+    codes = pq_encode(emb, books)
+    vecs = _vec_map(emb)
+    q_df = emb.orderBy("vec_id").limit(20) \
+        .withColumnRenamed("vec_id", "query_id")
+    queries = {r["query_id"]: list(r["embedding"]) for r in q_df.collect()}
+    exact = _exact_topk(vecs, queries, k=10)
+    shortlist = pq_search_adc(codes, q_df, books, k=100,
+                              query_id_col="query_id")
+    got = pq_rerank_exact(shortlist, emb, q_df, k=10,
+                          query_id_col="query_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["l2_dist"]))
+    assert set(by_q) == set(exact)
+    # rerank is EXACT over its shortlist: distances must equal the
+    # numpy ground truth for every returned id, order (dist, id)
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        qv = np.asarray(queries[q], dtype=np.float64)
+        for vid, d in rows:
+            true = float(((np.asarray(vecs[vid]) - qv) ** 2).sum())
+            assert d == pytest.approx(true, rel=1e-9)
+        keys = [(d, vid) for vid, d in rows]
+        assert keys == sorted(keys)
+    hits = sum(len({v for v, _ in by_q[q]} & set(exact[q]))
+               for q in exact)
+    recall = hits / (10 * len(exact))
+    assert recall >= 0.75, recall
+
+
+def test_ivf_pq_residual_recall_and_plan(emb):
+    cents = kmeans_centroids(emb, k=suggest_ivf_k(emb.count()))
+    books = pq_train(emb, centroids=cents)
+    assert books["residual"]
+    index = ivf_pq_index(emb, books, cents)
+    iplan = index._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in iplan, iplan  # index build is map-only
+    q_df = emb.orderBy("vec_id").limit(20) \
+        .withColumnRenamed("vec_id", "query_id")
+    shortlist = ivf_pq_search(index, q_df, books, cents, k=100,
+                              nprobe=4, query_id_col="query_id")
+    got_df = pq_rerank_exact(shortlist, emb, q_df, k=10,
+                             query_id_col="query_id")
+    vecs = _vec_map(emb)
+    queries = {r["query_id"]: list(r["embedding"]) for r in q_df.collect()}
+    exact = _exact_topk(vecs, queries, k=10)
+    by_q = {}
+    for r in got_df.collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    hits = sum(len(set(by_q.get(q, [])) & set(exact[q])) for q in exact)
+    recall = hits / (10 * len(exact))
+    assert recall >= 0.6, recall
+    # the probe join must broadcast — the index never shuffles
+    splan = shortlist._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in splan, splan
+    assert "SortMergeJoin" not in splan, splan
+
+
+def test_ivf_pq_guard_and_full_scan_guard(emb):
+    cents = kmeans_centroids(emb, k=8)
+    flat = pq_train(emb)
+    res = pq_train(emb, centroids=cents)
+    with pytest.raises(ValueError, match="residual"):
+        ivf_pq_index(emb, flat, cents)
+    with pytest.raises(ValueError, match="residual"):
+        pq_search_adc(pq_encode(emb, flat), emb.limit(1), res, k=1)
+
+
+def test_null_vectors_dropped_and_empty_queries(spark, emb):
+    books = pq_train(emb)
+    withnull = spark.createDataFrame(
+        [(1, None), (2, [None] * 64), (3, [0.5] * 64)],
+        "vec_id int, embedding array<double>")
+    codes = pq_encode(withnull, books)
+    assert [r["vec_id"] for r in codes.collect()] == [3]
+    empty_q = spark.createDataFrame(
+        [], "query_id int, embedding array<double>")
+    assert pq_search_adc(pq_encode(emb, books), empty_q, books,
+                         k=3, query_id_col="query_id").count() == 0
