@@ -378,6 +378,195 @@ def _stats_for(path: str, files: list[str]) -> dict:
     return {f: _file_stats(os.path.join(path, f)) for f in files}
 
 
+# --- bloom-filter file skipping -------------------------------------
+#
+# Footer [min,max] stats prune RANGE predicates but are useless for
+# point lookups on high-cardinality unsorted columns (every file's
+# range spans the key space).  A per-file Bloom filter answers
+# "could this file contain value v?" with no false negatives — the
+# Delta/Iceberg bloom data-skipping design.  Blooms ride INSIDE the
+# per-file stats dict (``stats[file]["__bloom__"][col]``), so every
+# existing carry path — delta merges, checkpoint consolidation,
+# overwrite_range's carried files — preserves them with zero extra
+# plumbing; a file without a bloom is simply never skipped.
+_BLOOM_KEY = "__bloom__"
+_BLOOM_K = 7  # hash count; optimal for ~1% fpp at 9.6 bits/key
+
+
+def _bloom_m_bits(path: str, files: list[str]) -> int:
+    """Bitmap width from the LARGEST staged file's row count (footer
+    metadata only): ~9.6 bits/row targets 1% false positives at k=7
+    (standard Bloom sizing).  A fixed width is the fixed-band-width
+    trap — oversized wastes manifest bytes, undersized degrades to
+    'never skip' (graceful: fpp rises, answers stay exact).  Power of
+    two in [2^14, 2^20] → at most 128 KiB bitmap (~171 KiB base64)
+    per (file, column) in the manifest."""
+    import pyarrow.parquet as pq
+
+    rows = 1
+    for f in files:
+        try:
+            rows = max(rows, pq.ParquetFile(
+                os.path.join(path, f)).metadata.num_rows)
+        except Exception:
+            continue
+    target = rows * 9.6
+    m = 1 << 14
+    while m < target and m < (1 << 20):
+        m <<= 1
+    return m
+
+
+def _blooms_for(spark: SparkSession, path: str, files: list[str],
+                columns: tuple[str, ...] | list[str]) -> dict:
+    """Distributed bloom build over just-written files: one Spark job
+    per indexed column computes each file's SET of bit positions
+    (``pmod(xxhash64(col, seed_i), m)``, NULLs excluded — equality
+    never matches NULL).  ``collect_set`` partial-aggregates map-side
+    and is bounded by m distinct ints per file, so the driver
+    receives at most m positions per (file, column) regardless of row
+    count — the build scans only the indexed column of only the new
+    files.  Probing hashes the lookup value through the SAME Spark
+    expressions (one local job), so build and probe can never drift
+    onto different hash implementations."""
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not files or not columns:
+        return {}
+    m_bits = _bloom_m_bits(path, files)
+    rel_by_abs = {
+        os.path.abspath(os.path.join(path, f)): f for f in files
+    }
+    out: dict = {f: {} for f in files}
+    src = spark.read.parquet(*sorted(rel_by_abs))
+    for col in columns:
+        if col not in src.columns:
+            continue
+        hashes = F.array(*[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(_BLOOM_K)
+        ])
+        rows = (
+            src.filter(F.col(col).isNotNull())
+            .select(F.input_file_name().alias("__f"),
+                    F.explode(hashes).alias("__p"))
+            .groupBy("__f").agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        for r in rows:
+            rel = rel_by_abs.get(
+                os.path.abspath(unquote(urlparse(r["__f"]).path)))
+            if rel is None:
+                continue
+            bits = bytearray(m_bits // 8)
+            for p in r["__ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            out[rel][col] = {
+                "m": m_bits, "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    return {f: d for f, d in out.items() if d}
+
+
+def _stats_with_blooms(spark: SparkSession, path: str,
+                       files: list[str],
+                       bloom: tuple[str, ...] | list[str]) -> dict:
+    stats = _stats_for(path, files)
+    if bloom:
+        for f, d in _blooms_for(spark, path, files, bloom).items():
+            stats.setdefault(f, {})[_BLOOM_KEY] = d
+    return stats
+
+
+def _bloom_positions(spark: SparkSession, dtype, value,
+                     plans: list[tuple[int, int]]) -> dict:
+    """Bit positions of ``value`` for each distinct (m, k) bloom plan
+    present in the manifest (appends at different table sizes may
+    have sized m differently).  One driver-local Spark job — the
+    value is hashed by the IDENTICAL xxhash64 expressions the build
+    used, casted to the column's manifest type."""
+    from pyspark.sql import functions as F
+
+    if not plans:
+        return {}
+    lit = F.lit(value).cast(dtype)
+    cols = [
+        F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(m)).alias(f"p_{m}_{k}_{i}")
+        for (m, k) in plans for i in range(k)
+    ]
+    row = spark.range(1).select(*cols).first()
+    return {
+        (m, k): [row[f"p_{m}_{k}_{i}"] for i in range(k)]
+        for (m, k) in plans
+    }
+
+
+def pruned_files_point(spark: SparkSession, path: str, column: str,
+                       value, version: int | None = None) -> list[str]:
+    """Files that MAY contain rows with ``column = value``: the
+    [value, value] range prune first, then bloom skipping for files
+    that carry a bloom on the column.  No false negatives (a bloom
+    answers 'definitely absent' or 'maybe'); files without a bloom
+    are kept.  ``value=None`` prunes everything — SQL equality never
+    matches NULL."""
+    import base64
+
+    if value is None:
+        return []
+    v, m = _resolve_manifest(path, version)
+    candidates = pruned_files(path, column, value, value, v)
+    stats = m.get("stats", {})
+    blooms = {}
+    for f in candidates:
+        b = stats.get(f, {}).get(_BLOOM_KEY, {}).get(column)
+        if isinstance(b, dict) and {"m", "k", "b64"} <= set(b):
+            blooms[f] = b
+    if not blooms:
+        return candidates
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    try:
+        dtype = schema[column].dataType
+    except KeyError:
+        return candidates
+    plans = sorted({(int(b["m"]), int(b["k"])) for b in blooms.values()})
+    pos = _bloom_positions(spark, dtype, value, plans)
+    keep = []
+    for f in candidates:
+        b = blooms.get(f)
+        if b is None:
+            keep.append(f)
+            continue
+        bits = base64.b64decode(b["b64"])
+        ps = pos[(int(b["m"]), int(b["k"]))]
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in ps):
+            keep.append(f)
+    return keep
+
+
+def read_point(spark: SparkSession, path: str, column: str, value,
+               version: int | None = None) -> DataFrame:
+    """Point-lookup read: manifest stats + bloom filters skip every
+    file that cannot contain ``column = value`` before Spark lists
+    anything; the residual equality filter makes the result EXACTLY
+    ``read().filter(col == value)``.  At 100 TB with blooms on the
+    lookup key this is the difference between a full scan and reading
+    ~fpp × #files — the Delta/Iceberg point-query path."""
+    from pyspark.sql import functions as F
+
+    v, m = _resolve_manifest(path, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    files = pruned_files_point(spark, path, column, value, v)
+    if not files:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files])
+    return out.filter(F.col(column) == F.lit(value))
+
+
 def _commit(path: str, build_entry, max_retries: int = 50,
             dirname: str = _MANIFEST_DIR) -> int:
     """Optimistic-concurrency commit: materialize the manifest to a
@@ -465,19 +654,24 @@ def _check_schema(stored_json: str, df: DataFrame) -> None:
             f"vs df={[ (n, t.simpleString()) for n, t in got_sig ]}")
 
 
-def create(spark: SparkSession, path: str, df: DataFrame) -> int:
+def create(spark: SparkSession, path: str, df: DataFrame,
+           bloom: tuple[str, ...] | list[str] = ()) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
-    Fails if a table already exists there."""
+    Fails if a table already exists there.  ``bloom`` names columns
+    to build per-file Bloom filters for (point-lookup skipping via
+    :func:`read_point`); the setting is per-write — pass it on
+    appends too."""
     if current_version(path) is not None:
         raise ValueError(f"snapshot table already exists at {path}")
     files = _write_data_files(df, path)
+    stats = _stats_with_blooms(spark, path, files, bloom)
 
     def entry(cur: int) -> dict:
         if cur != 0:
             raise ConcurrentWriteError(
                 f"table appeared at {path} during create")
         return {"op": "create", "files": files, "_staged": files,
-                "stats": _stats_for(path, files),
+                "stats": stats,
                 "schema": df.schema.json(), "parent": 0}
 
     return _commit(path, entry)
@@ -508,17 +702,21 @@ def _evolved_schema(stored_json: str, df: DataFrame) -> str:
 
 
 def append(spark: SparkSession, path: str, df: DataFrame,
-           merge_schema: bool = False) -> int:
+           merge_schema: bool = False,
+           bloom: tuple[str, ...] | list[str] = ()) -> int:
     """Append ``df`` as a new snapshot (old version stays readable).
     Merges trivially with concurrent appends: the retry rebuilds the
     file union against whatever version won.  ``merge_schema=True``
     allows ADDITIVE evolution (new columns append to the table
     schema; old files read them as NULL; a type change is always an
-    error) — Delta's ``mergeSchema`` semantics."""
+    error) — Delta's ``mergeSchema`` semantics.  ``bloom`` builds
+    point-lookup filters for the NEW files only (earlier files keep
+    whatever blooms they were written with)."""
     v = current_version(path)
     if v is None:
         raise ValueError(f"no snapshot table at {path}")
     files = _write_data_files(df, path)
+    new_stats = _stats_with_blooms(spark, path, files, bloom)
 
     def entry(cur: int) -> dict:
         parent = _read_entry(path, cur)
@@ -533,27 +731,28 @@ def append(spark: SparkSession, path: str, df: DataFrame,
             base = _read_manifest(path, cur)
             return {"op": "append", "files": base["files"] + files,
                     "_staged": files,
-                    "stats": {**base.get("stats", {}),
-                              **_stats_for(path, files)},
+                    "stats": {**base.get("stats", {}), **new_stats},
                     "schema": schema, "parent": cur}
         return {"op": "append", "add": files, "_staged": files,
-                "add_stats": _stats_for(path, files),
+                "add_stats": new_stats,
                 "delta_depth": depth + 1,
                 "schema": schema, "parent": cur}
 
     return _commit(path, entry)
 
 
-def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+def overwrite(spark: SparkSession, path: str, df: DataFrame,
+              bloom: tuple[str, ...] | list[str] = ()) -> int:
     """Replace the table contents (schema may change); previous
     versions remain readable until vacuumed."""
     if current_version(path) is None:
         raise ValueError(f"no snapshot table at {path}")
     files = _write_data_files(df, path)
+    stats = _stats_with_blooms(spark, path, files, bloom)
 
     def entry(cur: int) -> dict:
         return {"op": "overwrite", "files": files, "_staged": files,
-                "stats": _stats_for(path, files),
+                "stats": stats,
                 "schema": df.schema.json(), "parent": cur}
 
     return _commit(path, entry)
@@ -605,7 +804,10 @@ def pruned_files(path: str, column: str, lower=None, upper=None,
     keep = []
     for f in m["files"]:
         s = stats.get(f, {}).get(column)
-        if s is not None:
+        # list-shape check: a column literally named "__bloom__" would
+        # read the bloom dict here — anything but [min, max] is "no
+        # usable stats", keep the file
+        if isinstance(s, (list, tuple)) and len(s) == 2:
             mn, mx = s
             sk = _stored_kind(mn)
             comparable = sk is not None and sk == _stored_kind(mx)
@@ -721,7 +923,8 @@ def overwrite_range(spark: SparkSession, path: str, df: DataFrame,
 
 def compact(spark: SparkSession, path: str,
             target_partitions: int = 1,
-            sort_by: list[str] | None = None) -> int:
+            sort_by: list[str] | None = None,
+            bloom: tuple[str, ...] | list[str] = ()) -> int:
     """Rewrite the current snapshot into ``target_partitions`` files
     and commit the swap.  Content-identical by construction (one read
     → one write of the same rows); aborts with
@@ -748,6 +951,10 @@ def compact(spark: SparkSession, path: str,
     else:
         compacted = compacted.repartition(target_partitions)
     files = _write_data_files(compacted, path)
+    # compaction rewrites every file, so blooms must be rebuilt here
+    # or they are simply gone (a file without a bloom is never
+    # skipped — correct, just unpruned)
+    stats = _stats_with_blooms(spark, path, files, bloom)
 
     def entry(cur: int) -> dict:
         now = _read_manifest(path, cur)
@@ -756,7 +963,7 @@ def compact(spark: SparkSession, path: str,
                 f"snapshot at {path} changed during compaction "
                 f"(v{base_v} -> v{cur}); re-run")
         return {"op": "compact", "files": files, "_staged": files,
-                "stats": _stats_for(path, files),
+                "stats": stats,
                 "schema": now["schema"], "parent": cur}
 
     return _commit(path, entry)

@@ -1,0 +1,134 @@
+"""Bloom-filter point-lookup skipping in the snapshot layer.
+
+Contract under test: blooms are an OPTIMIZATION — read_point must
+equal read().filter(col == v) exactly in every case (hit, miss,
+bloom-less files, carried files, post-compaction), and pruning must
+actually skip files (the optimization is measured, not assumed).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.sources import snapshot_table as st
+
+
+def _mk(spark, lo, hi, tag="x"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(f"{tag}-"), F.col("id")).alias("name"),
+        (F.col("id") % 5).alias("grp"),
+    )
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "bloomtbl")
+    # 4 appends × 2 files: ranges overlap on k's VALUE SPACE being
+    # disjoint — min/max stats alone would already prune k; `name` is
+    # a high-cardinality string present everywhere, the bloom's job
+    st.create(spark, path, _mk(spark, 0, 1000).repartition(2),
+              bloom=("k", "name"))
+    for lo in (1000, 2000, 3000):
+        st.append(spark, path,
+                  _mk(spark, lo, lo + 1000).repartition(2),
+                  bloom=("k", "name"))
+    return path
+
+
+def _n_files(path):
+    return len(st._resolve_manifest(path, None)[1]["files"])
+
+
+def test_point_lookup_prunes_and_matches(spark, tbl):
+    total = _n_files(tbl)
+    assert total == 8
+    for probe in (17, 999, 1000, 3999):
+        kept = st.pruned_files_point(spark, tbl, "k", probe)
+        # stats already isolate the owning append; bloom can only
+        # shrink further — never past the file that holds the row
+        assert 1 <= len(kept) <= 2, (probe, kept)
+        got = st.read_point(spark, tbl, "k", probe).collect()
+        assert [r["k"] for r in got] == [probe]
+
+
+def test_string_bloom_prunes_across_appends(spark, tbl):
+    # name values are unique strings; min/max stats overlap heavily
+    # (lexicographic ranges like 'x-0'..'x-999' repeat per append), so
+    # skipping here is the BLOOM's work
+    kept = st.pruned_files_point(spark, tbl, "name", "x-2500")
+    assert len(kept) < _n_files(tbl)
+    got = st.read_point(spark, tbl, "name", "x-2500").collect()
+    assert len(got) == 1 and got[0]["k"] == 2500
+
+
+def test_absent_value_prunes_everything(spark, tbl):
+    kept = st.pruned_files_point(spark, tbl, "name", "nope-123")
+    # 8 blooms at ~1% fpp: overwhelmingly 0 files survive; allow 1
+    # false positive without flaking, but the READ must be empty
+    assert len(kept) <= 1, kept
+    assert st.read_point(spark, tbl, "name", "nope-123").count() == 0
+
+
+def test_null_probe_empty(spark, tbl):
+    assert st.pruned_files_point(spark, tbl, "k", None) == []
+    assert st.read_point(spark, tbl, "k", None).count() == 0
+
+
+def test_bloomless_files_are_kept(spark, tmp_path):
+    path = str(tmp_path / "mixed")
+    # SAME tag: the two files' lexicographic name ranges interleave
+    # ("a-0".."a-99" vs "a-100".."a-199"), so min/max stats cannot
+    # separate them — any skipping below is the bloom's work
+    st.create(spark, path, _mk(spark, 0, 100, "a"))          # no bloom
+    st.append(spark, path, _mk(spark, 100, 200, "a"),
+              bloom=("name",))
+    # value lives in the bloom-less create file → kept and found
+    got = st.read_point(spark, path, "name", "a-50").collect()
+    assert len(got) == 1 and got[0]["k"] == 50
+    # absent value: files dropped BEYOND the stats candidates must
+    # all carry a bloom (a bloom-less candidate is never skipped),
+    # and at least one bloomed candidate actually drops
+    m = st._resolve_manifest(path, None)[1]
+    cands = set(st.pruned_files(path, "name", "a-150x", "a-150x"))
+    kept = set(st.pruned_files_point(spark, path, "name", "a-150x"))
+    bloomed = {f for f, s in m["stats"].items() if st._BLOOM_KEY in s}
+    dropped_by_bloom = cands - kept
+    assert dropped_by_bloom, (cands, kept)
+    assert dropped_by_bloom <= bloomed
+    assert (cands - bloomed) <= kept  # conservative keep
+    assert st.read_point(spark, path, "name", "a-150x").count() == 0
+
+
+def test_blooms_survive_overwrite_range_carry(spark, tbl):
+    # replace k ∈ [1000, 1999]; every other file is carried BY
+    # REFERENCE and must keep its bloom
+    st.overwrite_range(spark, tbl, _mk(spark, 1000, 2000, "y"),
+                       "k", 1000, 1999)
+    kept = st.pruned_files_point(spark, tbl, "name", "x-500")
+    assert len(kept) < _n_files(tbl)
+    assert st.read_point(spark, tbl, "name", "x-500").count() == 1
+    # the replaced range's new files have no blooms → never skipped
+    assert st.read_point(spark, tbl, "name", "y-1500").count() == 1
+
+
+def test_compact_rebuilds_blooms(spark, tbl):
+    st.compact(spark, tbl, target_partitions=4, sort_by=["k"],
+               bloom=("name",))
+    assert _n_files(tbl) == 4
+    kept = st.pruned_files_point(spark, tbl, "name", "x-2500")
+    assert len(kept) == 1, kept
+    assert st.read_point(spark, tbl, "name", "x-2500").count() == 1
+
+
+def test_bloom_sizing_derives_from_rows():
+    assert st._bloom_m_bits("/nonexistent", []) == 1 << 14
+    # 9.6 bits/row: 10k rows → ≥ 96k bits → 2^17
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"a": list(range(10_000))}),
+                       os.path.join(d, "f.parquet"))
+        assert st._bloom_m_bits(d, ["f.parquet"]) == 1 << 17
