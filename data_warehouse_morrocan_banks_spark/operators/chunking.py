@@ -1,0 +1,149 @@
+"""Token-window document chunking — the context-length splitter every
+LLM training-data pipeline runs between cleaning and packing (HF
+``return_overflowing_tokens``-style sliding window; reference scope:
+the repo's NLP stage processes whole reviews because 883 reviews fit
+any context — at 100 TB documents exceed max_tokens routinely, so the
+splitter is a first-class scale operator, nlp_processor_simple.py:199
+is the per-document analogue).
+
+Semantics (pinned, engine-portable — the DuckDB oracle in
+queries/llm_ops.py reproduces them exactly):
+
+- Tokenization is :func:`..functions.text.whitespace_tokens` (the
+  engine-wide convention; explicit ``[ \\t\\n\\r]`` class).
+- Chunk ``i`` covers tokens ``[i*step, i*step + max_tokens)``.
+- ``n_chunks = 0`` for empty docs, else
+  ``1 + ceil(max(0, n - max_tokens) / step)`` — the final chunk
+  always reaches the last token (``ceil`` guarantees
+  ``last_start + max_tokens >= n``), trailing chunks may be short,
+  and ``step < max_tokens`` yields ``max_tokens - step`` tokens of
+  overlap between neighbours.
+- ``chunk_text`` re-joins the window's tokens with single spaces
+  (whitespace runs are NOT preserved — chunk identity is the token
+  sequence, matching the normalize-then-hash dedup convention).
+
+Plan shape (the 100 TB story): the token array is materialized ONCE
+as a projected column, the Generate explodes a cheap integer
+``sequence(0, n_chunks-1)``, and each chunk is sliced from the
+materialized array post-Generate — the positions-explode form
+(CLAUDE.md).  Inlining ``slice(split(text), ...)`` inside the
+generator would re-tokenize per chunk (the HOF-explode hazard).  The
+whole thing is one narrow map stage: no shuffle, no UDF, scales
+embarrassingly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+
+
+def chunk_count(n_tokens: Column, max_tokens: int, step: int) -> Column:
+    """``1 + ceil(max(0, n - max_tokens) / step)`` for n > 0, else 0.
+
+    Exact integer math: ``ceil(a/b) = div(a + b - 1, b)`` via the
+    ``div`` function (bigint ``/`` promotes to double — CLAUDE.md)."""
+    extra = F.greatest(F.lit(0), n_tokens - F.lit(max_tokens))
+    return F.when(n_tokens > 0, (
+        F.lit(1)
+        + F.call_function("div",
+                          (extra + F.lit(step - 1)).cast("bigint"),
+                          F.lit(step).cast("bigint"))
+    ).cast("int")).otherwise(F.lit(0))
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    step: int | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Explode each document into overlapping token-window chunks.
+
+    Returns ``(id_col, chunk_idx, chunk_n_tokens, chunk_text)`` —
+    one row per chunk, ``chunk_idx`` dense from 0 per document;
+    empty/NULL documents produce no rows (filter the frame through a
+    left-anti on the output to find them, or keep ``n_chunks`` from
+    :func:`chunk_stats`).  ``step`` defaults to ``max_tokens``
+    (non-overlapping); ``step < max_tokens`` gives sliding-window
+    overlap.  ``tokens_col`` lets a caller that already tokenized
+    (metric suites) skip the re-split.
+    """
+    if step is None:
+        step = max_tokens
+    if max_tokens <= 0 or step <= 0:
+        raise ValueError(
+            f"max_tokens/step must be positive, got {max_tokens}/{step}")
+    tokens = (F.col(tokens_col) if tokens_col is not None
+              else whitespace_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    # materialize the token array BEFORE the Generate (positions-
+    # explode convention); the generator itself is a cheap int range
+    toks = df.select(
+        F.col(id_col), tokens.alias("__ck_t"),
+    ).withColumn("__ck_n", chunk_count(F.size("__ck_t"), max_tokens, step))
+    exploded = toks.select(
+        id_col, "__ck_t",
+        F.explode(F.sequence(F.lit(0), F.col("__ck_n") - 1))
+        .alias("chunk_idx"),
+    ).where(F.col("__ck_n") > 0)
+    window = F.slice(F.col("__ck_t"),
+                     F.col("chunk_idx") * step + 1, max_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(window).cast("int").alias("chunk_n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    step: int | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Document-grain chunker verification frame:
+    ``(id_col, n_chunks, chunk_tokens_total, chunks_md5)`` where
+    ``chunks_md5`` is md5 over the chunk texts joined by ``\\x1f`` in
+    chunk order — a content fingerprint of the ENTIRE chunk output
+    per document, so an oracle that hash-checks this column has
+    checked every chunk boundary and every reassembled window.
+    Empty docs: ``(0, 0, md5(''))``.
+
+    One groupBy on the document id — the aggregation is keyed on the
+    same column the explode preserved, so AQE coalesces it into the
+    document partitioning; ``sort_array(collect_list(struct(...)))``
+    makes the concatenation order deterministic under any shuffle
+    layout (collect_list order is not).
+    """
+    chunks = chunk_by_tokens(df, id_col, text_col, max_tokens, step,
+                             tokens_col=tokens_col)
+    per_doc = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("chunk_n_tokens").cast("bigint").alias("chunk_tokens_total"),
+        F.md5(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ), "\x1f",
+        )).alias("chunks_md5"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("chunk_tokens_total", F.lit(0)).cast("bigint")
+            .alias("chunk_tokens_total"),
+            F.coalesce("chunks_md5", F.md5(F.lit("")))
+            .alias("chunks_md5"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..numerics import davg, sql_davg
+from ..operators.chunking import chunk_stats
 from ..operators.contamination import ngram_contamination
 from ..operators.dedup import dedup_exact_content
 from ..operators.multimodal import decode_media, media_from_text
@@ -424,6 +425,30 @@ bigram_share AS (
     GROUP BY doc_id, bg
   )
   GROUP BY doc_id
+),
+-- token-window chunker verification (operators.chunking, max=32
+-- step=24): chunk i = tokens[i*24+1 : i*24+32] (1-based inclusive
+-- slice = Spark slice(t, i*24+1, 32)); n_chunks = 1 + ceil((n-32)/24)
+-- for n > 0; chunks_md5 hashes every chunk text in order, so a green
+-- hash checks every window boundary and reassembly.
+chunkstats AS (
+  SELECT doc_id,
+    CAST(LEN(cl) AS INT) AS n_chunks,
+    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, LEN(cl)),
+         i -> LEAST(32, LEN(ct) - i*24))), 0) AS BIGINT)
+      AS chunk_tokens_total,
+    -- DuckDB ARRAY_TO_STRING([]) is NULL (not ''): coalesce so a
+    -- chunkless doc hashes the empty string, matching Spark
+    MD5(COALESCE(ARRAY_TO_STRING(cl, CHR(31)), '')) AS chunks_md5
+  FROM (
+    SELECT doc_id, ct,
+      CASE WHEN LEN(ct) = 0 THEN CAST([] AS VARCHAR[])
+      ELSE [ARRAY_TO_STRING(ct[i*24+1 : i*24+32], ' ')
+            FOR i IN RANGE(0, 1 + (GREATEST(0, LEN(ct) - 32) + 23) // 24)]
+      END AS cl
+    FROM (SELECT doc_id,
+            COALESCE(rtoks, CAST([] AS VARCHAR[])) AS ct FROM tok)
+  )
 )
 SELECT s.doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
   ROUND(CAST(
@@ -446,11 +471,13 @@ SELECT s.doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
     ELSE 0.0 END AS dup_line_fraction,
   s.distinct_token_ratio,
   COALESCE(b.top_bigram_share, 0.0) AS top_bigram_share,
+  ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,
   CAST(LEN(g.g) AS INT) AS n_grams,
   CAST(LEN(LIST_INTERSECT(g.g, bench.bg)) AS INT) AS contaminated_ngrams,
   LEN(LIST_INTERSECT(g.g, bench.bg)) >= 1 AS is_contaminated
 FROM stats s
 LEFT JOIN bigram_share b ON s.doc_id = b.doc_id
+JOIN chunkstats ck ON s.doc_id = ck.doc_id
 JOIN grams g ON s.doc_id = g.doc_id
 CROSS JOIN bench
 """
@@ -535,6 +562,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = top_bigram_share(
         base, "__unused_text", "doc_id", tokens_col="__lt"
     ).drop("__lt")
+    # token-window chunker rides the same suite at doc grain: explode
+    # into 32-token windows (step 24 — sliding overlap), re-aggregate
+    # to (n_chunks, total, ordered-md5) so the oracle hash checks
+    # every window boundary.  Reuses the raw-token array (__rt) from
+    # the shared tokenize-once projection.
+    chunks = chunk_stats(
+        toks, "doc_id", "text", max_tokens=32, step=24, tokens_col="__rt"
+    )
+    quality = quality.join(chunks, "doc_id", "inner")
     # benchmark decontamination rides the same suite: doc_id<20 as the
     # benchmark slice, 8-gram overlap (operators.contamination) — the
     # oracle rebuilds the shingle sets in DuckDB list comprehensions

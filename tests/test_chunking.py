@@ -1,0 +1,149 @@
+"""Token-window chunker: brute-force parity, boundary cases, plan
+shape (no shuffle before the Generate; tokenizer evaluated once)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+WS = re.compile(r"[ \t\n\r]+")
+
+
+def py_tokens(text):
+    """The pinned whitespace class — NOT str.split() (CLAUDE.md)."""
+    stripped = re.sub(r"^[ \t\n\r]+|[ \t\n\r]+$", "", text or "")
+    return WS.split(stripped) if stripped else []
+
+
+def py_chunks(text, max_tokens, step):
+    toks = py_tokens(text)
+    n = len(toks)
+    if n == 0:
+        return []
+    n_chunks = 1 + math.ceil(max(0, n - max_tokens) / step)
+    return [
+        " ".join(toks[i * step:i * step + max_tokens])
+        for i in range(n_chunks)
+    ]
+
+
+DOCS = [
+    (0, None),
+    (1, ""),
+    (2, " \t\n "),
+    (3, "one"),
+    (4, "a b c"),                      # n < max
+    (5, "a b c d e"),                  # n == max
+    (6, "a b c d e f"),                # n == max + 1
+    (7, " ".join(f"t{i}" for i in range(23))),
+    (8, "x\t\ty  z\n\nw " + "q " * 17),
+    (9, " ".join(f"w{i % 3}" for i in range(60))),
+]
+
+
+def _run(spark, max_tokens, step):
+    from data_warehouse_morrocan_banks_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = chunk_by_tokens(
+        df, "doc_id", "text", max_tokens, step
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+            r["chunk_text"], r["chunk_n_tokens"])
+    return got
+
+
+@pytest.mark.parametrize("max_tokens,step", [
+    (5, 5),    # non-overlapping
+    (5, 3),    # sliding overlap
+    (8, 2),    # heavy overlap
+    (5, 7),    # gapped (step > window): tail guarantee still holds
+    (1, 1),    # degenerate: one chunk per token
+    (512, 256),  # window larger than every doc
+])
+def test_matches_brute_force(spark, max_tokens, step):
+    got = _run(spark, max_tokens, step)
+    for doc_id, text in DOCS:
+        want = py_chunks(text, max_tokens, step)
+        have = got.get(doc_id, {})
+        assert len(have) == len(want), (doc_id, max_tokens, step)
+        for i, w in enumerate(want):
+            text_i, n_i = have[i]
+            assert text_i == w, (doc_id, i)
+            assert n_i == len(py_tokens(w))
+
+
+def test_tail_coverage_and_overlap(spark):
+    """Every token of every doc appears in some chunk; consecutive
+    chunks overlap by exactly max_tokens - step tokens when step <
+    max_tokens and the left chunk is full."""
+    max_tokens, step = 5, 3
+    got = _run(spark, max_tokens, step)
+    for doc_id, text in DOCS:
+        toks = py_tokens(text)
+        if not toks:
+            assert doc_id not in got
+            continue
+        chunks = [got[doc_id][i][0].split(" ")
+                  for i in range(len(got[doc_id]))]
+        covered = []
+        for i, c in enumerate(chunks):
+            covered.extend([] if c == [""] else c[
+                (max_tokens - step) if i > 0 else 0:])
+        assert covered == toks, doc_id
+
+
+def test_chunk_stats_fingerprint(spark):
+    from data_warehouse_morrocan_banks_spark.operators.chunking import (
+        chunk_stats,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            chunk_stats(df, "doc_id", "text", 5, 3).collect()}
+    assert set(rows) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        want = py_chunks(text, 5, 3)
+        r = rows[doc_id]
+        assert r["n_chunks"] == len(want)
+        assert r["chunk_tokens_total"] == sum(
+            len(py_tokens(c)) for c in want)
+        assert r["chunks_md5"] == hashlib.md5(
+            "\x1f".join(want).encode()).hexdigest()
+
+
+def test_validation(spark):
+    from data_warehouse_morrocan_banks_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", "text", 5, 0)
+
+
+def test_plan_no_shuffle_single_tokenize(spark):
+    """chunk_by_tokens is one narrow map stage: no Exchange anywhere,
+    and the tokenizing regexp appears exactly once in the plan (the
+    array is materialized pre-Generate, not re-split per chunk)."""
+    from data_warehouse_morrocan_banks_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    out = chunk_by_tokens(df, "doc_id", "text", 5, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    tree = out._jdf.queryExecution().analyzed().toString()
+    # the split-on-whitespace pattern must not be duplicated into the
+    # generator output expressions (HOF-explode hazard)
+    assert tree.count("[ \\t\\n\\r]+, -1") <= 2  # strip + split, once each
