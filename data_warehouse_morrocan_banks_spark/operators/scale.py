@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
@@ -79,6 +80,88 @@ def distinct_count(col: str, exact: bool = False, rsd: float = 0.05) -> Column:
         F.countDistinct(col) if exact
         else F.approx_count_distinct(col, rsd=rsd)
     )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int,
+                  m: int | None = None,
+                  count_name: str = "n_occurrences",
+                  rank_name: str = "hh_rank") -> DataFrame:
+    """Certified top-k heavy hitters with a bounded shuffle.
+
+    The 100 TB problem with ``groupBy(key).count().orderBy().limit(k)``
+    is the shuffle: it carries one row per DISTINCT key (billions for
+    user/url/token keys).  This runs the classic two-phase sketch:
+
+    1. **Per-partition Misra-Gries** (``m`` counters, Arrow-batched
+       mapInPandas — inherently sequential per-shard state, the
+       sanctioned UDF case): emits ≤ m candidate keys per partition.
+       Mergeable-summaries bound: every key whose GLOBAL count exceeds
+       ``n/(m+1)`` survives in at least one partition (if C > n/(m+1)
+       then some partition has C_p > n_p/(m+1), and per-partition MG
+       under-counts by at most n_p/(m+1)).
+    2. **Exact count-back**: a broadcast semi-join on the candidate
+       set, then an exact groupBy — the shuffle now carries only
+       candidate keys (≤ m·partitions), map-side-filtered.
+    3. **Certification**: if the k-th exact count > n/(m+1), the
+       result is PROVABLY the true top-k (any non-candidate is below
+       the k-th).  Otherwise fall back to the exact full groupBy —
+       the answer is always exact; ``m`` is purely a performance
+       knob.  Which path ran is layout-dependent (MG candidates are),
+       the RESULT is not: both paths return the true top-k under the
+       deterministic (count DESC, key ASC) order.
+
+    ``m=None`` derives ``max(256, ~sqrt(n))`` from the corpus — the
+    fixed-width-sketch trap is the banding-scheme trap (CLAUDE.md).
+    NULL keys are excluded (equality semantics).  Returns
+    ``(key_col, count_name, rank_name)``, exactly k rows (fewer if
+    the corpus has fewer distinct keys).
+    """
+    spark = df.sparkSession
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
+    n = keyed.count()
+    if m is None:
+        m = max(256, 1 << max(0, (n - 1).bit_length() // 2))
+    mm, kc = int(m), key_col
+
+    def mg(batches):
+        import pandas as pd
+
+        counts = None
+        for pdf in batches:
+            vc = pdf[kc].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > mm:
+                counts = counts.sort_values(ascending=False)
+                # subtract the (m+1)-th largest from all, keep
+                # positives: each unit subtracted retires ≥ m+1 units
+                # of stream mass, so total undercount ≤ n_p/(m+1)
+                counts = (counts - counts.iloc[mm]).iloc[:mm]
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({kc: counts.index})
+
+    schema = f"{kc} {df.schema[kc].dataType.simpleString()}"
+    cand = keyed.mapInPandas(mg, schema).distinct()
+    exact = (
+        keyed.join(F.broadcast(cand), kc, "left_semi")
+        .groupBy(kc).agg(F.count(F.lit(1)).alias(count_name))
+        .orderBy(F.col(count_name).desc(), F.col(kc))
+        .limit(int(k))
+    )
+    rows = exact.collect()
+    certified = bool(rows) and int(rows[-1][count_name]) * (mm + 1) > n
+    if not certified:
+        # sketch bound too loose for this corpus/k (near-uniform keys
+        # or small m): recompute exactly — full distinct-key shuffle,
+        # the cost this operator exists to avoid when it CAN certify
+        exact = (
+            keyed.groupBy(kc).agg(F.count(F.lit(1)).alias(count_name))
+            .orderBy(F.col(count_name).desc(), F.col(kc))
+            .limit(int(k))
+        )
+    w = Window.orderBy(F.col(count_name).desc(), F.col(kc))
+    return exact.withColumn(
+        rank_name, F.row_number().over(w).cast("int"))
 
 
 def quantiles(col: str, probabilities: list[float], exact: bool = False,

@@ -299,20 +299,40 @@ def q_mart_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle join + TakeOrderedAndProject in one plan.
 
 _Q3_ORACLE = f"""
-SELECT
-  l.l_orderkey,
-  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
-  o.o_orderdate,
-  o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+WITH drill AS (
+  SELECT
+    l.l_orderkey,
+    {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+    o.o_orderdate,
+    o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+),
+ranked AS (
+  SELECT drill.*, CAST(ROW_NUMBER() OVER
+    (ORDER BY revenue DESC, l_orderkey) AS INT) AS rn
+  FROM drill
+),
+-- certified heavy hitters reduce to exact top-k counts under the
+-- deterministic (count DESC, key ASC) order (operators.scale)
+hh AS (
+  SELECT user_id AS hh_user_id, COUNT(*) AS hh_n_events,
+    CAST(ROW_NUMBER() OVER
+      (ORDER BY COUNT(*) DESC, user_id) AS INT) AS rn
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+  ORDER BY hh_n_events DESC, hh_user_id
+  LIMIT 10
+)
+SELECT ranked.*, hh.hh_user_id, hh.hh_n_events
+FROM ranked JOIN hh USING (rn)
 """
 
 
@@ -326,7 +346,7 @@ def q_mart_drill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    drill = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -335,3 +355,19 @@ def q_mart_drill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+    # certified heavy hitters ride the same rank grain: top-10 event
+    # users via the Misra-Gries candidate sketch + exact count-back
+    # (operators.scale.heavy_hitters) — the oracle's plain GROUP
+    # BY/LIMIT is exactly what the certification proves equivalent.
+    # The rank join keys two 10-row frames; window over the limited
+    # drill frame is a 10-row sort, not a global one.
+    from ..operators.scale import heavy_hitters
+
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    ranked = drill.withColumn(
+        "rn", F.row_number().over(w).cast("int"))
+    hh = heavy_hitters(
+        table(spark, sf_dir, "events"), "user_id", k=10,
+        count_name="hh_n_events", rank_name="rn",
+    ).withColumnRenamed("user_id", "hh_user_id")
+    return ranked.join(hh, "rn", "inner")

@@ -437,3 +437,86 @@ def test_interval_join_rejects_nonpositive_bucket_width(spark):
     for bad in (0, 0.0, -1.5):
         with _pytest.raises(ValueError, match="bucket_width"):
             interval_join(p, iv, "x", "lo", "hi", bucket_width=bad)
+
+
+# --- heavy hitters: certified sketch path, fallback path, bound ---------
+
+def _hh_brute(rows, k):
+    from collections import Counter
+
+    c = Counter(v for v in rows if v is not None)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_heavy_hitters_certified_on_skew(spark):
+    """Zipf-ish skew, m << distinct keys: the sketch path must
+    certify and match brute force exactly."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    # 20 hot keys with large counts over a 5000-key uniform tail
+    vals = []
+    for h in range(20):
+        vals += [f"hot{h:02d}"] * (4000 - 100 * h)
+    for i in range(20000):
+        vals.append(f"tail{i % 5000}")
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .repartition(16)
+    out = heavy_hitters(df, "k", k=10, m=64).collect()
+    want = _hh_brute(vals, 10)
+    got = [(r["k"], r["n_occurrences"]) for r in
+           sorted(out, key=lambda r: r["hh_rank"])]
+    assert got == want
+    # certification must have been possible: 10th count > n/(m+1)
+    assert want[9][1] * 65 > len(vals)
+
+
+def test_heavy_hitters_fallback_on_uniform(spark):
+    """Near-uniform keys (no key exceeds n/(m+1)): the exact fallback
+    must still return the true top-k."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = [f"u{i % 400}" for i in range(8000)] + ["u7", "u3", "u3"]
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .repartition(16)
+    out = heavy_hitters(df, "k", k=5, m=16).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in
+            sorted(out, key=lambda r: r["hh_rank"])] == _hh_brute(vals, 5)
+
+
+def test_heavy_hitters_nulls_and_layout(spark):
+    """NULL keys excluded; result identical under a different
+    partition layout (the certified/fallback branch may differ, the
+    answer may not)."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = (["a"] * 50 + ["b"] * 30 + ["c"] * 29 + [None] * 100
+            + [f"t{i}" for i in range(200)])
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    for parts in (1, 7):
+        out = heavy_hitters(df.repartition(parts), "k", k=3, m=8).collect()
+        assert [(r["k"], r["n_occurrences"]) for r in
+                sorted(out, key=lambda r: r["hh_rank"])] == \
+            [("a", 50), ("b", 30), ("c", 29)]
+
+
+def test_heavy_hitters_candidate_bound(spark):
+    """The phase-1 guarantee directly: every key with global count
+    > n/(m+1) appears in the candidate set, for an adversarial
+    layout that clusters each hot key into one partition."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = ["hot"] * 3000 + [f"t{i}" for i in range(6000)]
+    n = len(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .repartition(4)
+    out = heavy_hitters(df, "k", k=1, m=32).collect()
+    assert out[0]["k"] == "hot" and out[0]["n_occurrences"] == 3000
+    assert 3000 * 33 > n  # the bound that certifies it
