@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
@@ -92,76 +97,106 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     is the shuffle: it carries one row per DISTINCT key (billions for
     user/url/token keys).  This runs the classic two-phase sketch:
 
-    1. **Per-partition Misra-Gries** (``m`` counters, Arrow-batched
-       mapInPandas — inherently sequential per-shard state, the
-       sanctioned UDF case): emits ≤ m candidate keys per partition.
-       Mergeable-summaries bound: every key whose GLOBAL count exceeds
-       ``n/(m+1)`` survives in at least one partition (if C > n/(m+1)
-       then some partition has C_p > n_p/(m+1), and per-partition MG
-       under-counts by at most n_p/(m+1)).
+    1. **Per-partition Misra-Gries** (Arrow-batched mapInPandas —
+       inherently sequential per-shard state, the sanctioned UDF
+       case): emits its surviving candidate keys plus ONE marker row
+       carrying the partition's exact **decrement mass** D_p (the sum
+       of the values subtracted across eviction steps).  MG invariant:
+       any key's undercount in partition p is ≤ D_p, so a key absent
+       from EVERY partition's output has true global count ≤ ΣD_p.
     2. **Exact count-back**: a broadcast semi-join on the candidate
        set, then an exact groupBy — the shuffle now carries only
-       candidate keys (≤ m·partitions), map-side-filtered.
-    3. **Certification**: if the k-th exact count > n/(m+1), the
-       result is PROVABLY the true top-k (any non-candidate is below
-       the k-th).  Otherwise fall back to the exact full groupBy —
-       the answer is always exact; ``m`` is purely a performance
-       knob.  Which path ran is layout-dependent (MG candidates are),
-       the RESULT is not: both paths return the true top-k under the
-       deterministic (count DESC, key ASC) order.
+       candidate keys (≤ budget·partitions), map-side-filtered.
+    3. **Certification**: if the k-th exact count > ΣD_p, the result
+       is PROVABLY the true top-k (any non-candidate is strictly
+       below the k-th).  Otherwise fall back to the exact full
+       groupBy — the answer is always exact; the sketch budget is
+       purely a performance knob.  Which path ran is layout-dependent
+       (MG candidates are), the RESULT is not: both paths return the
+       true top-k under the deterministic (count DESC, key ASC)
+       order.
 
-    ``m=None`` derives ``max(256, ~sqrt(n))`` from the corpus — the
-    fixed-width-sketch trap is the banding-scheme trap (CLAUDE.md).
-    NULL keys are excluded (equality semantics).  Returns
-    ``(key_col, count_name, rank_name)``, exactly k rows (fewer if
-    the corpus has fewer distinct keys).
+    Exact-decrement certification is tighter than the textbook
+    ``n/(m+1)`` bound (D_p ≤ n_p/(m+1), with equality only under
+    adversarial streams) and needs NO row count — the whole operator
+    is **two data passes** (sketch, count-back), not three.  It also
+    lets the budget self-size per partition: with ``m=None`` each
+    shard grows its counter budget as ``max(256, ~sqrt(rows_seen))``
+    (the fixed-width-sketch trap is the banding-scheme trap,
+    CLAUDE.md); an explicit ``m`` pins it.  NULL keys are excluded
+    (equality semantics).  Returns ``(key_col, count_name,
+    rank_name)`` as a literal ≤k-row frame — materializing it
+    downstream does NOT re-execute the scans.
     """
     spark = df.sparkSession
-    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
-    n = keyed.count()
-    if m is None:
-        m = max(256, 1 << max(0, (n - 1).bit_length() // 2))
-    mm, kc = int(m), key_col
+    kc = key_col
+    keyed = df.select(kc).where(F.col(kc).isNotNull())
+    m0 = int(m) if m is not None else 0
 
     def mg(batches):
         import pandas as pd
 
-        counts = None
+        counts, dmass, seen = None, 0, 0
         for pdf in batches:
+            seen += len(pdf)
             vc = pdf[kc].value_counts()
             counts = vc if counts is None else counts.add(vc, fill_value=0)
-            if len(counts) > mm:
+            budget = m0 or max(256, 1 << ((seen.bit_length() + 1) // 2))
+            if len(counts) > budget:
                 counts = counts.sort_values(ascending=False)
-                # subtract the (m+1)-th largest from all, keep
-                # positives: each unit subtracted retires ≥ m+1 units
-                # of stream mass, so total undercount ≤ n_p/(m+1)
-                counts = (counts - counts.iloc[mm]).iloc[:mm]
+                # subtract the (budget+1)-th largest from all, keep
+                # positives: each unit subtracted retires ≥ budget+1
+                # units of stream mass; the subtracted value is the
+                # exact per-key undercount bound we certify against
+                c = counts.iloc[budget]
+                dmass += int(c)
+                counts = (counts - c).iloc[:budget]
                 counts = counts[counts > 0]
         if counts is not None and len(counts):
-            yield pd.DataFrame({kc: counts.index})
+            yield pd.DataFrame({kc: counts.index.to_numpy(),
+                                "__d": 0})
+        if dmass:
+            yield pd.DataFrame({kc: pd.Series([None], dtype=object),
+                                "__d": [dmass]})
 
-    schema = f"{kc} {df.schema[kc].dataType.simpleString()}"
-    cand = keyed.mapInPandas(mg, schema).distinct()
-    exact = (
-        keyed.join(F.broadcast(cand), kc, "left_semi")
-        .groupBy(kc).agg(F.count(F.lit(1)).alias(count_name))
-        .orderBy(F.col(count_name).desc(), F.col(kc))
-        .limit(int(k))
-    )
-    rows = exact.collect()
-    certified = bool(rows) and int(rows[-1][count_name]) * (mm + 1) > n
-    if not certified:
+    ktype = df.schema[kc].dataType
+    sk = keyed.mapInPandas(mg, StructType([
+        StructField(kc, ktype, True),
+        StructField("__d", LongType(), False),
+    ]))
+    # one action drains the sketch output (≤ budget·partitions + 1
+    # rows — the same bound the broadcast below implies; NULL key =
+    # the marker rows, impossible for real keys by the filter above)
+    agg = sk.groupBy(kc).agg(F.sum("__d").alias("__d")).collect()
+    total_d = sum(r["__d"] for r in agg if r[kc] is None)
+    cand_keys = [(r[kc],) for r in agg if r[kc] is not None]
+
+    out_schema = StructType([
+        StructField(kc, ktype, True),
+        StructField(count_name, LongType(), False),
+        StructField(rank_name, IntegerType(), False),
+    ])
+
+    def topk(frame):
+        rows = (frame.orderBy(F.col(count_name).desc(), F.col(kc))
+                .limit(int(k)).collect())
+        return [(r[kc], int(r[count_name]), i + 1)
+                for i, r in enumerate(rows)]
+
+    rows = []
+    if cand_keys:
+        cand = spark.createDataFrame(
+            cand_keys, StructType([StructField(kc, ktype, True)]))
+        rows = topk(
+            keyed.join(F.broadcast(cand), kc, "left_semi")
+            .groupBy(kc).agg(F.count(F.lit(1)).alias(count_name)))
+    if not (rows and rows[-1][1] > total_d):
         # sketch bound too loose for this corpus/k (near-uniform keys
-        # or small m): recompute exactly — full distinct-key shuffle,
-        # the cost this operator exists to avoid when it CAN certify
-        exact = (
-            keyed.groupBy(kc).agg(F.count(F.lit(1)).alias(count_name))
-            .orderBy(F.col(count_name).desc(), F.col(kc))
-            .limit(int(k))
-        )
-    w = Window.orderBy(F.col(count_name).desc(), F.col(kc))
-    return exact.withColumn(
-        rank_name, F.row_number().over(w).cast("int"))
+        # or small budget): recompute exactly — full distinct-key
+        # shuffle, the cost this operator avoids when it CAN certify
+        rows = topk(
+            keyed.groupBy(kc).agg(F.count(F.lit(1)).alias(count_name)))
+    return spark.createDataFrame(rows, out_schema)
 
 
 def quantiles(col: str, probabilities: list[float], exact: bool = False,

@@ -505,6 +505,48 @@ def test_heavy_hitters_nulls_and_layout(spark):
             [("a", 50), ("b", 30), ("c", 29)]
 
 
+def test_heavy_hitters_adaptive_budget(spark):
+    """m=None: each shard self-sizes its counter budget from rows
+    seen; exact-decrement certification still yields the true top-k
+    (and on this corpus certifies without the fallback — asserted by
+    the bound itself, not the branch)."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = []
+    for h in range(5):
+        vals += [f"hot{h}"] * (2000 - 300 * h)
+    vals += [f"tail{i % 3000}" for i in range(9000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .repartition(8)
+    out = heavy_hitters(df, "k", k=5).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in
+            sorted(out, key=lambda r: r["hh_rank"])] == _hh_brute(vals, 5)
+
+
+def test_heavy_hitters_empty_and_int_keys(spark):
+    """Empty input returns an empty typed frame; int64 keys survive
+    the marker-row encoding (pandas None markers must not coerce the
+    key column to float)."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    empty = spark.createDataFrame([], "k bigint")
+    out = heavy_hitters(empty, "k", k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["k", "n_occurrences", "hh_rank"]
+
+    vals = [7] * 40 + [9] * 25 + list(range(100, 400))
+    df = spark.createDataFrame([(v,) for v in vals], "k bigint") \
+        .repartition(5)
+    got = heavy_hitters(df, "k", k=2, m=8).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in
+            sorted(got, key=lambda r: r["hh_rank"])] == [(7, 40), (9, 25)]
+
+
 def test_heavy_hitters_candidate_bound(spark):
     """The phase-1 guarantee directly: every key with global count
     > n/(m+1) appears in the candidate set, for an adversarial
