@@ -364,6 +364,54 @@ def main(smoke: bool = False, out_path: str | None = None,
         toks = whitespace_tokens(F.lower(F.col("text")))
         return simhash_hamming_pairs(d, "doc_id", toks, max_hamming=3)
 
+    def hh_sketch(frame):
+        """Certified heavy hitters (MG sketch + exact count-back):
+        the shuffle carries only candidates (≤ budget·partitions) +
+        the semi-joined hot rows, NOT one row per distinct key — on
+        the 80%-unique-tail corpus the exact-groupBy twin below
+        shuffles the whole key space, this must stay ~flat."""
+        from data_warehouse_morrocan_banks_spark.operators.scale import (
+            heavy_hitters,
+        )
+        return heavy_hitters(frame, "k", k=10, m=256)
+
+    def hh_exact(frame):
+        """The plan heavy_hitters exists to avoid: full distinct-key
+        groupBy + top-k — its shuffle rows grow with the distinct-key
+        count (≈0.8·corpus here)."""
+        return (frame.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("k")).limit(10))
+
+    def chunker(d):
+        """Token-window chunker (32-token windows, step 24): one
+        narrow map stage — the positions-explode form must stay
+        shuffle-free at any scale (bytes columns should read 0.0)."""
+        from data_warehouse_morrocan_banks_spark.operators.chunking import (
+            chunk_by_tokens,
+        )
+        return chunk_by_tokens(d, "doc_id", "text", max_tokens=32, step=24)
+
+    # PQ codebooks train ONCE on the base corpus (driver-side numpy
+    # over a sample-capped TakeOrdered — corpus-size-independent by
+    # construction); the probed shape is encode + full-scan ADC, the
+    # part that actually touches every row.
+    from data_warehouse_morrocan_banks_spark.operators.pq import (
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+    pq_books = pq_train(emb, id_col="vec_id", vec_col="embedding")
+    pq_queries = emb.orderBy("vec_id").limit(32).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def pq_adc(e):
+        """Map-only uint8 encode + LUT ADC scan + per-partition top-k
+        pre-prune: the shuffle carries ≤ partitions·|q|·k rows, so
+        bytes should be ~flat while wall tracks rows linearly."""
+        return pq_search_adc(pq_encode(e, pq_books), pq_queries,
+                             pq_books, k=10, id_col="vec_id",
+                             vec_col="embedding")
+
     # interval_join is probed with broadcast DISABLED: at 1x AQE
     # broadcasts the 40k-row interval side (points never shuffle), at
     # 10x it crosses the 10 MB threshold and both sides shuffle — a
@@ -380,7 +428,8 @@ def main(smoke: bool = False, out_path: str | None = None,
         "pack_streaming", "pack_skewed", "span_dedup",
         "stratified_sample", "scd2_merge", "rollup_maint",
         "interval_join", "srp_lsh", "minhash_banded", "simhash_band",
-        "global_rank",
+        "global_rank", "chunk_tokens", "pq_adc",
+        "heavy_hitters", "hh_exact_groupby",
     )
     results = {}
     for scale in ((1,) if smoke else (1, 10)):
@@ -397,6 +446,18 @@ def main(smoke: bool = False, out_path: str | None = None,
         ev_s = ev_s.cache(); ev_s.count()
         e_s = emb if scale == 1 else replicate_emb(scale)
         e_s = e_s.cache(); e_s.count()
+        # heavy-hitter corpus: 20% of rows on 16 equal hot keys, 80%
+        # unique tail — content-hash routed (no rand, CLAUDE.md), so
+        # certification is scale-invariant: kth ≈ n/80 > ΣD ≈
+        # 0.8n/(m+1) for m=256 at every scale, while the distinct-key
+        # count (what the exact-groupBy twin shuffles) grows ≈0.8n
+        hh_h = F.abs(F.xxhash64(F.col("id")))
+        hh_s = spark.range(600_000 * scale).select(
+            F.when(hh_h % 5 == 0,
+                   F.concat(F.lit("hot"), (hh_h % 16).cast("string")))
+            .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+            .alias("k"))
+        hh_s = hh_s.cache(); hh_s.count()
         shapes = (
             ("q1_agg", q1, li_s, None), ("argmax_join", argmax, li_s, None),
             ("jaccard_pairs", jaccard, d_s, None),
@@ -412,6 +473,10 @@ def main(smoke: bool = False, out_path: str | None = None,
             ("minhash_banded", minhash, z_s, None),
             ("simhash_band", simhash_band, z_s, None),
             ("global_rank", grank, li_s, None),
+            ("chunk_tokens", chunker, d_s, None),
+            ("pq_adc", pq_adc, e_s, None),
+            ("heavy_hitters", hh_sketch, hh_s, None),
+            ("hh_exact_groupby", hh_exact, hh_s, None),
         )
         assert tuple(n for n, _, _, _ in shapes) == SHAPE_NAMES
         reps = 1 if smoke else 2
@@ -527,7 +592,49 @@ def main(smoke: bool = False, out_path: str | None = None,
             results["global_rank_b2000_1x"] = round(
                 time.perf_counter() - t0, 2)
 
-        for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s):
+        # snapshot-table bloom skipping (round-6): build cost (one
+        # indexed-column scan of the staged files) and the read-side
+        # evidence — on HASH-partitioned files every per-file [min,max]
+        # spans the key space (stats prune nothing for an interior
+        # key), so the files a point lookup still skips are the
+        # blooms' work.  File count scales with the corpus (8·scale).
+        import shutil
+        import tempfile
+
+        from data_warehouse_morrocan_banks_spark.sources import (
+            snapshot_table as st,
+        )
+        bdir = tempfile.mkdtemp(prefix=f"probe_bloom_{scale}x_")
+        bpath = os.path.join(bdir, "t")
+        try:
+            t0 = time.perf_counter()
+            st.create(
+                spark, bpath,
+                d_s.repartition(8 * scale, "doc_id")
+                .select("doc_id", "text"),
+                bloom=("doc_id",),
+            )
+            results[f"bloom_build_{scale}x"] = round(
+                time.perf_counter() - t0, 2)
+            # probe a MID-RANGE existing id: the min id would let the
+            # [min,max] range check alone isolate its file (only one
+            # file's min equals the global min), hiding the blooms'
+            # contribution; a mid-range key survives stats in every
+            # hash-partitioned file, so stats≈all / bloom≈1 is the
+            # demonstrative split
+            lo, hi = d_s.agg(F.min("doc_id"), F.max("doc_id")).first()
+            probe_id = d_s.where(
+                F.col("doc_id") >= lo + (hi - lo) // 2
+            ).agg(F.min("doc_id")).first()[0]
+            results[f"bloom_files_total_{scale}x"] = 8 * scale
+            results[f"bloom_files_stats_{scale}x"] = len(
+                st.pruned_files(bpath, "doc_id", probe_id, probe_id))
+            results[f"bloom_files_bloom_{scale}x"] = len(
+                st.pruned_files_point(spark, bpath, "doc_id", probe_id))
+        finally:
+            shutil.rmtree(bdir, ignore_errors=True)
+
+        for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s, hh_s):
             f_.unpersist()
 
     # --- 100x section (round-6 ask): one point beyond the 10x
@@ -593,7 +700,10 @@ def main(smoke: bool = False, out_path: str | None = None,
                     "global_rank_b2000_1x", "q1_agg_2x",
                     "pack_streaming_2x", "minhash_banded_2x",
                     "global_rank_2x", "jaccard_drv_dedup_sets_on_1x",
-                    "jaccard_zipf_dedup_sets_off_1x"):
+                    "jaccard_zipf_dedup_sets_off_1x",
+                    "bloom_build_1x", "bloom_files_total_1x",
+                    "bloom_files_stats_1x", "bloom_files_bloom_1x",
+                    "heavy_hitters_1x", "hh_exact_groupby_1x"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         for name in SHAPE_NAMES:
@@ -639,7 +749,8 @@ def merge_min_walls(results: dict, prev_path: str) -> dict:
         and not k.startswith("rows_")
         and "_shuffle_" not in k and "_spill_" not in k
         and "grams" not in k and "removed" not in k
-        and "affected" not in k and "plan" not in k)
+        and "affected" not in k and "plan" not in k
+        and "files" not in k)
     for k, v in prev.items():
         if wall_key(k) and isinstance(v, (int, float)) \
                 and isinstance(merged.get(k), (int, float)) and v < merged[k]:
