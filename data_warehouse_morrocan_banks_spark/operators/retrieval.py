@@ -1,0 +1,213 @@
+"""BM25 lexical retrieval — corpus search for the LLM-data pipeline.
+
+Why this lives in a training-data engine: retrieval-based
+decontamination (query the corpus with benchmark prompts, drop the
+hits) and quality-weighted sampling both need a corpus-scale lexical
+scorer; BM25 (Robertson-Spärck Jones) is the standard one.  The
+reference's NLP stage scores 883 reviews with keyword lexicons
+(nlp_processor_simple.py:104-142 — per-document keyword counting);
+BM25 is that idea re-expressed with corpus statistics, at corpus
+scale.
+
+Two shapes, two scale stories:
+
+- :func:`bm25_score_query` (ONE query, every document scored):
+  corpus stats (N, Σdl) are one aggregate collect (two scalars);
+  idf per term is computed on the driver from a second tiny
+  aggregate (one row, |q| columns) and injected as literals — the
+  scoring pass is then a pure map-side projection over the
+  materialized token array.  ZERO shuffle at any corpus size.
+- :func:`bm25_topk` (a BATCH of queries, top-k docs each): doc
+  tokens are prefiltered to the broadcast query vocabulary BEFORE
+  the explode, so the posting shuffle carries only matched
+  occurrences (|docs ∩ query terms|, not corpus tokens); scores
+  aggregate per (query, doc) and top-k resolves per query with a
+  bounded window (state per task = one query's candidates).
+
+Determinism (cross-engine, CLAUDE.md): tokenization is the engine
+whitespace class; tf/df/dl are exact integers; avgdl = Σdl/N and the
+idf logs are computed ONCE (driver-side libm) and enter both engines
+as the same double literals; the per-document arithmetic is written
+with one fixed association order so IEEE doubles agree bit-for-bit;
+published scores round HALF_UP at 6dp through decimal(24,12)
+(``numerics.round_det``).  Division guards: the tf ratio's
+denominator can reach 0 only when ``b == 1`` meets an empty document
+(tf=0, dl=0) — routed through ``F.try_divide`` and coalesced to 0,
+matching SQL x/0 → NULL → 0.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import whitespace_tokens
+from ..numerics import round_det
+
+
+def _idf(n_docs: int, df_count: int) -> float:
+    """Robertson-Spärck Jones idf with the +1 floor (Lucene form —
+    never negative, even for terms in >half the corpus)."""
+    return math.log(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+
+
+def _tf_term_score(tf: Column, dl: Column, avgdl: float,
+                   k1: float, b: float) -> Column:
+    """``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` — the one
+    fixed association order both engines evaluate."""
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * (dl / F.lit(avgdl)))
+    return F.coalesce(F.try_divide(tf * F.lit(k1 + 1.0), denom),
+                      F.lit(0.0))
+
+
+def bm25_score_query(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Score EVERY document against one query; returns
+    ``(id_col, out_col)`` with ``out_col`` rounded HALF_UP at 6dp.
+
+    Zero-shuffle plan: two tiny aggregates (corpus stats, per-term
+    document frequencies — one row each, collected), then one
+    map-side projection with idf/avgdl as literals.  ``tokens_col``
+    lets a caller that already materialized the token array (metric
+    suites) skip the re-split; tokens are matched lowercased.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_tokens if t))
+    toks = (F.col(tokens_col) if tokens_col
+            else whitespace_tokens(F.lower(F.col(text_col))))
+    base = df.select(F.col(id_col), toks.alias("__bm_t"))
+    dl = F.size("__bm_t")
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dl).alias("sdl"),
+        *[F.sum((F.array_contains("__bm_t", t)).cast("long"))
+          .alias(f"df{i}") for i, t in enumerate(terms)],
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0 or not terms or not stats["sdl"]:
+        return df.select(F.col(id_col),
+                         round_det(F.lit(0.0), 6).alias(out_col))
+    avgdl = float(stats["sdl"]) / float(n_docs)
+
+    def _eq(term):
+        # NOT a default-arg lambda: a 2-param callable makes the HOF
+        # pass (element, index) and the captured term becomes the
+        # index column
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("__bm_t", _eq(t))).cast("double")
+        score = score + F.lit(_idf(n_docs, int(stats[f"df{i}"] or 0))) \
+            * _tf_term_score(tf, dl.cast("double"), avgdl, k1, b)
+    return base.select(F.col(id_col),
+                       round_det(score, 6).alias(out_col))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits for a BATCH of queries (the decontamination
+    shape: benchmark prompts in, corpus hits out).
+
+    Returns ``(query_id, doc_id, bm25, hit_rank)``; ``hit_rank`` is
+    dense from 1 per query under (score DESC at 6dp, doc_id ASC) —
+    rank ties break on the ROUNDED score so the ordering is exactly
+    reproducible from the published column.  Documents sharing no
+    term with a query never appear (BM25 0 is not a hit).
+
+    ``queries`` must be small (it broadcasts; benchmark suites are
+    thousands of rows).  The posting shuffle is prefiltered to the
+    query vocabulary before the explode — corpus tokens outside it
+    never leave the scan stage.
+    """
+    q = queries.select(
+        F.col(query_id),
+        whitespace_tokens(F.lower(F.col(query_text))).alias("__qt"),
+    ).cache()
+    vocab_rows = (q.select(F.explode("__qt").alias("t")).distinct()
+                  .collect())
+    vocab = sorted(r["t"] for r in vocab_rows)
+    qterms = (q.select(query_id, F.explode("__qt").alias("t"))
+              .distinct())
+    q.unpersist()
+    if not vocab:
+        return docs.sparkSession.createDataFrame(
+            [], f"{query_id} string, {doc_id} string, "
+                "bm25 double, hit_rank int")
+
+    base = docs.select(
+        F.col(doc_id),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("__dt"),
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.size("__dt")).alias("sdl")).first()
+    n_docs, sdl = int(stats["n"] or 0), stats["sdl"]
+    if n_docs == 0 or not sdl:
+        return docs.sparkSession.createDataFrame(
+            [], f"{query_id} string, {doc_id} string, "
+                "bm25 double, hit_rank int")
+    avgdl = float(sdl) / float(n_docs)
+
+    # postings restricted to the query vocabulary BEFORE the
+    # Generate: the literal in-set filter runs inside the scan
+    # stage's codegen, so the shuffle carries matched tokens only
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+    postings = (
+        base.select(
+            doc_id, F.size("__dt").alias("__dl"),
+            F.explode(F.filter(
+                "__dt", lambda x: F.array_contains(vocab_lit, x)))
+            .alias("t"))
+        .groupBy(doc_id, "__dl", "t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = postings.groupBy("t").agg(
+        F.count(F.lit(1)).alias("__df"))
+    # |vocab| rows — driver-side idf keeps ln out of both engines'
+    # distributed plans (literal doubles compare bit-for-bit)
+    idf_rows = dfreq.collect()
+    idf_map = {r["t"]: _idf(n_docs, int(r["__df"])) for r in idf_rows}
+    idf_col = F.create_map(
+        *[x for t in sorted(idf_map)
+          for x in (F.lit(t), F.lit(idf_map[t]))])
+
+    scored = (
+        postings.join(F.broadcast(qterms), "t")
+        .withColumn(
+            "__s",
+            idf_col[F.col("t")] * _tf_term_score(
+                F.col("__tf").cast("double"),
+                F.col("__dl").cast("double"), avgdl, k1, b))
+        .groupBy(query_id, doc_id)
+        # float sum over matched terms would be aggregation-order-
+        # dependent: per-term scores round to the 1e-6 grain and sum
+        # as exact longs (the numerics.py scaled-long convention)
+        .agg((F.sum(F.round(F.col("__s") * F.lit(1e6), 0).cast("long"))
+              .cast("double") / F.lit(1e6)).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("bm25").desc(), F.col(doc_id))
+    return (scored.withColumn(
+        "hit_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("hit_rank") <= int(k)))

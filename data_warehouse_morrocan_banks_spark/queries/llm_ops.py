@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..numerics import davg, sql_davg
+from ..numerics import davg, sql_davg, sql_round_det
 from ..operators.chunking import chunk_stats
 from ..operators.contamination import ngram_contamination
 from ..operators.dedup import dedup_exact_content
@@ -509,6 +509,54 @@ bench AS (
 SELECT s.doc_id""",
 )
 
+# fixed-query BM25 rides the same suite at doc grain: the engine's
+# zero-shuffle corpus scorer (operators.retrieval.bm25_score_query)
+# against a constant 3-term probe query.  idf/avgdl enter the Spark
+# plan as driver-computed double literals; the oracle recomputes them
+# in SQL with the IDENTICAL association order (retrieval.py module
+# docstring) so IEEE doubles agree before the 6dp decimal round.
+_BM_TERMS = ("spark", "table", "vector")
+_BM_K1P1 = repr(1.2 + 1.0)
+
+
+def _bm_sql_term(term: str, dfc: str) -> str:
+    tf = f"CAST(LEN(LIST_FILTER(ltoks, t -> t = '{term}')) AS DOUBLE)"
+    dl = "CAST(LEN(ltoks) AS DOUBLE)"
+    ts = (f"COALESCE(({tf} * {_BM_K1P1}) / ({tf} + 1.2 * (0.25 + 0.75"
+          f" * ({dl} / avgdl))), 0.0)")
+    return f"LN(1.0 + ((n - {dfc} + 0.5) / ({dfc} + 0.5))) * {ts}"
+
+
+_QUALITY_ORACLE = _QUALITY_ORACLE.replace(
+    ")\nSELECT s.doc_id",
+    f"""),
+bmstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(LEN(ltoks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+    SUM(CAST(LIST_CONTAINS(ltoks, '{_BM_TERMS[0]}') AS BIGINT)) AS dfa,
+    SUM(CAST(LIST_CONTAINS(ltoks, '{_BM_TERMS[1]}') AS BIGINT)) AS dfb,
+    SUM(CAST(LIST_CONTAINS(ltoks, '{_BM_TERMS[2]}') AS BIGINT)) AS dfc
+  FROM tok
+),
+bm AS (
+  SELECT doc_id,
+    {sql_round_det(
+        _bm_sql_term(_BM_TERMS[0], 'dfa') + ' + '
+        + _bm_sql_term(_BM_TERMS[1], 'dfb') + ' + '
+        + _bm_sql_term(_BM_TERMS[2], 'dfc'), 6)} AS bm25_probe
+  FROM tok CROSS JOIN bmstats
+)
+SELECT s.doc_id""",
+).replace(
+    "  ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,",
+    "  ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,\n"
+    "  bm.bm25_probe,",
+).replace(
+    "JOIN chunkstats ck ON s.doc_id = ck.doc_id",
+    "JOIN chunkstats ck ON s.doc_id = ck.doc_id\n"
+    "JOIN bm ON s.doc_id = bm.doc_id",
+)
+
 
 @register("q_text_quality", oracle=_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +619,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, "doc_id", "text", max_tokens=32, step=24, tokens_col="__rt"
     )
     quality = quality.join(chunks, "doc_id", "inner")
+    # fixed-query BM25 rides the same grain: zero-shuffle scoring
+    # over the shared lowered-token projection (two scalar stats
+    # aggregates collect at plan-build; idf enters as literals)
+    from ..operators.retrieval import bm25_score_query
+
+    bm = bm25_score_query(
+        toks, "doc_id", "text", list(_BM_TERMS),
+        tokens_col="__lt", out_col="bm25_probe")
+    quality = quality.join(bm, "doc_id", "inner")
     # benchmark decontamination rides the same suite: doc_id<20 as the
     # benchmark slice, 8-gram overlap (operators.contamination) — the
     # oracle rebuilds the shingle sets in DuckDB list comprehensions

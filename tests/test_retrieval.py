@@ -1,0 +1,170 @@
+"""BM25 retrieval vs an exact Python oracle (same formula, same
+association order, same scaled-long/rounding pipeline)."""
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from data_warehouse_morrocan_banks_spark.operators.retrieval import (
+    bm25_score_query,
+    bm25_topk,
+)
+
+_WS = re.compile(r"[ \t\n\r]+")
+
+
+def _toks(text):
+    s = re.sub(r"^[ \t\n\r]+|[ \t\n\r]+$", "", text or "")
+    return [] if s == "" else _WS.split(s.lower())
+
+
+def _round_half_up(x, nd):
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
+def _spark_round0(x):
+    """Spark round(double, 0): HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf) — numerics.py's scaled-long grain step."""
+    return int(Decimal(repr(x)).quantize(Decimal(1),
+                                         rounding=ROUND_HALF_UP))
+
+
+def _idf(n, df):
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _term_score(tf, dl, avgdl, k1, b):
+    denom = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+    return 0.0 if denom == 0.0 else (tf * (k1 + 1.0)) / denom
+
+
+_CORPUS = [
+    ("d1", "spark table scan fast fast fast"),
+    ("d2", "slow table\nscan  with   runs\tof whitespace"),
+    ("d3", "spark spark spark spark query"),
+    ("d4", "unrelated words entirely here banana"),
+    ("d5", ""),
+    ("d6", "query spark table query table query"),
+    ("d7", "the quick spark fox jumps over the lazy table"),
+]
+
+
+def _brute_fixed(corpus, query_tokens, k1=1.2, b=0.75):
+    terms = list(dict.fromkeys(t.lower() for t in query_tokens if t))
+    toks = {i: _toks(t) for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / float(n)
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            s = s + _idf(n, dfs[t]) * _term_score(
+                float(v.count(t)), float(len(v)), avgdl, k1, b)
+        out[i] = _round_half_up(s, 6)
+    return out
+
+
+def test_bm25_fixed_query_matches_brute_force(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
+        df, "doc_id", "text", ["spark", "table", "QUERY"]).collect()}
+    want = _brute_fixed(_CORPUS, ["spark", "table", "QUERY"])
+    assert got == want
+    # sanity on the shape of the answer, not just the equality:
+    # d6 (2x query + 2x table + 1x spark, short) beats d4 (no terms)
+    assert got["d6"] > 0.0 and got["d4"] == 0.0 and got["d5"] == 0.0
+
+
+def test_bm25_fixed_query_layout_invariant(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    ref = None
+    for parts in (1, 5):
+        got = sorted(
+            (r["doc_id"], r["bm25"]) for r in bm25_score_query(
+                df.repartition(parts), "doc_id", "text",
+                ["spark", "fast"]).collect())
+        ref = got if ref is None else ref
+        assert got == ref
+
+
+def test_bm25_fixed_query_absent_terms_and_empty_query(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
+        df, "doc_id", "text", ["zzz_not_in_corpus"]).collect()}
+    assert set(got.values()) == {0.0}
+    got2 = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
+        df, "doc_id", "text", []).collect()}
+    assert set(got2.values()) == {0.0}
+
+
+def _brute_topk(corpus, queries, k, k1=1.2, b=0.75):
+    toks = {i: _toks(t) for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / float(n)
+    out = []
+    for qid, qtext in queries:
+        terms = sorted(set(_toks(qtext)))
+        scored = []
+        for i, v in toks.items():
+            su = 0
+            for t in terms:
+                tf = float(v.count(t))
+                if tf == 0.0:
+                    continue
+                dfreq = sum(1 for w in toks.values() if t in w)
+                s = _idf(n, dfreq) * _term_score(
+                    tf, float(len(v)), avgdl, k1, b)
+                su += _spark_round0(s * 1e6)
+            if su or any(t in v for t in terms):
+                scored.append((su / 1e6, i))
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        for rank, (s, i) in enumerate(scored[:k], 1):
+            out.append((qid, i, s, rank))
+    return sorted(out)
+
+
+def test_bm25_topk_matches_brute_force(spark):
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    qs = [("q1", "spark query"), ("q2", "table"),
+          ("q3", "banana whitespace"), ("q4", "zzz_not_in_corpus")]
+    queries = spark.createDataFrame(
+        qs, "query_id string, query_text string")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["hit_rank"])
+        for r in bm25_topk(docs, queries, k=3).collect())
+    assert got == _brute_topk(_CORPUS, qs, 3)
+    # q4 shares no vocabulary with the corpus: zero hits
+    assert not [g for g in got if g[0] == "q4"]
+
+
+def test_bm25_topk_layout_invariant_and_plan(spark):
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame(
+        [("q1", "spark table")], "query_id string, query_text string")
+    ref = None
+    for parts in (1, 4):
+        out = bm25_topk(docs.repartition(parts), queries, k=5)
+        got = sorted(map(tuple, out.collect()))
+        ref = got if ref is None else ref
+        assert got == ref
+    # the query-side join must broadcast (queries are benchmark-sized)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_prefers_rarer_terms(spark):
+    """idf does its job: a doc matching only a rare term outranks a
+    doc matching only a ubiquitous one (equal tf, equal length)."""
+    corpus = [("common%d" % i, "alpha filler%d pad pad" % i)
+              for i in range(8)]
+    corpus += [("rare", "omega filler8 pad pad"),
+               ("probe_common", "alpha probe pad pad"),
+               ("probe_rare", "omega probe pad pad")]
+    docs = spark.createDataFrame(corpus, "doc_id string, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
+        docs, "doc_id", "text", ["alpha", "omega"]).collect()}
+    assert got["probe_rare"] > got["probe_common"]
