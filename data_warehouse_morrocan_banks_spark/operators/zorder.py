@@ -1,0 +1,139 @@
+"""Multi-dimensional Z-order clustering for file-skipping layouts.
+
+Why: `sources/snapshot_table.pruned_files` skips a file when its
+footer [min, max] excludes the predicate range — which only works if
+the layout gives files TIGHT ranges on the queried column.  A linear
+sort (`compact(sort_by=[a])`) does that for ONE column; every other
+column's per-file range spans the whole domain, so predicates on it
+prune nothing (measured in the r6 probe: on hash-partitioned files a
+mid-range point lookup keeps 80/80 files under stats pruning).
+Z-ordering interleaves the bits of EQUI-DEPTH bucket codes of several
+columns, so sorting by the interleaved value gives every listed
+column locality ~ 2^(bits·(1-1/n_cols)) — the standard lakehouse
+answer (Delta OPTIMIZE ZORDER BY, Iceberg rewrite with zorder) on
+plain parquet + manifest stats.
+
+Scale shape: ONE boundary aggregate over a row sample (the
+`global_rank` boundary-sketch lesson: `percentile_approx`'s per-row
+cost grows with its accuracy knob, and boundaries affect only
+LAYOUT QUALITY, never row content — a sample is exactly as good),
+then a map-side code projection (vectorized `np.searchsorted` per
+column + a codegen'd bit-interleave), then the one range-partitioned
+rewrite shuffle the compaction was going to do anyway.
+
+Equi-depth (quantile) codes rather than min/max linear scaling:
+skewed columns would otherwise collapse most rows into a few code
+values and the interleave would degrade to a linear sort on the
+other columns (the fixed-band-width trap, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import _searchsorted_bucket
+
+# ~40 sampled rows per boundary keeps the quantile grid meaningful;
+# the sample mod derives from the row count (corpus-derived plans).
+_SAMPLES_PER_BOUNDARY = 40
+
+
+def zorder_boundaries(df: DataFrame, cols: list[str],
+                      bits: int = 8) -> tuple[list[list[float]], int]:
+    """One sampled aggregate → per-column ascending quantile grids
+    (``2^bits - 1`` split points each) + the exact row count.
+
+    Columns must cast to double (numerics, dates, timestamps — the
+    pruning-stats type universe).  An all-NULL column yields an empty
+    grid (its code is constantly 0 — it simply stops contributing
+    order, which is the only sane degenerate behavior).
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    grid = (1 << bits) - 1
+    probs = [i / (grid + 1) for i in range(1, grid + 1)]
+    parts = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__zin").cast("long")).alias("__ns"),
+    ]
+    for i in range(len(cols)):
+        parts.append(F.percentile_approx(
+            F.when(F.col("__zin"), F.col(f"__z{i}")),
+            F.array(*[F.lit(p) for p in probs]), F.lit(10_000),
+        ).alias(f"__b{i}"))
+    # two-step sampling without knowing n upfront: hash rows into
+    # 2^14 cells and take cell 0 — on big frames that is a ~1/16k
+    # sample (plenty: grid·40 ≈ 10k target); the aggregate ALSO
+    # counts how many rows the sample saw, and if that undershoots
+    # the target the grid recomputes unsampled (small frames only,
+    # where the full pass is cheap by definition)
+    def sampled(mod: int) -> DataFrame:
+        return df.select(
+            *[F.col(c).cast("double").alias(f"__z{i}")
+              for i, c in enumerate(cols)],
+            (F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                               F.lit(1031)), F.lit(mod)) == 0)
+            .alias("__zin"),
+        )
+
+    row = sampled(1 << 14).agg(*parts).first()
+    n = int(row["__n"] or 0)
+    target = _SAMPLES_PER_BOUNDARY * grid
+    if int(row["__ns"] or 0) < target and n > int(row["__ns"] or 0):
+        mod = max(1, n // target)
+        row = sampled(mod).agg(*parts).first()
+    bounds = []
+    for i in range(len(cols)):
+        b = row[f"__b{i}"]
+        bounds.append([] if b is None else [float(x) for x in b])
+    return bounds, n
+
+
+def zorder_code(cols: list[Column | str],
+                boundaries: list[list[float]]) -> Column:
+    """Interleaved Z-value: per-column equi-depth bucket index
+    (vectorized searchsorted against the literal grid; NULL → bucket
+    0 = NULLS FIRST) with bit i of column c landing at position
+    ``i·n_cols + c``.  Pure expression of the row — deterministic,
+    layout-independent, no shuffle."""
+    n_cols = len(cols)
+    if n_cols != len(boundaries):
+        raise ValueError("one boundary grid per column required")
+    codes = []
+    bits = 0
+    for c, b in zip(cols, boundaries):
+        col = F.col(c) if isinstance(c, str) else c
+        if not b:
+            codes.append(F.lit(0).cast("long"))
+            continue
+        bits = max(bits, (len(b)).bit_length())
+        codes.append(
+            _searchsorted_bucket(col.cast("double"), b, asc=True)
+            .cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code, i).bitwiseAND(F.lit(1)),
+                i * n_cols + ci)
+    return z
+
+
+def apply_zorder(df: DataFrame, cols: list[str],
+                 target_partitions: int,
+                 bits: int = 8) -> DataFrame:
+    """Rewrite ``df`` into ``target_partitions`` Z-clustered splits:
+    one boundary sample pass, one map-side code projection, one
+    range shuffle on the code (the same single shuffle a sorted
+    compaction costs).  Row content is untouched."""
+    bounds, _ = zorder_boundaries(df, cols, bits)
+    zc = zorder_code(cols, bounds).alias("__zval")
+    out = df.select("*", zc)
+    if target_partitions == 1:
+        out = out.repartition(1).sortWithinPartitions("__zval")
+    else:
+        out = out.repartitionByRange(
+            int(target_partitions), F.col("__zval")
+        ).sortWithinPartitions("__zval")
+    return out.drop("__zval")

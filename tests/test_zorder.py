@@ -1,0 +1,123 @@
+"""Z-order clustering: code correctness vs a Python bit-interleave
+reference, and the file-skipping evidence it exists for."""
+
+import numpy as np
+import pytest
+
+from data_warehouse_morrocan_banks_spark.operators.zorder import (
+    apply_zorder,
+    zorder_boundaries,
+    zorder_code,
+)
+from data_warehouse_morrocan_banks_spark.sources import snapshot_table as st
+
+
+def _z_ref(codes, n_cols):
+    """Reference interleave: bit i of column c -> position i*n_cols+c."""
+    z = 0
+    for ci, v in enumerate(codes):
+        i = 0
+        while v:
+            z |= (v & 1) << (i * n_cols + ci)
+            v >>= 1
+            i += 1
+    return z
+
+
+def test_zorder_code_matches_reference(spark):
+    """Explicit boundaries: the expression's z-values equal the
+    searchsorted + interleave reference for every row."""
+    rows = [(float(x), float(y)) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bx = [2.0, 4.0, 6.0]
+    by = [1.0, 3.0, 5.0, 7.0]
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_code(["x", "y"], [bx, by]).alias("z")
+    ).collect()}
+    for x, y in rows:
+        cx = int(np.searchsorted(bx, x, side="left"))
+        cy = int(np.searchsorted(by, y, side="left"))
+        assert got[(x, y)] == _z_ref([cx, cy], 2), (x, y)
+
+
+def test_zorder_code_nulls_and_allnull_column(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (1.0, None), (None, None)], "x double, y double")
+    out = df.select(zorder_code(["x", "y"], [[2.0], [4.0]]).alias("z")) \
+        .collect()
+    # NULL -> bucket 0 (NULLS FIRST): rows with both NULL/low get z=0
+    assert [r["z"] for r in out] == [2, 0, 0]
+    # all-NULL column contributes nothing (empty grid)
+    out2 = df.select(zorder_code(["x", "y"], [[], [4.0]]).alias("z")) \
+        .collect()
+    assert [r["z"] for r in out2] == [2, 0, 0]
+
+
+def test_zorder_boundaries_shape_and_smallframe_fallback(spark):
+    """Small frames: the 1/16k first-pass sample sees ~nothing, so
+    the grid recomputes unsampled and still yields usable bounds."""
+    df = spark.createDataFrame(
+        [(float(i), float(i * 7 % 100)) for i in range(2000)],
+        "a double, b double")
+    bounds, n = zorder_boundaries(df, ["a", "b"], bits=4)
+    assert n == 2000
+    assert len(bounds) == 2
+    for b in bounds:
+        assert len(b) == 15 and b == sorted(b)
+    # equi-depth on the uniform column: boundaries spread the domain
+    assert bounds[0][0] < 500 < bounds[0][-1]
+
+
+def test_zorder_compact_prunes_both_columns(spark, tmp_path):
+    """THE evidence: after a 16-file Z-ordered compaction, a range
+    predicate on EITHER column prunes most files; a linear sort on x
+    leaves y-predicates unprunable.  Row content identical."""
+    n = 20_000
+    rows = [(i, float(i % 141), float((i * 7919) % 149)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double") \
+        .repartition(8)
+
+    zp = str(tmp_path / "ztab")
+    st.create(spark, zp, df)
+    st.compact(spark, zp, target_partitions=16,
+               zorder_by=["x", "y"], zorder_bits=6)
+    lp = str(tmp_path / "ltab")
+    st.create(spark, lp, df)
+    st.compact(spark, lp, target_partitions=16, sort_by=["x"])
+
+    total = 16
+    zx = len(st.pruned_files(zp, "x", 10.0, 20.0))
+    zy = len(st.pruned_files(zp, "y", 10.0, 20.0))
+    lx = len(st.pruned_files(lp, "x", 10.0, 20.0))
+    ly = len(st.pruned_files(lp, "y", 10.0, 20.0))
+    # linear layout: leading column prunes hard, the other not at all
+    assert lx <= 4 and ly == total
+    # z-order: BOTH columns prune (≤ half the files for a ~7% range)
+    assert zx <= total // 2 and zy <= total // 2
+
+    # pruning is an optimization, never a filter: pruned read ==
+    # full-scan filter, and compaction kept every row
+    want = sorted((i, x, y) for i, x, y in rows if 10.0 <= y <= 20.0)
+    got = sorted(map(tuple, st.read_pruned(
+        spark, zp, "y", 10.0, 20.0)
+        .where("y between 10.0 and 20.0").collect()))
+    assert got == want
+    assert st.read(spark, zp).count() == n
+
+
+def test_zorder_validation(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="bits"):
+        zorder_boundaries(df, ["x"], bits=0)
+    with pytest.raises(ValueError, match="one boundary grid"):
+        zorder_code(["x", "y"], [[1.0]])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        st.compact(spark, "/nonexistent", sort_by=["x"], zorder_by=["y"])
+
+
+def test_apply_zorder_preserves_rows(spark):
+    rows = [(i, float(i % 13), float(i % 17)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = apply_zorder(df, ["x", "y"], target_partitions=4, bits=4)
+    assert out.columns == ["id", "x", "y"]
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
