@@ -382,6 +382,19 @@ def main(smoke: bool = False, out_path: str | None = None,
         return (frame.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.col("n").desc(), F.col("k")).limit(10))
 
+    def bm25(d):
+        """Batch BM25 retrieval (32 queries drawn from the corpus,
+        k=10): postings prefilter to the broadcast query vocabulary
+        BEFORE the explode, so shuffle bytes track matched tokens,
+        never corpus tokens."""
+        from data_warehouse_morrocan_banks_spark.operators.retrieval import (
+            bm25_topk,
+        )
+        qdf = (d.orderBy("doc_id").limit(32)
+               .select(F.col("doc_id").cast("string").alias("query_id"),
+                       F.substring("text", 1, 40).alias("query_text")))
+        return bm25_topk(d, qdf, k=10)
+
     def chunker(d):
         """Token-window chunker (32-token windows, step 24): one
         narrow map stage — the positions-explode form must stay
@@ -429,7 +442,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         "stratified_sample", "scd2_merge", "rollup_maint",
         "interval_join", "srp_lsh", "minhash_banded", "simhash_band",
         "global_rank", "chunk_tokens", "pq_adc",
-        "heavy_hitters", "hh_exact_groupby",
+        "heavy_hitters", "hh_exact_groupby", "bm25_topk",
     )
     results = {}
     for scale in ((1,) if smoke else (1, 10)):
@@ -477,6 +490,7 @@ def main(smoke: bool = False, out_path: str | None = None,
             ("pq_adc", pq_adc, e_s, None),
             ("heavy_hitters", hh_sketch, hh_s, None),
             ("hh_exact_groupby", hh_exact, hh_s, None),
+            ("bm25_topk", bm25, d_s, None),
         )
         assert tuple(n for n, _, _, _ in shapes) == SHAPE_NAMES
         reps = 1 if smoke else 2
@@ -611,7 +625,8 @@ def main(smoke: bool = False, out_path: str | None = None,
             st.create(
                 spark, bpath,
                 d_s.repartition(8 * scale, "doc_id")
-                .select("doc_id", "text"),
+                .select("doc_id", "text",
+                        F.length("text").alias("text_len")),
                 bloom=("doc_id",),
             )
             results[f"bloom_build_{scale}x"] = round(
@@ -631,6 +646,25 @@ def main(smoke: bool = False, out_path: str | None = None,
                 st.pruned_files(bpath, "doc_id", probe_id, probe_id))
             results[f"bloom_files_bloom_{scale}x"] = len(
                 st.pruned_files_point(spark, bpath, "doc_id", probe_id))
+            # Z-order compaction on the SAME table: rewrite wall
+            # (boundary sample + code projection + the one range
+            # shuffle) and the two-column pruning evidence — a ~10%
+            # band on EITHER column must keep well under all files,
+            # which neither hash layout nor a single-column sort
+            # gives (the stats counts above are the hash baseline)
+            t0 = time.perf_counter()
+            st.compact(spark, bpath, target_partitions=8 * scale,
+                       zorder_by=["doc_id", "text_len"])
+            results[f"zorder_wall_{scale}x"] = round(
+                time.perf_counter() - t0, 2)
+            span = (hi - lo) // 10 or 1
+            results[f"zorder_files_doc_{scale}x"] = len(
+                st.pruned_files(bpath, "doc_id", lo, lo + span))
+            llo, lhi = d_s.agg(
+                F.min(F.length("text")), F.max(F.length("text"))).first()
+            lspan = (lhi - llo) // 10 or 1
+            results[f"zorder_files_len_{scale}x"] = len(
+                st.pruned_files(bpath, "text_len", llo, llo + lspan))
         finally:
             shutil.rmtree(bdir, ignore_errors=True)
 
@@ -715,7 +749,9 @@ def main(smoke: bool = False, out_path: str | None = None,
                     "jaccard_zipf_dedup_sets_off_1x",
                     "bloom_build_1x", "bloom_files_total_1x",
                     "bloom_files_stats_1x", "bloom_files_bloom_1x",
-                    "heavy_hitters_1x", "hh_exact_groupby_1x"):
+                    "heavy_hitters_1x", "hh_exact_groupby_1x",
+                    "zorder_wall_1x", "zorder_files_doc_1x",
+                    "zorder_files_len_1x"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         for name in SHAPE_NAMES:
