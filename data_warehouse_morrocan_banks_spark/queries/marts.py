@@ -360,14 +360,18 @@ def q_mart_drill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators.scale.heavy_hitters) — the oracle's plain GROUP
     # BY/LIMIT is exactly what the certification proves equivalent.
     # The rank join keys two 10-row frames; window over the limited
-    # drill frame is a 10-row sort, not a global one.
+    # drill frame is a 10-row sort, not a global one.  m=2048 exceeds
+    # the events user cardinality (~1500), so the sketch is exact
+    # (zero decrement mass) and the CERTIFIED path — not the fallback
+    # — is what the driver oracle hash-checks: events' near-uniform
+    # user counts (45–99) could never certify a lossy sketch.
     from ..operators.scale import heavy_hitters
 
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     ranked = drill.withColumn(
         "rn", F.row_number().over(w).cast("int"))
     hh = heavy_hitters(
-        table(spark, sf_dir, "events"), "user_id", k=10,
+        table(spark, sf_dir, "events"), "user_id", k=10, m=2048,
         count_name="hh_n_events", rank_name="rn",
     ).withColumnRenamed("user_id", "hh_user_id")
     return ranked.join(hh, "rn", "inner")
