@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import whitespace_tokens
 from ..numerics import round_det
+from . import lifecycle
 
 
 def _idf(n_docs: int, df_count: int) -> float:
@@ -169,34 +170,44 @@ def bm25_topk(
                 "bm25 double, hit_rank int")
     avgdl = float(sdl) / float(n_docs)
 
-    # postings restricted to the query vocabulary BEFORE the
-    # Generate: the literal in-set filter runs inside the scan
-    # stage's codegen, so the shuffle carries matched tokens only
-    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+    # postings restricted to the query vocabulary in the SCAN STAGE:
+    # explode pipelines into a broadcast LEFT SEMI hash join (O(1)
+    # per token — a literal array_contains would cost O(|vocab|) per
+    # token, quadratic-ish for benchmark-suite vocabularies), so
+    # only matched tokens reach the (doc, term) shuffle
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame([(t,) for t in vocab],
+                                     "t string")
     postings = (
         base.select(
             doc_id, F.size("__dt").alias("__dl"),
-            F.explode(F.filter(
-                "__dt", lambda x: F.array_contains(vocab_lit, x)))
-            .alias("t"))
+            F.explode("__dt").alias("t"))
+        .join(F.broadcast(vocab_df), "t", "left_semi")
         .groupBy(doc_id, "__dl", "t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # postings feeds BOTH the df-count aggregate and the scoring
+    # join: pin one generation so the corpus scan runs once, not
+    # twice (lifecycle convention — the previous call's pin releases
+    # on the next begin())
+    lifecycle.begin("bm25_topk")
+    postings = lifecycle.pin("bm25_topk", postings)
     dfreq = postings.groupBy("t").agg(
         F.count(F.lit(1)).alias("__df"))
-    # |vocab| rows — driver-side idf keeps ln out of both engines'
-    # distributed plans (literal doubles compare bit-for-bit)
+    # |vocab| rows — driver-side idf keeps ln out of the distributed
+    # plan (literal doubles reproduce bit-for-bit in the test
+    # oracle); joined back as a broadcast table for O(1) lookup
     idf_rows = dfreq.collect()
-    idf_map = {r["t"]: _idf(n_docs, int(r["__df"])) for r in idf_rows}
-    idf_col = F.create_map(
-        *[x for t in sorted(idf_map)
-          for x in (F.lit(t), F.lit(idf_map[t]))])
+    idf_df = spark.createDataFrame(
+        [(r["t"], _idf(n_docs, int(r["__df"]))) for r in idf_rows],
+        "t string, __idf double")
 
     scored = (
         postings.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(idf_df), "t")
         .withColumn(
             "__s",
-            idf_col[F.col("t")] * _tf_term_score(
+            F.col("__idf") * _tf_term_score(
                 F.col("__tf").cast("double"),
                 F.col("__dl").cast("double"), avgdl, k1, b))
         .groupBy(query_id, doc_id)

@@ -670,6 +670,13 @@ def main(smoke: bool = False, out_path: str | None = None,
 
         for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s, hh_s):
             f_.unpersist()
+        # operator-pinned generations (jaccard postings, span frames,
+        # bm25 postings) must not hold storage into the next scale
+        # loop or the 100x section
+        from data_warehouse_morrocan_banks_spark.operators import (
+            lifecycle,
+        )
+        lifecycle.release_all()
 
     # --- 100x section (round-6 ask): one point beyond the 10x
     # anchor for the slim shapes that fit the box at 60 M rows.

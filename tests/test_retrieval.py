@@ -156,6 +156,31 @@ def test_bm25_topk_layout_invariant_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_topk_repeated_invocations_flat_storage(spark):
+    """The pinned postings frame must not stack generations across
+    calls (lifecycle convention, tests/test_lifecycle.py pattern)."""
+    from data_warehouse_morrocan_banks_spark.operators.lifecycle import (
+        release_all,
+    )
+
+    def pinned():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_all()
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame(
+        [("q1", "spark table")], "query_id string, query_text string")
+    counts, results = [], []
+    for _ in range(3):
+        results.append(sorted(map(tuple,
+                                  bm25_topk(docs, queries, 5).collect())))
+        counts.append(pinned())
+    assert results[0] == results[1] == results[2]
+    assert counts[0] == counts[1] == counts[2]
+    release_all()
+    assert pinned() == 0
+
+
 def test_bm25_prefers_rarer_terms(spark):
     """idf does its job: a doc matching only a rare term outranks a
     doc matching only a ubiquitous one (equal tf, equal length)."""
