@@ -222,3 +222,32 @@ def bm25_topk(
     return (scored.withColumn(
         "hit_rank", F.row_number().over(w).cast("int"))
         .where(F.col("hit_rank") <= int(k)))
+
+
+def decontaminate_by_retrieval(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 10,
+    min_score: float = 0.0,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Drop every document that is a top-k BM25 hit (score >
+    ``min_score``) for ANY benchmark prompt — the retrieval
+    complement to :func:`~.contamination.ngram_contamination`
+    (n-gram overlap catches verbatim leakage; retrieval catches
+    lexical paraphrase that shares vocabulary without 8-gram spans).
+
+    The hit set is ≤ |benchmark|·k rows, so the removal is one
+    broadcast LEFT ANTI join against the corpus — the corpus itself
+    only pays the :func:`bm25_topk` posting pass.
+    """
+    hits = (bm25_topk(docs, benchmark, k, doc_id, text_col,
+                      query_id, query_text, k1, b)
+            .where(F.col("bm25") > F.lit(float(min_score)))
+            .select(doc_id).distinct())
+    return docs.join(F.broadcast(hits), doc_id, "left_anti")

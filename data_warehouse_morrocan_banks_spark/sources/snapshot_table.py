@@ -857,6 +857,40 @@ def read_pruned(spark: SparkSession, path: str, column: str,
     return out
 
 
+def read_pruned_multi(spark: SparkSession, path: str,
+                      predicates: dict,
+                      version: int | None = None) -> DataFrame:
+    """Conjunctive multi-column range read: keep only files that
+    survive :func:`pruned_files` on EVERY ``column: (lower, upper)``
+    predicate (either bound may be None), then apply the residual
+    row filters.  This is the read path a Z-ordered layout
+    (``compact(zorder_by=[…])``) exists for — each listed column's
+    per-file ranges are tight, so the INTERSECTION of survivors
+    shrinks multiplicatively where a linear sort only ever prunes on
+    its leading column.  Equals ``read().filter(AND of ranges)``
+    exactly; stats are never a correctness filter."""
+    from pyspark.sql import functions as F
+
+    v, m = _resolve_manifest(path, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    keep = None
+    for column, (lower, upper) in predicates.items():
+        survivors = set(pruned_files(path, column, lower, upper, v))
+        keep = survivors if keep is None else keep & survivors
+    files = sorted(keep) if keep is not None else list(m["files"])
+    if not files:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files])
+    for column, (lower, upper) in predicates.items():
+        if lower is not None:
+            out = out.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            out = out.filter(F.col(column) <= F.lit(upper))
+    return out
+
+
 def overwrite_range(spark: SparkSession, path: str, df: DataFrame,
                     column: str, lower, upper,
                     enforce: bool = True) -> int:

@@ -181,6 +181,29 @@ def test_bm25_topk_repeated_invocations_flat_storage(spark):
     assert pinned() == 0
 
 
+def test_decontaminate_by_retrieval(spark):
+    """Hit documents (and only they) are removed; a benchmark with
+    no shared vocabulary removes nothing."""
+    from data_warehouse_morrocan_banks_spark.operators.retrieval import (
+        decontaminate_by_retrieval,
+    )
+
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "spark query")], "query_id string, query_text string")
+    kept = {r["doc_id"] for r in
+            decontaminate_by_retrieval(docs, bench, k=2).collect()}
+    hits = {(r["doc_id"]) for r in __import__(
+        "data_warehouse_morrocan_banks_spark.operators.retrieval",
+        fromlist=["bm25_topk"]).bm25_topk(docs, bench, 2).collect()}
+    assert kept == {i for i, _ in _CORPUS} - hits and len(hits) == 2
+
+    clean = spark.createDataFrame(
+        [("b2", "zzz_nowhere")], "query_id string, query_text string")
+    assert decontaminate_by_retrieval(docs, clean, k=3).count() \
+        == len(_CORPUS)
+
+
 def test_bm25_prefers_rarer_terms(spark):
     """idf does its job: a doc matching only a rare term outranks a
     doc matching only a ubiquitous one (equal tf, equal length)."""

@@ -105,6 +105,28 @@ def test_zorder_compact_prunes_both_columns(spark, tmp_path):
     assert st.read(spark, zp).count() == n
 
 
+def test_read_pruned_multi_intersects_and_equals_full_scan(spark, tmp_path):
+    """The conjunctive read keeps only the intersection of per-column
+    survivors and equals the unpruned filtered scan exactly."""
+    n = 20_000
+    rows = [(i, float(i % 141), float((i * 7919) % 149)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    p = str(tmp_path / "ztab2")
+    st.create(spark, p, df)
+    st.compact(spark, p, target_partitions=16,
+               zorder_by=["x", "y"], zorder_bits=6)
+    preds = {"x": (10.0, 20.0), "y": (10.0, 20.0)}
+    got = sorted(map(tuple, st.read_pruned_multi(spark, p, preds)
+                     .collect()))
+    want = sorted((i, x, y) for i, x, y in rows
+                  if 10.0 <= x <= 20.0 and 10.0 <= y <= 20.0)
+    assert got == want
+    # the intersection is at most the smaller single-column survivor set
+    fx = set(st.pruned_files(p, "x", 10.0, 20.0))
+    fy = set(st.pruned_files(p, "y", 10.0, 20.0))
+    assert len(fx & fy) <= min(len(fx), len(fy)) <= 8
+
+
 def test_zorder_validation(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
     with pytest.raises(ValueError, match="bits"):
