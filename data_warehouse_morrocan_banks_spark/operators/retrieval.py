@@ -42,6 +42,13 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from ..functions.text import whitespace_tokens
@@ -142,20 +149,34 @@ def bm25_topk(
     query vocabulary before the explode — corpus tokens outside it
     never leave the scan stage.
     """
+    spark = docs.sparkSession
     q = queries.select(
         F.col(query_id),
         whitespace_tokens(F.lower(F.col(query_text))).alias("__qt"),
-    ).cache()
-    vocab_rows = (q.select(F.explode("__qt").alias("t")).distinct()
-                  .collect())
-    vocab = sorted(r["t"] for r in vocab_rows)
-    qterms = (q.select(query_id, F.explode("__qt").alias("t"))
-              .distinct())
-    q.unpersist()
+    )
+    # queries are benchmark-sized (they broadcast below anyway): ONE
+    # collect of the distinct (query_id, term) pairs feeds both the
+    # vocabulary and the broadcast query-term table — the first draft
+    # cached q but unpersisted it before the scoring join
+    # materialized, so query tokenization re-ran (review-caught r6)
+    qt_rows = (q.select(query_id, F.explode("__qt").alias("t"))
+               .distinct().collect())
+    vocab = sorted({r["t"] for r in qt_rows})
+    # empty results carry the CALLER's id types, not hardcoded
+    # strings — a bigint doc_id must not change type on the
+    # empty-vocabulary branch (review-caught r6)
+    out_schema = StructType([
+        queries.schema[query_id],
+        docs.schema[doc_id],
+        StructField("bm25", DoubleType(), True),
+        StructField("hit_rank", IntegerType(), True),
+    ])
     if not vocab:
-        return docs.sparkSession.createDataFrame(
-            [], f"{query_id} string, {doc_id} string, "
-                "bm25 double, hit_rank int")
+        return spark.createDataFrame([], out_schema)
+    qterms = spark.createDataFrame(
+        [(r[query_id], r["t"]) for r in qt_rows],
+        StructType([queries.schema[query_id],
+                    StructField("t", StringType(), False)]))
 
     base = docs.select(
         F.col(doc_id),
@@ -165,9 +186,7 @@ def bm25_topk(
                      F.sum(F.size("__dt")).alias("sdl")).first()
     n_docs, sdl = int(stats["n"] or 0), stats["sdl"]
     if n_docs == 0 or not sdl:
-        return docs.sparkSession.createDataFrame(
-            [], f"{query_id} string, {doc_id} string, "
-                "bm25 double, hit_rank int")
+        return spark.createDataFrame([], out_schema)
     avgdl = float(sdl) / float(n_docs)
 
     # postings restricted to the query vocabulary in the SCAN STAGE:
@@ -175,7 +194,6 @@ def bm25_topk(
     # per token — a literal array_contains would cost O(|vocab|) per
     # token, quadratic-ish for benchmark-suite vocabularies), so
     # only matched tokens reach the (doc, term) shuffle
-    spark = docs.sparkSession
     vocab_df = spark.createDataFrame([(t,) for t in vocab],
                                      "t string")
     postings = (

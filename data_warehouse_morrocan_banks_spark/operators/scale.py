@@ -107,9 +107,12 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     2. **Exact count-back**: a broadcast semi-join on the candidate
        set, then an exact groupBy — the shuffle now carries only
        candidate keys (≤ budget·partitions), map-side-filtered.
-    3. **Certification**: if the k-th exact count > ΣD_p, the result
-       is PROVABLY the true top-k (any non-candidate is strictly
-       below the k-th).  Otherwise fall back to the exact full
+    3. **Certification**: if the count-back produced k rows AND the
+       k-th exact count > ΣD_p (or ΣD_p = 0 — the sketch was exact),
+       the result is PROVABLY the true top-k (any non-candidate is
+       strictly below the k-th; a short row set with evictions could
+       hide evicted keys in the missing ranks, so it never
+       certifies).  Otherwise fall back to the exact full
        groupBy — the answer is always exact; the sketch budget is
        purely a performance knob.  Which path ran is layout-dependent
        (MG candidates are), the RESULT is not: both paths return the
@@ -190,7 +193,18 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
         rows = topk(
             keyed.join(F.broadcast(cand), kc, "left_semi")
             .groupBy(kc).agg(F.count(F.lit(1)).alias(count_name)))
-    if not (rows and rows[-1][1] > total_d):
+    # certification needs BOTH conditions: the k-th count beats the
+    # total decrement mass AND the count-back actually produced k
+    # rows — with fewer candidates than k and ANY evictions, evicted
+    # keys (count ≤ ΣD) could legitimately occupy the missing ranks,
+    # so a short certified result would silently truncate the answer
+    # (review-caught r6).  ΣD == 0 certifies unconditionally: the
+    # sketch was exact, candidates are ALL keys, and fewer than k
+    # rows just means the corpus has fewer distinct keys.
+    certified = bool(rows) and (
+        total_d == 0
+        or (len(rows) == int(k) and rows[-1][1] > total_d))
+    if not certified:
         # sketch bound too loose for this corpus/k (near-uniform keys
         # or small budget): recompute exactly — full distinct-key
         # shuffle, the cost this operator avoids when it CAN certify

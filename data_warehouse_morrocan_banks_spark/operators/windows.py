@@ -63,6 +63,24 @@ _BOUNDARY_GRID = 1024
 _BOUNDARY_SAMPLE_MOD = 64
 
 
+def _thin_grid(grid: list, num_partitions: int) -> list:
+    """Thin a fine quantile grid (point j ≈ quantile (j+1)/(len+1))
+    to ``num_partitions - 1`` EVENLY SPACED boundaries: boundary i
+    sits at quantile i/num_partitions.  The first form —
+    ``grid[step-1::step][:B-1]`` — floored the stride and then
+    truncated the TOP of the grid, so the last bucket absorbed the
+    whole tail (at B=512 over a 1023-point grid the kept boundaries
+    ended at the median and ONE window task sorted half the corpus —
+    precisely the cliff the self-sizing exists to prevent;
+    review-caught r6)."""
+    if not grid or num_partitions <= 1:
+        return []
+    g_n = len(grid) + 1
+    return [grid[max(0, min(len(grid) - 1,
+                            i * g_n // num_partitions - 1))]
+            for i in range(1, num_partitions)]
+
+
 def _searchsorted_bucket(lead_expr: Column, boundaries: list,
                          asc: bool) -> Column:
     """Bucket id for >64 literal boundaries: ``np.searchsorted`` over
@@ -206,9 +224,7 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 max(shuffle_parts,
                     -(-n_rows // _TARGET_ROWS_PER_BUCKET)),
                 _BOUNDARY_GRID)
-            step = max(1, len(grid) // max(num_partitions, 1))
-            boundaries = grid[step - 1::step][: num_partitions - 1] \
-                if grid else []
+            boundaries = _thin_grid(grid, num_partitions)
         else:
             boundaries = grid
         lead_expr = lead.cast("double")

@@ -111,6 +111,15 @@ def zorder_code(cols: list[Column | str],
         codes.append(
             _searchsorted_bucket(col.cast("double"), b, asc=True)
             .cast("long"))
+    # the top interleaved bit sits at (bits-1)·n_cols + (n_cols-1);
+    # position 63 is the long's SIGN bit (high buckets would sort
+    # before everything) and JVM shift counts wrap mod 64 past it
+    # (review-caught r6) — refuse rather than corrupt the order
+    if bits * n_cols > 63:
+        raise ValueError(
+            f"z-value overflow: {bits} bits x {n_cols} cols needs bit "
+            f"{bits * n_cols - 1} of a signed long; lower bits so that "
+            "bits*n_cols <= 63")
     z = F.lit(0).cast("long")
     for i in range(bits):
         for ci, code in enumerate(codes):

@@ -295,15 +295,36 @@ def _bound_kind(orig) -> str | None:
 def _stored_kind(v) -> str | None:
     """Comparison class of a STORED stats scalar (JSON round-tripped).
     Strings in the exact :func:`_stat_scalar` datetime/date encodings
-    classify as 'dt' — a genuine string column whose values happen to
-    match the pattern then simply never prunes against a string bound
-    (conservative keep), which is the safe direction."""
+    classify as 'dt' — shape inference alone can't tell a date-shaped
+    STRING column from encoded timestamps, so :func:`pruned_files`
+    overrides the str/dt split with the TABLE SCHEMA's column type
+    (a string partition key like ds='2024-01-05' must still prune
+    against string bounds; review-caught r6 — shape-only inference
+    silently disabled pruning for exactly that headline case)."""
     if isinstance(v, bool):
         return "bool"
     if isinstance(v, (int, float)):
         return "num"
     if isinstance(v, str):
         return "dt" if _DT_STR_RE.match(v) else "str"
+    return None
+
+
+def _schema_kind(dtype) -> str | None:
+    """Comparison class implied by a Spark column type — the
+    authoritative str/dt disambiguator for stored stats."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.BooleanType):
+        return "bool"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType, T.FloatType, T.DoubleType)):
+        return "num"
+    if isinstance(dtype, T.StringType):
+        return "str"
+    if isinstance(dtype, (T.DateType, T.TimestampType,
+                          T.TimestampNTZType)):
+        return "dt"
     return None
 
 
@@ -801,6 +822,16 @@ def pruned_files(path: str, column: str, lower=None, upper=None,
         return list(m["files"])
     lo_k = _bound_kind(lower) if lower is not None else None
     hi_k = _bound_kind(upper) if upper is not None else None
+    # schema type resolves the str-vs-dt shape ambiguity: a string
+    # column holding '2024-01-05'-shaped values must compare (and
+    # prune) as strings, while real date/timestamp stats compare in
+    # their encoded form
+    col_kind = None
+    try:
+        col_kind = _schema_kind(StructType.fromJson(
+            json.loads(m["schema"]))[column].dataType)
+    except (KeyError, ValueError, TypeError):
+        pass
     keep = []
     for f in m["files"]:
         s = stats.get(f, {}).get(column)
@@ -811,6 +842,11 @@ def pruned_files(path: str, column: str, lower=None, upper=None,
             mn, mx = s
             sk = _stored_kind(mn)
             comparable = sk is not None and sk == _stored_kind(mx)
+            if col_kind in ("str", "dt") and isinstance(mn, str) \
+                    and isinstance(mx, str):
+                # schema wins over shape (covers mixed-shape string
+                # stats like min='2024-01-05', max='abc' too)
+                sk, comparable = col_kind, True
             try:
                 if lo is not None and comparable and lo_k == sk:
                     b, v_ = (_pad_dt(lo), _pad_dt(mx)) if sk == "dt" \
@@ -1309,10 +1345,18 @@ def _vacuum_keep(path: str, keep_vs: set[int],
     # kept version, bounded by the checkpoint cadence)
     keep_vs = set(keep_vs)
     for v in list(keep_vs):
-        m = _read_entry(path, v)
-        while "add" in m and m["parent"] not in keep_vs:
-            keep_vs.add(m["parent"])
-            m = _read_entry(path, m["parent"])
+        # a pinned version can be ALREADY GONE (a table-level vacuum
+        # ran under a publication root — documented-unsafe but
+        # possible): skip it rather than abort the sweep halfway
+        # with publication manifests partially deleted (review-caught
+        # r6)
+        try:
+            m = _read_entry(path, v)
+            while "add" in m and m["parent"] not in keep_vs:
+                keep_vs.add(m["parent"])
+                m = _read_entry(path, m["parent"])
+        except FileNotFoundError:
+            continue
     referenced = set()
     for v in vs:
         if v in keep_vs:

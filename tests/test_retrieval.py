@@ -127,6 +127,28 @@ def _brute_topk(corpus, queries, k, k1=1.2, b=0.75):
     return sorted(out)
 
 
+def test_bm25_topk_empty_vocab_keeps_caller_id_types(spark):
+    """Review-caught r6: the empty-vocabulary branch hardcoded string
+    id columns; a bigint doc_id must keep its type so unions and
+    typed sinks don't fork on the empty branch."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string")
+    queries = spark.createDataFrame(
+        [(7, "   ")], "query_id int, query_text string")
+    out = bm25_topk(docs, queries, k=3)
+    assert out.count() == 0
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {"query_id": "int", "doc_id": "bigint",
+                     "bm25": "double", "hit_rank": "int"}
+    # non-empty path: same schema
+    q2 = spark.createDataFrame(
+        [(8, "alpha")], "query_id int, query_text string")
+    out2 = bm25_topk(docs, q2, k=3)
+    assert {f.name: f.dataType.simpleString()
+            for f in out2.schema.fields} == types
+    assert out2.count() == 1
+
+
 def test_bm25_topk_matches_brute_force(spark):
     docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
     qs = [("q1", "spark query"), ("q2", "table"),

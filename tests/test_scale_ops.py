@@ -439,6 +439,31 @@ def test_interval_join_rejects_nonpositive_bucket_width(spark):
             interval_join(p, iv, "x", "lo", "hi", bucket_width=bad)
 
 
+def test_thin_grid_even_spacing():
+    """Review-caught r6: the stride-floor + top-truncate thinning
+    left the ENTIRE tail above the last kept boundary (at B=512 over
+    a 1023-point grid, boundaries ended at the median — one window
+    task would sort half the corpus).  Thinning must cover the grid
+    evenly: boundary i at quantile ~i/B."""
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        _thin_grid,
+    )
+
+    grid = list(range(1, 1024))  # point j-1 = quantile j/1024
+    for B in (2, 32, 240, 512, 1000):
+        th = _thin_grid(grid, B)
+        assert len(th) == B - 1
+        assert th == sorted(th)
+        # last boundary within one grid-step of the top quantile
+        assert th[-1] >= grid[-1] * (B - 1) / B - 1024 / B - 1
+        # first boundary near quantile 1/B
+        assert th[0] <= 1024 / B + 1
+    assert _thin_grid([], 16) == []
+    assert _thin_grid(grid, 1) == []
+    # tiny grid, big B: boundaries clamp, never IndexError
+    assert _thin_grid([5], 8) == [5] * 7
+
+
 # --- heavy hitters: certified sketch path, fallback path, bound ---------
 
 def _hh_brute(rows, k):
@@ -545,6 +570,25 @@ def test_heavy_hitters_empty_and_int_keys(spark):
     got = heavy_hitters(df, "k", k=2, m=8).collect()
     assert [(r["k"], r["n_occurrences"]) for r in
             sorted(got, key=lambda r: r["hh_rank"])] == [(7, 40), (9, 25)]
+
+
+def test_heavy_hitters_short_candidate_set_never_truncates(spark):
+    """Fewer candidates than k with nonzero decrement mass: evicted
+    singleton keys legitimately occupy the missing ranks, so the
+    operator must fall back, not return a short 'certified' answer
+    (review-caught r6)."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = (["A"] * 500 + ["B"] * 400 + ["C"] * 300
+            + [f"s{i}" for i in range(200)])
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .coalesce(1)
+    out = heavy_hitters(df, "k", k=7, m=3).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in
+            sorted(out, key=lambda r: r["hh_rank"])] == _hh_brute(vals, 7)
+    assert len(out) == 7  # ranks 4-7 are singletons the sketch evicted
 
 
 def test_heavy_hitters_candidate_bound(spark):

@@ -690,6 +690,40 @@ def test_pruning_kind_guard_and_date_boundary(spark, tmp_path):
     assert len(st.pruned_files(path, "ts", 0, None)) == 3
 
 
+def test_string_column_with_date_shaped_values_still_prunes(spark,
+                                                            tmp_path):
+    """Review-caught r6: a STRING partition-key column holding
+    ISO-date-shaped values (ds='2024-01-05' — the headline layout)
+    must prune against string bounds; shape-only kind inference
+    classified its stats as 'dt' and silently disabled pruning.  The
+    schema's column type now wins over value shape."""
+    path = str(tmp_path / "t")
+    for ds, i in (("2024-01-04", 1), ("2024-01-05", 2),
+                  ("2024-01-06", 3)):
+        batch = spark.createDataFrame([(i, ds)], "id INT, ds STRING") \
+            .coalesce(1)
+        if i == 1:
+            st.create(spark, path, batch)
+        else:
+            st.append(spark, path, batch)
+    kept = st.pruned_files(path, "ds", "2024-01-05", "2024-01-05")
+    assert len(kept) == 1
+    got = _rows(st.read_pruned(spark, path, "ds",
+                               "2024-01-05", "2024-01-05").select("id"))
+    assert got == [(2,)]
+    # a date-OBJECT bound against the string column: class mismatch
+    # (schema says str) → conservative keep-all, residual filter wins
+    import datetime as dt
+
+    assert len(st.pruned_files(
+        path, "ds", dt.date(2024, 1, 5), dt.date(2024, 1, 5))) == 3
+    # mixed-shape string stats (min date-shaped, max not) compare too
+    st.append(spark, path, spark.createDataFrame(
+        [(4, "2024-01-07"), (5, "zzz")], "id INT, ds STRING")
+        .coalesce(1))
+    assert len(st.pruned_files(path, "ds", "zz", None)) == 1
+
+
 def test_commit_aborts_when_staged_files_vanish(spark, tmp_path,
                                                 monkeypatch):
     """Round-6 review (low): an over-eager concurrent vacuum

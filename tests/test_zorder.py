@@ -133,6 +133,11 @@ def test_zorder_validation(spark):
         zorder_boundaries(df, ["x"], bits=0)
     with pytest.raises(ValueError, match="one boundary grid"):
         zorder_code(["x", "y"], [[1.0]])
+    # bit 63 is the long's sign bit: 8 columns x 8-bit grids (255
+    # boundaries) would interleave into it — refuse (review-caught)
+    grids = [[float(v) for v in range(1, 256)]] * 8
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_code([f"c{i}" for i in range(8)], grids)
     with pytest.raises(ValueError, match="mutually exclusive"):
         st.compact(spark, "/nonexistent", sort_by=["x"], zorder_by=["y"])
 
