@@ -707,6 +707,12 @@ def main(smoke: bool = False, out_path: str | None = None,
             results[f"{name}_{xs}x_spill_mb"] = round(sum(
                 s["memoryBytesSpilled"] + s["diskBytesSpilled"]
                 for s in new) / mb, 1)
+            # the summed metric is dominated by the MEMORY counter
+            # (in-memory size of spilled data); actual disk bytes are
+            # the operationally meaningful number — record the split
+            # so a big summed value can be attributed, not guessed
+            results[f"{name}_{xs}x_spill_disk_mb"] = round(sum(
+                s["diskBytesSpilled"] for s in new) / mb, 1)
         if not smoke:
             results[f"{name}_scaling_ratio_{xs}x"] = round(
                 results[f"{name}_{xs}x"]
@@ -758,7 +764,7 @@ def main(smoke: bool = False, out_path: str | None = None,
                     "bloom_files_stats_1x", "bloom_files_bloom_1x",
                     "heavy_hitters_1x", "hh_exact_groupby_1x",
                     "zorder_wall_1x", "zorder_files_doc_1x",
-                    "zorder_files_len_1x"):
+                    "zorder_files_len_1x", "global_rank_2x_spill_disk_mb"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         for name in SHAPE_NAMES:

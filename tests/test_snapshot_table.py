@@ -552,6 +552,29 @@ def test_vacuum_publications_keeps_pinned_versions(spark, tmp_path):
     # suffix would drop — vacuum_publications kept it.
 
 
+def test_vacuum_publications_tolerates_vacuumed_pinned_version(
+        spark, tmp_path):
+    """Review-caught r6: a pinned version that a (documented-unsafe)
+    table-level vacuum already deleted must be SKIPPED by the delta-
+    chain closure, not abort the publication sweep halfway."""
+    root = str(tmp_path / "wh")
+    for i in (1, 2, 3):
+        st.publish(spark, root, {"dim": _mk(spark, [i])})
+    # the unsafe operation: plain vacuum on a published table keeps
+    # only the head, dropping dim v2 — which publication 2 pins
+    st.vacuum(os.path.join(root, "dim"), keep_last=1)
+    # the sweep must run to completion (the closure walk previously
+    # raised FileNotFoundError on the missing pinned v2 after some
+    # publication manifests were already deleted)
+    st.vacuum_publications(root, keep_last=2)
+    # the latest publication still loads; publication 2's dim version
+    # is genuinely gone (the unsafe op broke it — documented), which
+    # is a load-time error, not a GC crash
+    assert _rows(st.load_publication(spark, root)["dim"]) == [(3, "s3")]
+    with pytest.raises(Exception):
+        _rows(st.load_publication(spark, root, version=2)["dim"])
+
+
 def test_review_fixes_round5(spark, tmp_path, monkeypatch):
     """Code-review fixes, one scenario each:
     (a) publish retry must not re-link a stale vector over a newer
