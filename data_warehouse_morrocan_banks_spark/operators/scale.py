@@ -90,7 +90,8 @@ def distinct_count(col: str, exact: bool = False, rsd: float = 0.05) -> Column:
 def heavy_hitters(df: DataFrame, key_col: str, k: int,
                   m: int | None = None,
                   count_name: str = "n_occurrences",
-                  rank_name: str = "hh_rank") -> DataFrame:
+                  rank_name: str = "hh_rank",
+                  merge_groups: int | None = None) -> DataFrame:
     """Certified top-k heavy hitters with a bounded shuffle.
 
     The 100 TB problem with ``groupBy(key).count().orderBy().limit(k)``
@@ -130,11 +131,33 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     (equality semantics).  Returns ``(key_col, count_name,
     rank_name)`` as a literal ≤k-row frame — materializing it
     downstream does NOT re-execute the scans.
+
+    **Tree merge** (``merge_groups``): the driver-collected candidate
+    union is ≤ budget·partitions — fine on this box, a driver hazard
+    on a 100k-partition cluster scan.  Candidates carry their MG
+    RESIDUAL counts, so sketches are mergeable: a middle
+    ``applyInPandas`` level hashes candidates into G groups, sums
+    residuals per key, and evicts back to the budget (evictions add
+    to the decrement mass — the certification bound composes), so
+    the driver sees ≤ budget·G + G rows.  ``None`` auto-enables at
+    ~√partitions once the scan exceeds 64 partitions; ``0`` forces
+    it off.  The merged-out keys' residual mass lands in D, so
+    certification stays sound, just (correctly) harder to win.
     """
     spark = df.sparkSession
     kc = key_col
     keyed = df.select(kc).where(F.col(kc).isNotNull())
     m0 = int(m) if m is not None else 0
+
+    def evict(counts, dmass, budget):
+        """One MG eviction step: subtract the (budget+1)-th largest
+        from all, keep positives — each unit subtracted retires ≥
+        budget+1 units of stream mass; the subtracted value is the
+        exact per-key undercount bound certification uses."""
+        counts = counts.sort_values(ascending=False)
+        c = counts.iloc[budget]
+        counts = (counts - c).iloc[:budget]
+        return counts[counts > 0], dmass + int(c)
 
     def mg(batches):
         import pandas as pd
@@ -146,32 +169,63 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
             counts = vc if counts is None else counts.add(vc, fill_value=0)
             budget = m0 or max(256, 1 << ((seen.bit_length() + 1) // 2))
             if len(counts) > budget:
-                counts = counts.sort_values(ascending=False)
-                # subtract the (budget+1)-th largest from all, keep
-                # positives: each unit subtracted retires ≥ budget+1
-                # units of stream mass; the subtracted value is the
-                # exact per-key undercount bound we certify against
-                c = counts.iloc[budget]
-                dmass += int(c)
-                counts = (counts - c).iloc[:budget]
-                counts = counts[counts > 0]
+                counts, dmass = evict(counts, dmass, budget)
         if counts is not None and len(counts):
             yield pd.DataFrame({kc: counts.index.to_numpy(),
-                                "__d": 0})
+                                "__w": counts.to_numpy().astype("int64")})
         if dmass:
             yield pd.DataFrame({kc: pd.Series([None], dtype=object),
-                                "__d": [dmass]})
+                                "__w": [dmass]})
 
     ktype = df.schema[kc].dataType
-    sk = keyed.mapInPandas(mg, StructType([
+    sk_schema = StructType([
         StructField(kc, ktype, True),
-        StructField("__d", LongType(), False),
-    ]))
+        StructField("__w", LongType(), False),
+    ])
+    sk = keyed.mapInPandas(mg, sk_schema)
+
+    if merge_groups is None:
+        parts = keyed.rdd.getNumPartitions()
+        groups = 0 if parts <= 64 else max(8, int(parts ** 0.5))
+    else:
+        groups = int(merge_groups)
+    if groups:
+        def merge_fn(pdf):
+            import pandas as pd
+
+            cnt = (pdf.groupby(kc, sort=False)["__w"].sum()
+                   .astype("int64"))
+            dmass = 0
+            budget = m0 or max(
+                256, 1 << ((int(cnt.sum()).bit_length() + 1) // 2))
+            if len(cnt) > budget:
+                cnt, dmass = evict(cnt, dmass, budget)
+            out = pd.DataFrame({kc: cnt.index.to_numpy(),
+                                "__w": cnt.to_numpy().astype("int64")})
+            if dmass:
+                out = pd.concat(
+                    [out, pd.DataFrame({kc: pd.Series([None], dtype=object),
+                                        "__w": [dmass]})],
+                    ignore_index=True)
+            return out
+
+        # markers route AROUND the merge (a NULL in an int64 key
+        # column would degrade the pandas frame to float64 and lose
+        # key exactness); candidate rows hash into G merge groups
+        cand_sk = sk.where(F.col(kc).isNotNull())
+        mark_sk = sk.where(F.col(kc).isNull())
+        merged = (cand_sk
+                  .groupBy(F.pmod(F.xxhash64(F.col(kc)),
+                                  F.lit(groups)).alias("__g"))
+                  .applyInPandas(merge_fn, sk_schema))
+        sk = merged.unionByName(mark_sk)
+
     # one action drains the sketch output (≤ budget·partitions + 1
-    # rows — the same bound the broadcast below implies; NULL key =
-    # the marker rows, impossible for real keys by the filter above)
-    agg = sk.groupBy(kc).agg(F.sum("__d").alias("__d")).collect()
-    total_d = sum(r["__d"] for r in agg if r[kc] is None)
+    # rows without the merge level, ≤ budget·G + G with it — the
+    # same bound the broadcast below implies; NULL key = the marker
+    # rows, impossible for real keys by the filter above)
+    agg = sk.groupBy(kc).agg(F.sum("__w").alias("__w")).collect()
+    total_d = sum(r["__w"] for r in agg if r[kc] is None)
     cand_keys = [(r[kc],) for r in agg if r[kc] is not None]
 
     out_schema = StructType([

@@ -591,6 +591,38 @@ def test_heavy_hitters_short_candidate_set_never_truncates(spark):
     assert len(out) == 7  # ranks 4-7 are singletons the sketch evicted
 
 
+def test_heavy_hitters_tree_merge_paths(spark):
+    """Forced merge level: same answers as brute force on skewed
+    string keys AND exact int64 keys (markers route around the merge
+    so int keys never degrade to float in pandas); certification
+    still wins on the skewed corpus."""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters,
+    )
+
+    vals = []
+    for h in range(6):
+        vals += [f"hot{h}"] * (3000 - 400 * h)
+    vals += [f"tail{i}" for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string") \
+        .repartition(16)
+    for g in (1, 4):
+        out = heavy_hitters(df, "k", k=6, m=64, merge_groups=g).collect()
+        assert [(r["k"], r["n_occurrences"]) for r in
+                sorted(out, key=lambda r: r["hh_rank"])] \
+            == _hh_brute(vals, 6)
+
+    big = 2**60  # exactness past float53 must survive the merge
+    ivals = [big + 1] * 40 + [big + 2] * 25 + \
+        [big + 10 + i for i in range(300)]
+    idf = spark.createDataFrame([(v,) for v in ivals], "k bigint") \
+        .repartition(8)
+    got = heavy_hitters(idf, "k", k=2, m=8, merge_groups=3).collect()
+    assert [(r["k"], r["n_occurrences"]) for r in
+            sorted(got, key=lambda r: r["hh_rank"])] \
+        == [(big + 1, 40), (big + 2, 25)]
+
+
 def test_heavy_hitters_candidate_bound(spark):
     """The phase-1 guarantee directly: every key with global count
     > n/(m+1) appears in the candidate set, for an adversarial
