@@ -40,28 +40,40 @@ _SAMPLES_PER_BOUNDARY = 40
 
 
 def zorder_boundaries(df: DataFrame, cols: list[str],
-                      bits: int = 8) -> tuple[list[list[float]], int]:
+                      bits: int = 8) -> tuple[list[list], int]:
     """One sampled aggregate → per-column ascending quantile grids
     (``2^bits - 1`` split points each) + the exact row count.
 
-    Columns must cast to double (numerics, dates, timestamps — the
-    pruning-stats type universe).  An all-NULL column yields an empty
-    grid (its code is constantly 0 — it simply stops contributing
-    order, which is the only sane degenerate behavior).
+    Numeric/date/timestamp columns grid through ``percentile_approx``
+    on their double cast; STRING columns (hosts, URL prefixes,
+    language tags — the web-corpus clustering keys) grid through a
+    sorted sample: ``sort_array(collect_list(...))`` over the same
+    row sample, thinned to evenly spaced rank quantiles driver-side
+    (the sample is bounded at ~40 values per boundary, so the
+    collected list stays ~10k strings per column).  An all-NULL
+    column yields an empty grid (its code is constantly 0 — it
+    simply stops contributing order, the only sane degenerate
+    behavior).
     """
+    from pyspark.sql.types import StringType
+
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16], got {bits}")
     grid = (1 << bits) - 1
     probs = [i / (grid + 1) for i in range(1, grid + 1)]
+    is_str = [isinstance(df.schema[c].dataType, StringType)
+              for c in cols]
     parts = [
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("__zin").cast("long")).alias("__ns"),
     ]
-    for i in range(len(cols)):
-        parts.append(F.percentile_approx(
-            F.when(F.col("__zin"), F.col(f"__z{i}")),
-            F.array(*[F.lit(p) for p in probs]), F.lit(10_000),
-        ).alias(f"__b{i}"))
+    for i, s in enumerate(is_str):
+        v = F.when(F.col("__zin"), F.col(f"__z{i}"))
+        parts.append(
+            F.sort_array(F.collect_list(v)).alias(f"__b{i}") if s
+            else F.percentile_approx(
+                v, F.array(*[F.lit(p) for p in probs]), F.lit(10_000),
+            ).alias(f"__b{i}"))
     # two-step sampling without knowing n upfront: hash rows into
     # 2^14 cells and take cell 0 — on big frames that is a ~1/16k
     # sample (plenty: grid·40 ≈ 10k target); the aggregate ALSO
@@ -70,8 +82,9 @@ def zorder_boundaries(df: DataFrame, cols: list[str],
     # where the full pass is cheap by definition)
     def sampled(mod: int) -> DataFrame:
         return df.select(
-            *[F.col(c).cast("double").alias(f"__z{i}")
-              for i, c in enumerate(cols)],
+            *[(F.col(c) if s else F.col(c).cast("double"))
+              .alias(f"__z{i}")
+              for i, (c, s) in enumerate(zip(cols, is_str))],
             (F.pmod(F.xxhash64(F.monotonically_increasing_id(),
                                F.lit(1031)), F.lit(mod)) == 0)
             .alias("__zin"),
@@ -84,9 +97,21 @@ def zorder_boundaries(df: DataFrame, cols: list[str],
         mod = max(1, n // target)
         row = sampled(mod).agg(*parts).first()
     bounds = []
-    for i in range(len(cols)):
+    for i, s in enumerate(is_str):
         b = row[f"__b{i}"]
-        bounds.append([] if b is None else [float(x) for x in b])
+        if not b:
+            bounds.append([])
+        elif s:
+            # evenly spaced rank quantiles of the sorted sample; a
+            # low-cardinality column yields duplicate split points —
+            # dedupe (empty buckets are harmless, a shorter grid just
+            # uses fewer bits)
+            g_n = len(b) + 1
+            pick = [b[max(0, min(len(b) - 1, j * g_n // (grid + 1) - 1))]
+                    for j in range(1, grid + 1)]
+            bounds.append(sorted(set(pick)))
+        else:
+            bounds.append([float(x) for x in b])
     return bounds, n
 
 
@@ -108,9 +133,12 @@ def zorder_code(cols: list[Column | str],
             codes.append(F.lit(0).cast("long"))
             continue
         bits = max(bits, (len(b)).bit_length())
+        # string grids compare lexicographically inside searchsorted
+        # (numpy object arrays use Python comparisons); numeric grids
+        # keep the double cast
+        expr = col if isinstance(b[0], str) else col.cast("double")
         codes.append(
-            _searchsorted_bucket(col.cast("double"), b, asc=True)
-            .cast("long"))
+            _searchsorted_bucket(expr, b, asc=True).cast("long"))
     # the top interleaved bit sits at (bits-1)·n_cols + (n_cols-1);
     # position 63 is the long's SIGN bit (high buckets would sort
     # before everything) and JVM shift counts wrap mod 64 past it

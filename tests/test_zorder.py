@@ -127,6 +127,46 @@ def test_read_pruned_multi_intersects_and_equals_full_scan(spark, tmp_path):
     assert len(fx & fy) <= min(len(fx), len(fy)) <= 8
 
 
+def test_zorder_string_codes_match_reference(spark):
+    """String grids: lexicographic searchsorted + interleave equals
+    the Python reference; NULL string -> bucket 0."""
+    rows = [("h%02d" % i, float(i % 4)) for i in range(20)] + [(None, 1.0)]
+    df = spark.createDataFrame(rows, "host string, x double")
+    bh = ["h05", "h10", "h15"]
+    bx = [1.0, 2.0, 3.0]
+    got = {(r["host"], r["x"]): r["z"] for r in df.select(
+        "host", "x", zorder_code(["host", "x"], [bh, bx]).alias("z")
+    ).collect()}
+    for h, x in rows:
+        ch = 0 if h is None else int(np.searchsorted(bh, h, side="left"))
+        cx = int(np.searchsorted(bx, x, side="left"))
+        assert got[(h, x)] == _z_ref([ch, cx], 2), (h, x)
+
+
+def test_zorder_compact_string_column_prunes(spark, tmp_path):
+    """The web-corpus shape: Z-order on (host STRING, length) makes
+    a host-range predicate prune files — a hash layout keeps all."""
+    n = 12_000
+    rows = [(i, "host%03d.example" % (i % 200), float((i * 31) % 97))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, host string, ln double") \
+        .repartition(8)
+    p = str(tmp_path / "ztab3")
+    st.create(spark, p, df)
+    st.compact(spark, p, target_partitions=16,
+               zorder_by=["host", "ln"], zorder_bits=5)
+    kept_host = st.pruned_files(p, "host", "host050.example",
+                                "host059.example")
+    kept_ln = st.pruned_files(p, "ln", 10.0, 19.0)
+    assert len(kept_host) <= 8 and len(kept_ln) <= 8
+    got = sorted(map(tuple, st.read_pruned(
+        spark, p, "host", "host050.example", "host059.example")
+        .collect()))
+    want = sorted(r for r in rows
+                  if "host050.example" <= r[1] <= "host059.example")
+    assert got == want
+
+
 def test_zorder_validation(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
     with pytest.raises(ValueError, match="bits"):
