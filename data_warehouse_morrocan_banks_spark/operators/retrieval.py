@@ -235,11 +235,27 @@ def bm25_topk(
         .agg((F.sum(F.round(F.col("__s") * F.lit(1e6), 0).cast("long"))
               .cast("double") / F.lit(1e6)).alias("bm25"))
     )
+    # per-partition pre-prune under the FINAL (bm25 DESC, doc ASC)
+    # key: a global top-k row is necessarily in its own batch's
+    # top-k, so keeping k per (query, batch) is lossless while the
+    # window shuffle drops from |scored| to ≤ partitions·|queries|·k
+    # rows — the PQ ADC economics; the difference between benchmark
+    # batches and mega-batch decontamination sweeps
+    kk = int(k)
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.sort_values(["bm25", doc_id],
+                                       ascending=[False, True])
+                       .groupby(query_id, sort=False).head(kk))
+
+    scored = scored.mapInPandas(prune, scored.schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("bm25").desc(), F.col(doc_id))
     return (scored.withColumn(
         "hit_rank", F.row_number().over(w).cast("int"))
-        .where(F.col("hit_rank") <= int(k)))
+        .where(F.col("hit_rank") <= kk))
 
 
 def decontaminate_by_retrieval(
