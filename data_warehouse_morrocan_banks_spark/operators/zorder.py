@@ -157,6 +157,78 @@ def zorder_code(cols: list[Column | str],
     return z
 
 
+def overlap_depth(path: str, column: str,
+                  version: int | None = None) -> float | None:
+    """Stats-only clustering metric for a snapshot-table column: the
+    average number of file [min, max] ranges that overlap at a range
+    ENDPOINT (an unweighted sweep over the sorted endpoints — works
+    for every ordered stats type, strings included, where width-based
+    metrics cannot).  ~1.0 = perfectly clustered (every point lookup
+    touches one file); ~n_files = hash layout (every file overlaps
+    everything).  Reads ONLY the manifest — no data IO, so a
+    maintenance daemon can poll it per table per column for free.
+    Returns None when fewer than 2 files carry comparable stats."""
+    from ..sources import snapshot_table as st
+
+    v, m = st._resolve_manifest(path, version)
+    spans = []
+    for f in m["files"]:
+        s = m.get("stats", {}).get(f, {}).get(column)
+        if isinstance(s, (list, tuple)) and len(s) == 2 \
+                and s[0] is not None and s[1] is not None \
+                and type(s[0]) is type(s[1]):
+            spans.append((s[0], s[1]))
+    if len(spans) < 2:
+        return None
+    try:
+        events = sorted([(lo, 0) for lo, _ in spans]
+                        + [(hi, 1) for _, hi in spans])
+    except TypeError:
+        return None  # mixed stat types across files — not comparable
+    depth, total, n = 0, 0, 0
+    for _, kind in events:
+        if kind == 0:
+            depth += 1
+            total += depth
+            n += 1
+        else:
+            depth -= 1
+    return total / n if n else None
+
+
+def maybe_zorder_compact(spark, path: str, cols: list[str],
+                         target_partitions: int,
+                         max_ratio: float = 2.0,
+                         bits: int = 8,
+                         bloom=()) -> bool:
+    """Incremental Z-order maintenance: appends dilute clustering
+    (each new batch's files span the whole key space again), so a
+    standing job calls this after ingest — it recompacts with
+    ``compact(zorder_by=cols)`` ONLY when the worst per-column
+    :func:`overlap_depth` exceeds ``max_ratio ×`` the layout's IDEAL
+    depth.  The ideal is F^((c−1)/c) for F files Z-ordered on c
+    columns (each column's range splits into ~F^(1/c) bands, so
+    ~F/F^(1/c) files overlap any point) — an absolute threshold
+    would misfire as F or c change.  A column without comparable
+    stats counts as unclustered.  Returns whether a rewrite
+    happened; the decision costs one manifest read, the rewrite
+    costs what the compaction was always going to cost."""
+    from ..sources import snapshot_table as st
+
+    _, m = st._resolve_manifest(path, None)
+    n_files = max(1, len(m["files"]))
+    ideal = max(1.0, float(n_files) ** ((len(cols) - 1) / len(cols)))
+    worst = 0.0
+    for c in cols:
+        d = overlap_depth(path, c)
+        worst = max(worst, float("inf") if d is None else d)
+    if worst <= max_ratio * ideal:
+        return False
+    st.compact(spark, path, target_partitions=target_partitions,
+               zorder_by=list(cols), zorder_bits=bits, bloom=bloom)
+    return True
+
+
 def apply_zorder(df: DataFrame, cols: list[str],
                  target_partitions: int,
                  bits: int = 8) -> DataFrame:

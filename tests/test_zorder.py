@@ -182,6 +182,62 @@ def test_zorder_validation(spark):
         st.compact(spark, "/nonexistent", sort_by=["x"], zorder_by=["y"])
 
 
+def test_overlap_depth_and_maintenance_trigger(spark, tmp_path):
+    """Stats-only clustering metric: low on a Z-ordered layout, high
+    after spanning appends; maybe_zorder_compact fires only then and
+    restores it."""
+    from data_warehouse_morrocan_banks_spark.operators.zorder import (
+        maybe_zorder_compact,
+        overlap_depth,
+    )
+
+    n = 8_000
+    rows = [(i, float(i % 127), float((i * 131) % 113))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    p = str(tmp_path / "zt")
+    st.create(spark, p, df.repartition(4))
+    st.compact(spark, p, target_partitions=12,
+               zorder_by=["x", "y"], zorder_bits=5)
+    # ideal per-column depth for a 2-col z-order over F files is
+    # ~sqrt(F): 12 files -> ~3.5, plus grid-coarseness overhead
+    d0 = overlap_depth(p, "x")
+    assert d0 is not None and d0 < 2.0 * (12 ** 0.5)
+    # a freshly clustered table does NOT recompact
+    v_before = st.current_version(p)
+    assert not maybe_zorder_compact(spark, p, ["x", "y"], 12)
+    assert st.current_version(p) == v_before
+
+    # spanning appends dilute clustering: each batch covers the
+    # whole (x, y) domain
+    for b in range(6):
+        st.append(spark, p, spark.createDataFrame(
+            [(n + b * 100 + j, float(j % 127), float((j * 7) % 113))
+             for j in range(100)],
+            "id long, x double, y double").repartition(2))
+    d1 = overlap_depth(p, "x")
+    assert d1 is not None and d1 > d0 + 5  # the spanning files stack
+    assert maybe_zorder_compact(spark, p, ["x", "y"], 12)
+    d2 = overlap_depth(p, "x")
+    assert d2 is not None and d2 < d1
+    # content survived the maintenance rewrite
+    assert st.read(spark, p).count() == n + 600
+
+
+def test_overlap_depth_degenerate_inputs(spark, tmp_path):
+    from data_warehouse_morrocan_banks_spark.operators.zorder import (
+        overlap_depth,
+    )
+
+    p = str(tmp_path / "one")
+    st.create(spark, p, spark.createDataFrame(
+        [(1, 2.0)], "id long, x double").coalesce(1))
+    # single file -> no metric
+    assert overlap_depth(p, "x") is None
+    # unknown column -> no metric
+    assert overlap_depth(p, "nope") is None
+
+
 def test_apply_zorder_preserves_rows(spark):
     rows = [(i, float(i % 13), float(i % 17)) for i in range(500)]
     df = spark.createDataFrame(rows, "id long, x double, y double")
