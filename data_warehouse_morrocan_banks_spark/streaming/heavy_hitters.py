@@ -1,0 +1,132 @@
+"""Streaming heavy hitters: sharded Misra-Gries state over
+``applyInPandasWithState`` — the continuous-corpus form of
+``operators/scale.heavy_hitters`` (SURVEY §2.14 extension; the batch
+operator's docstring carries the certification math this module's
+invariants inherit).
+
+Shape: keys hash into ``shards`` groups; each shard's state is ONE
+MG sketch (≤ m counter pairs + the exact decrement mass D).  Every
+micro-batch folds its arrivals into the shard sketch and emits the
+shard's full current summary tagged with a state version, so a
+consumer reads the LATEST version per shard and has, at any moment,
+a global sketch with the standard mergeable guarantees:
+
+- **superset**: every key whose true count in shard s exceeds D_s is
+  present in s's summary (undercount ≤ D_s — same exact-decrement
+  invariant the batch operator certifies against);
+- **bounds**: residual ≤ true count ≤ residual + D_s for every
+  emitted key.
+
+State per shard is ≤ m (key, count) pairs + two longs — with
+m = 4096 and 1024 shards that is a few hundred MB cluster-wide, and
+the only shuffle is the groupBy(shard) every stateful op pays.
+Exact top-k on demand = the batch operator's count-back over the
+emitted candidate union (two passes over at-rest data), so the
+stream maintains CANDIDATES cheaply and exactness is a batch join
+away.  Keys ride as strings (state schemas are fixed; cast
+upstream), matching the dedup layer's content-hash convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HH_OUTPUT_SCHEMA = ("shard int, key string, residual bigint, "
+                    "dmass bigint, ver int")
+HH_STATE_SCHEMA = "keys array<string>, counts array<bigint>, d bigint, ver int"
+
+
+def apply_streaming_heavy_hitters(grouped, m: int):
+    """Attach the sharded-MG state function to a GroupedData over
+    ``shard`` (rows must carry ``shard int, key string``).  Fully
+    self-contained closure — cloudpickle ships it by value."""
+    mm = int(m)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            keys, counts, d, ver = state.get
+            cnt = pd.Series([int(c) for c in (counts or [])],
+                            index=[str(x) for x in (keys or [])],
+                            dtype="int64")
+        else:
+            cnt, d, ver = pd.Series(dtype="int64"), 0, 0
+        for pdf in pdfs:
+            vc = pdf["key"].value_counts()
+            cnt = vc.astype("int64") if cnt.empty \
+                else cnt.add(vc, fill_value=0).astype("int64")
+            if len(cnt) > mm:
+                cnt = cnt.sort_values(ascending=False)
+                c = int(cnt.iloc[mm])
+                d += c
+                cnt = (cnt - c).iloc[:mm]
+                cnt = cnt[cnt > 0].astype("int64")
+        ver += 1
+        state.update((
+            [str(x) for x in cnt.index],
+            [int(x) for x in cnt.to_numpy()],
+            int(d), int(ver),
+        ))
+        yield pd.DataFrame({
+            "shard": int(shard), "key": cnt.index.to_numpy(),
+            "residual": cnt.to_numpy().astype("int64"),
+            "dmass": int(d), "ver": int(ver),
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_heavy_hitters(spark: SparkSession, parquet_path: str,
+                         checkpoint_dir: str, key_col: str,
+                         m: int = 4096, shards: int = 8,
+                         out_table: str = "stream_hh",
+                         schema=None,
+                         max_files_per_trigger: int | None = None
+                         ) -> None:
+    """readStream → shard by key hash → sharded-MG state →
+    AvailableNow into an in-memory sink; every micro-batch appends
+    each touched shard's refreshed summary (take the max ``ver`` per
+    shard — :func:`latest_snapshot`)."""
+    if schema is None:
+        schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = (reader.parquet(parquet_path)
+              .where(F.col(key_col).isNotNull())
+              .select(
+                  F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                         F.lit(int(shards))).cast("int").alias("shard"),
+                  F.col(key_col).cast("string").alias("key")))
+    out = apply_streaming_heavy_hitters(stream.groupBy("shard"), m)
+    q = (out.writeStream.trigger(availableNow=True)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("update")
+         .format("memory")
+         .queryName(out_table)
+         .start())
+    q.awaitTermination()
+
+
+def latest_snapshot(emitted: DataFrame) -> DataFrame:
+    """The current global sketch from the update-mode emission log:
+    keep each shard's highest-version summary.  Returns
+    ``(shard, key, residual, dmass)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("ver").desc())
+    return (emitted.withColumn("__r", F.dense_rank().over(w))
+            .where(F.col("__r") == 1)
+            .select("shard", "key", "residual", "dmass"))

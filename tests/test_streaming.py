@@ -132,3 +132,64 @@ def test_stream_rollup_maintenance_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, build_rollup(
         ev, ["event_type"], ["value"]).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_heavy_hitters_invariants(spark):
+    """Sharded-MG state over multiple micro-batches: the final
+    snapshot satisfies the mergeable-summaries invariants against
+    exact batch counts — superset (every key with count > D_s
+    present), bounds (residual <= exact <= residual + D_s) — and the
+    genuinely hot keys all survive."""
+    from collections import Counter
+
+    from data_warehouse_morrocan_banks_spark.streaming.heavy_hitters import (
+        latest_snapshot,
+        stream_heavy_hitters,
+    )
+
+    vals = []
+    for h in range(8):
+        vals += [f"hot{h}"] * (800 - 60 * h)
+    vals += [f"t{i % 900}" for i in range(3600)]
+    exact = Counter(vals)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/keys"
+        # three files -> maxFilesPerTrigger=1 forces three
+        # micro-batches, so state genuinely folds across batches
+        for i in range(3):
+            spark.createDataFrame(
+                [(v,) for v in vals[i::3]], "k string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+
+        stream_heavy_hitters(spark, landing, f"{tmp}/ckpt", "k",
+                             m=32, shards=4, out_table="t_hh",
+                             max_files_per_trigger=1)
+        snap = latest_snapshot(spark.table("t_hh")).collect()
+
+    assert snap and max(r["ver"] for r in
+                        spark.table("t_hh").collect()) >= 2
+    by_shard_d = {}
+    got = {}
+    for r in snap:
+        by_shard_d[r["shard"]] = r["dmass"]
+        got[r["key"]] = (r["shard"], r["residual"])
+    # shard routing must match the operator's for the invariants
+    import pyspark.sql.functions as F
+    shard_of = {
+        r["k"]: r["s"]
+        for r in spark.createDataFrame(
+            [(k,) for k in exact], "k string"
+        ).select("k", F.pmod(F.xxhash64(F.col("k")), F.lit(4))
+                 .cast("int").alias("s")).collect()}
+    for k, c in exact.items():
+        s = shard_of[k]
+        d_s = by_shard_d.get(s, 0)
+        if c > d_s:
+            assert k in got, (k, c, d_s)
+        if k in got:
+            assert got[k][0] == s
+            res = got[k][1]
+            assert res <= c <= res + d_s, (k, res, c, d_s)
+    # every hot key survived three micro-batches of sketch folding
+    assert all(f"hot{h}" in got for h in range(8))
