@@ -364,6 +364,19 @@ def main(smoke: bool = False, out_path: str | None = None,
         toks = whitespace_tokens(F.lower(F.col("text")))
         return simhash_hamming_pairs(d, "doc_id", toks, max_hamming=3)
 
+    def hh_corpus(n):
+        """Heavy-hitter corpus: 20% of rows on 16 equal hot keys, 80%
+        unique tail — content-hash routed (no rand, CLAUDE.md), so
+        certification is scale-invariant: kth ≈ n/80 > ΣD ≈
+        0.8n/(m+1) for m=256 at every scale, while the distinct-key
+        count (what the exact-groupBy twin shuffles) grows ≈0.8n."""
+        hh_h = F.abs(F.xxhash64(F.col("id")))
+        return spark.range(n).select(
+            F.when(hh_h % 5 == 0,
+                   F.concat(F.lit("hot"), (hh_h % 16).cast("string")))
+            .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+            .alias("k"))
+
     def hh_sketch(frame):
         """Certified heavy hitters (MG sketch + exact count-back):
         the shuffle carries only candidates (≤ budget·partitions) +
@@ -459,18 +472,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         ev_s = ev_s.cache(); ev_s.count()
         e_s = emb if scale == 1 else replicate_emb(scale)
         e_s = e_s.cache(); e_s.count()
-        # heavy-hitter corpus: 20% of rows on 16 equal hot keys, 80%
-        # unique tail — content-hash routed (no rand, CLAUDE.md), so
-        # certification is scale-invariant: kth ≈ n/80 > ΣD ≈
-        # 0.8n/(m+1) for m=256 at every scale, while the distinct-key
-        # count (what the exact-groupBy twin shuffles) grows ≈0.8n
-        hh_h = F.abs(F.xxhash64(F.col("id")))
-        hh_s = spark.range(600_000 * scale).select(
-            F.when(hh_h % 5 == 0,
-                   F.concat(F.lit("hot"), (hh_h % 16).cast("string")))
-            .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
-            .alias("k"))
-        hh_s = hh_s.cache(); hh_s.count()
+        hh_s = hh_corpus(600_000 * scale).cache(); hh_s.count()
         shapes = (
             ("q1_agg", q1, li_s, None), ("argmax_join", argmax, li_s, None),
             ("jaccard_pairs", jaccard, d_s, None),
@@ -736,6 +738,9 @@ def main(smoke: bool = False, out_path: str | None = None,
          (("pack_streaming", pack),), False),
         (lambda: zipf_docs(6_000 * xs),
          (("minhash_banded", minhash),), False),
+        (lambda: hh_corpus(600_000 * xs),
+         (("heavy_hitters", hh_sketch),
+          ("hh_exact_groupby", hh_exact)), False),
     ):
         frame = make().cache()
         cnt = frame.count()
