@@ -246,9 +246,14 @@ def bm25_topk(
     def prune(batches):
         for pdf in batches:
             if len(pdf):
+                # dropna=False: pandas groupby silently discards a
+                # NULL group by default, but Spark's groupBy kept it
+                # upstream — a NULL query_id (dirty benchmark input)
+                # must survive the prune like any other query
                 yield (pdf.sort_values(["bm25", doc_id],
                                        ascending=[False, True])
-                       .groupby(query_id, sort=False).head(kk))
+                       .groupby(query_id, sort=False, dropna=False)
+                       .head(kk))
 
     scored = scored.mapInPandas(prune, scored.schema)
     w = Window.partitionBy(query_id).orderBy(

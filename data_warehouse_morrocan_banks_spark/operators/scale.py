@@ -139,10 +139,12 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     ``applyInPandas`` level hashes candidates into G groups, sums
     residuals per key, and evicts back to the budget (evictions add
     to the decrement mass — the certification bound composes), so
-    the driver sees ≤ budget·G + G rows.  ``None`` auto-enables at
-    ~√partitions once the scan exceeds 64 partitions; ``0`` forces
-    it off.  The merged-out keys' residual mass lands in D, so
-    certification stays sound, just (correctly) harder to win.
+    the driver sees ≤ budget·G + G rows.  OPT-IN (pass ~√partitions
+    on cluster scans): probing the input's partition count via
+    ``.rdd`` would finalize the AQE plan and execute every upstream
+    stage — worse than the collect it would save.  The merged-out
+    keys' residual mass lands in D, so certification stays sound,
+    just (correctly) harder to win.
     """
     spark = df.sparkSession
     kc = key_col
@@ -184,11 +186,14 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     ])
     sk = keyed.mapInPandas(mg, sk_schema)
 
-    if merge_groups is None:
-        parts = keyed.rdd.getNumPartitions()
-        groups = 0 if parts <= 64 else max(8, int(parts ** 0.5))
-    else:
-        groups = int(merge_groups)
+    # merge level is OPT-IN: auto-deriving it from
+    # keyed.rdd.getNumPartitions() looked free but finalizes the AQE
+    # plan — for a join/aggregate input that EXECUTES every upstream
+    # stage just to count partitions, doubling the input cost
+    # (review-caught r6).  Cluster callers pass ~sqrt(scan
+    # partitions); None keeps the single-level sketch whose driver
+    # collect is bounded by budget·partitions.
+    groups = int(merge_groups) if merge_groups else 0
     if groups:
         def merge_fn(pdf):
             import pandas as pd

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .windows import _searchsorted_bucket
+from .windows import _searchsorted_bucket, _thin_grid
 
 # ~40 sampled rows per boundary keeps the quantile grid meaningful;
 # the sample mod derives from the row count (corpus-derived plans).
@@ -90,26 +90,33 @@ def zorder_boundaries(df: DataFrame, cols: list[str],
             .alias("__zin"),
         )
 
-    row = sampled(1 << 14).agg(*parts).first()
-    n = int(row["__n"] or 0)
     target = _SAMPLES_PER_BOUNDARY * grid
-    if int(row["__ns"] or 0) < target and n > int(row["__ns"] or 0):
-        mod = max(1, n // target)
-        row = sampled(mod).agg(*parts).first()
+    if any(is_str):
+        # string grids COLLECT their sample (collect_list), so the
+        # sample size must be capped BEFORE the aggregate — a fixed
+        # 1/16k fraction of a 10^11-row corpus would gather millions
+        # of strings into one aggregate row (review-caught r6).  One
+        # exact count sizes the mod; this runs at compaction time,
+        # where a count pass is noise next to the rewrite.
+        n = df.count()
+        row = sampled(max(1, n // target)).agg(*parts).first()
+    else:
+        row = sampled(1 << 14).agg(*parts).first()
+        n = int(row["__n"] or 0)
+        if int(row["__ns"] or 0) < target and n > int(row["__ns"] or 0):
+            row = sampled(max(1, n // target)).agg(*parts).first()
     bounds = []
     for i, s in enumerate(is_str):
         b = row[f"__b{i}"]
         if not b:
             bounds.append([])
         elif s:
-            # evenly spaced rank quantiles of the sorted sample; a
-            # low-cardinality column yields duplicate split points —
-            # dedupe (empty buckets are harmless, a shorter grid just
-            # uses fewer bits)
-            g_n = len(b) + 1
-            pick = [b[max(0, min(len(b) - 1, j * g_n // (grid + 1) - 1))]
-                    for j in range(1, grid + 1)]
-            bounds.append(sorted(set(pick)))
+            # evenly spaced rank quantiles of the sorted sample
+            # (windows._thin_grid — the even-spacing fix lives in one
+            # place); a low-cardinality column yields duplicate split
+            # points — dedupe (empty buckets are harmless, a shorter
+            # grid just uses fewer bits)
+            bounds.append(sorted(set(_thin_grid(list(b), grid + 1))))
         else:
             bounds.append([float(x) for x in b])
     return bounds, n
@@ -167,10 +174,16 @@ def overlap_depth(path: str, column: str,
     touches one file); ~n_files = hash layout (every file overlaps
     everything).  Reads ONLY the manifest — no data IO, so a
     maintenance daemon can poll it per table per column for free.
-    Returns None when fewer than 2 files carry comparable stats."""
+    Returns 1.0 for a ≤1-file table (trivially clustered — anything
+    else would make a maintenance trigger recompact a single file
+    forever); None when ≥2 files exist but fewer than 2 carry
+    comparable stats for the column (unknown → a trigger should
+    treat it as unclustered)."""
     from ..sources import snapshot_table as st
 
     v, m = st._resolve_manifest(path, version)
+    if len(m["files"]) <= 1:
+        return 1.0
     spans = []
     for f in m["files"]:
         s = m.get("stats", {}).get(f, {}).get(column)

@@ -70,11 +70,21 @@ def apply_streaming_heavy_hitters(grouped, m: int):
             [int(x) for x in cnt.to_numpy()],
             int(d), int(ver),
         ))
-        yield pd.DataFrame({
+        out = pd.DataFrame({
             "shard": int(shard), "key": cnt.index.to_numpy(),
             "residual": cnt.to_numpy().astype("int64"),
             "dmass": int(d), "ver": int(ver),
         })
+        # ALWAYS emit a NULL-key marker (the batch operator's
+        # pattern): a unique-heavy batch can empty the sketch, and a
+        # zero-row emission would strand the new dmass/ver in state —
+        # latest_snapshot would serve a stale summary whose smaller
+        # D falsely certifies absent keys (review-caught r6)
+        marker = pd.DataFrame({
+            "shard": [int(shard)], "key": pd.Series([None], dtype=object),
+            "residual": [0], "dmass": [int(d)], "ver": [int(ver)],
+        })
+        yield pd.concat([out, marker], ignore_index=True)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -123,7 +133,10 @@ def stream_heavy_hitters(spark: SparkSession, parquet_path: str,
 def latest_snapshot(emitted: DataFrame) -> DataFrame:
     """The current global sketch from the update-mode emission log:
     keep each shard's highest-version summary.  Returns
-    ``(shard, key, residual, dmass)``."""
+    ``(shard, key, residual, dmass)``; a NULL ``key`` row is the
+    shard's marker — it carries dmass/ver even when the candidate
+    set is empty, so drop NULL keys when consuming candidates but
+    read D from any of the shard's rows."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("shard").orderBy(F.col("ver").desc())

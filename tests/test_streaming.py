@@ -173,7 +173,8 @@ def test_streaming_heavy_hitters_invariants(spark):
     got = {}
     for r in snap:
         by_shard_d[r["shard"]] = r["dmass"]
-        got[r["key"]] = (r["shard"], r["residual"])
+        if r["key"] is not None:  # NULL key = the shard marker row
+            got[r["key"]] = (r["shard"], r["residual"])
     # shard routing must match the operator's for the invariants
     import pyspark.sql.functions as F
     shard_of = {
@@ -193,3 +194,32 @@ def test_streaming_heavy_hitters_invariants(spark):
             assert res <= c <= res + d_s, (k, res, c, d_s)
     # every hot key survived three micro-batches of sketch folding
     assert all(f"hot{h}" in got for h in range(8))
+
+
+def test_streaming_heavy_hitters_unique_heavy_batch_updates_dmass(spark):
+    """Review-caught r6: a micro-batch of >m unique keys can EMPTY
+    the sketch (eviction subtracts 1 from everything) — the marker
+    row must still deliver the new dmass/ver, or the snapshot's
+    stale smaller D would falsely certify absent keys."""
+    from data_warehouse_morrocan_banks_spark.streaming.heavy_hitters import (
+        latest_snapshot,
+        stream_heavy_hitters,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/keys"
+        spark.createDataFrame(
+            [(f"u{i}",) for i in range(200)], "k string"
+        ).coalesce(1).write.parquet(landing)
+        stream_heavy_hitters(spark, landing, f"{tmp}/ckpt", "k",
+                             m=4, shards=1, out_table="t_hh2")
+        snap = latest_snapshot(spark.table("t_hh2")).collect()
+    # all-unique keys with m=4: the sketch may hold <=4 residuals,
+    # but the marker must carry the accumulated decrement mass so
+    # the D-bound invariant (any key's count <= residual + D) holds
+    assert snap
+    d = max(r["dmass"] for r in snap)
+    assert d >= 1
+    for r in snap:
+        if r["key"] is not None:
+            assert r["residual"] + d >= 1  # true count of every key

@@ -229,12 +229,22 @@ def test_overlap_depth_degenerate_inputs(spark, tmp_path):
         overlap_depth,
     )
 
+    from data_warehouse_morrocan_banks_spark.operators.zorder import (
+        maybe_zorder_compact,
+    )
+
     p = str(tmp_path / "one")
     st.create(spark, p, spark.createDataFrame(
         [(1, 2.0)], "id long, x double").coalesce(1))
-    # single file -> no metric
-    assert overlap_depth(p, "x") is None
-    # unknown column -> no metric
+    # single file -> trivially clustered (review-caught: None here
+    # made the maintenance trigger recompact a 1-file table forever)
+    assert overlap_depth(p, "x") == 1.0
+    v = st.current_version(p)
+    assert not maybe_zorder_compact(spark, p, ["x"], 1)
+    assert st.current_version(p) == v
+    # >=2 files but a column with no comparable stats -> unknown
+    st.append(spark, p, spark.createDataFrame(
+        [(2, 3.0)], "id long, x double").coalesce(1))
     assert overlap_depth(p, "nope") is None
 
 
