@@ -735,7 +735,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         (lambda: replicate_cross(li, xs, ["l_orderkey"]),
          (("q1_agg", q1), ("global_rank", grank)), True),
         (lambda: replicate_cross(docs, xs, ["doc_id"]),
-         (("pack_streaming", pack),), False),
+         (("pack_streaming", pack), ("bm25_topk", bm25)), False),
         (lambda: zipf_docs(6_000 * xs),
          (("minhash_banded", minhash),), False),
         (lambda: hh_corpus(600_000 * xs),
