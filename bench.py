@@ -43,6 +43,22 @@ HEADLINE = [
     "q_f46_clean_flags",
 ]
 
+# Queries whose REGISTERED PLAN gained or lost work THIS round
+# (operators/columns folded into an existing same-grain suite under
+# the 50-query registry cap — the CLAUDE.md convention).  Recorded in
+# the bench JSON so a round-over-round wall delta on a listed query
+# reads as "does more work", not "regressed", without the judge
+# having to mine git history (r6 ask #4).  Maintained by hand next to
+# the change that alters a headline query's work; reset to [] at the
+# start of a round.
+WORK_CHANGED: list[str] = [
+    # r7: second certified-HH column pair (m=8, measured
+    # non-certifying on the near-uniform events keys) folded in so
+    # the driver oracle exercises the certify-fail -> exact-fallback
+    # branch every round (r6 ask #6)
+    "q_mart_drill_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +122,10 @@ def main() -> None:
             "samples": 5,
             "aggregate": "min",
         },
+        # queries whose registered plan does different WORK than last
+        # round (capability fold-ins under the 50-query cap) — their
+        # wall deltas are not regressions
+        "work_changed": WORK_CHANGED,
     }))
     spark.stop()
 

@@ -425,16 +425,23 @@ def pq_rerank_exact(shortlist: DataFrame, corpus: DataFrame,
     the shortlist's containment of the true top-k.
     """
     qv = as_double_array(vec_col)
-    q_side = queries.select(
-        F.col(query_id_col), qv.alias("__q"))
-    c_side = corpus.select(F.col(id_col), qv.alias("__c"))
+    # same validity filter as pq_encode/_collect_queries: a NULL
+    # element makes the zip_with distance NULL, and NULLS FIRST under
+    # asc() would hand such a row rank 1 (r6 advice); and the same
+    # query_id_col → id_col fallback every other search entry point
+    # has, so a queries frame keyed on vec_id reranks unmodified
+    valid = qv.isNotNull() & F.forall(qv, lambda x: x.isNotNull())
+    qid = query_id_col if query_id_col in queries.columns else id_col
+    q_side = queries.filter(valid).select(
+        F.col(qid).alias(query_id_col), qv.alias("__q"))
+    c_side = corpus.filter(valid).select(F.col(id_col), qv.alias("__c"))
     pairs = shortlist.select(query_id_col, id_col)
     dist = F.aggregate(
         F.zip_with(F.col("__q"), F.col("__c"),
                    lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x)
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("l2_dist").asc(), F.col(id_col))
+        F.col("l2_dist").asc_nulls_last(), F.col(id_col))
     return (
         c_side.join(F.broadcast(pairs), id_col)
         .join(F.broadcast(q_side), query_id_col)

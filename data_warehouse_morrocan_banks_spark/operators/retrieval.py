@@ -25,12 +25,23 @@ Two shapes, two scale stories:
   bounded window (state per task = one query's candidates).
 
 Determinism (cross-engine, CLAUDE.md): tokenization is the engine
-whitespace class; tf/df/dl are exact integers; avgdl = Σdl/N and the
-idf logs are computed ONCE (driver-side libm) and enter both engines
-as the same double literals; the per-document arithmetic is written
-with one fixed association order so IEEE doubles agree bit-for-bit;
-published scores round HALF_UP at 6dp through decimal(24,12)
-(``numerics.round_det``).  Division guards: the tf ratio's
+whitespace class; tf/df/dl are exact integers; avgdl = Σdl/N; the
+idf logs enter the SPARK plan as driver-computed ``math.log``
+literals, while the DuckDB oracle recomputes them with ``LN()`` —
+they cannot be injected as literals there because idf depends on
+corpus stats (n, df) and the oracle is a static, sf-independent SQL
+string.  Bit-equality of the two idf doubles holds because CPython's
+``math.log`` and DuckDB's ``LN`` wrap the same system libm on this
+box — an assumption made LOUD by
+``tests/test_retrieval.py::test_idf_matches_duckdb_ln_bitwise``
+(r6-advice tripwire: an engine/libm skew fails that named test
+instead of silently breaking the driver hash gate).  Even under an
+ulp-level skew the blast radius is tiny: a ~1e-16 idf perturbation
+moves the final score ~1e-16, flipping its 6dp round only within
+1e-16 of a tie boundary (~1e-10 per document).  The per-document
+arithmetic is written with one fixed association order so IEEE
+doubles agree bit-for-bit; published scores round HALF_UP at 6dp
+through decimal(24,8) (``numerics.round_det``).  Division guards: the tf ratio's
 denominator can reach 0 only when ``b == 1`` meets an empty document
 (tf=0, dl=0) — routed through ``F.try_divide`` and coalesced to 0,
 matching SQL x/0 → NULL → 0.
@@ -275,11 +286,18 @@ def decontaminate_by_retrieval(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Drop every document that is a top-k BM25 hit (score >
+    """Drop every document that is a top-k BM25 hit (score >=
     ``min_score``) for ANY benchmark prompt — the retrieval
     complement to :func:`~.contamination.ngram_contamination`
     (n-gram overlap catches verbatim leakage; retrieval catches
     lexical paraphrase that shares vocabulary without 8-gram spans).
+
+    The comparison is INCLUSIVE at the default ``min_score=0.0``:
+    :func:`bm25_topk` already excludes no-shared-term docs, but it
+    publishes scores rounded at the 1e-6 grain, so a genuine hit
+    whose tiny-idf terms (df close to N) round to 0.000000 must
+    still be dropped — a strict ``>`` would keep it, contradicting
+    the "drop every top-k hit" contract (r6 advice).
 
     The hit set is ≤ |benchmark|·k rows, so the removal is one
     broadcast LEFT ANTI join against the corpus — the corpus itself
@@ -287,6 +305,6 @@ def decontaminate_by_retrieval(
     """
     hits = (bm25_topk(docs, benchmark, k, doc_id, text_col,
                       query_id, query_text, k1, b)
-            .where(F.col("bm25") > F.lit(float(min_score)))
+            .where(F.col("bm25") >= F.lit(float(min_score)))
             .select(doc_id).distinct())
     return docs.join(F.broadcast(hits), doc_id, "left_anti")

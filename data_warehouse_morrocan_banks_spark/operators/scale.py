@@ -92,6 +92,19 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
                   count_name: str = "n_occurrences",
                   rank_name: str = "hh_rank",
                   merge_groups: int | None = None) -> DataFrame:
+    """Certified top-k heavy hitters (see :func:`heavy_hitters_cert`
+    for the full story; this is the plain-DataFrame entry point)."""
+    out, _ = heavy_hitters_cert(df, key_col, k, m, count_name,
+                                rank_name, merge_groups)
+    return out
+
+
+def heavy_hitters_cert(df: DataFrame, key_col: str, k: int,
+                       m: int | None = None,
+                       count_name: str = "n_occurrences",
+                       rank_name: str = "hh_rank",
+                       merge_groups: int | None = None,
+                       ) -> tuple[DataFrame, bool]:
     """Certified top-k heavy hitters with a bounded shuffle.
 
     The 100 TB problem with ``groupBy(key).count().orderBy().limit(k)``
@@ -145,6 +158,14 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
     stage — worse than the collect it would save.  The merged-out
     keys' residual mass lands in D, so certification stays sound,
     just (correctly) harder to win.
+
+    Returns ``(frame, certified)``: the bool records WHICH path
+    produced the (always exact) result — the sketch certificate or
+    the exact fallback.  It exists so tests and driver queries can
+    PIN that a given (corpus, m) exercises the intended branch
+    (q_mart_drill_topk's m=64 pair exists precisely to run the
+    fallback under the driver oracle, r6 ask #6) — a diagnostic,
+    never a correctness signal.
     """
     spark = df.sparkSession
     kc = key_col
@@ -269,7 +290,7 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int,
         # shuffle, the cost this operator avoids when it CAN certify
         rows = topk(
             keyed.groupBy(kc).agg(F.count(F.lit(1)).alias(count_name)))
-    return spark.createDataFrame(rows, out_schema)
+    return spark.createDataFrame(rows, out_schema), certified
 
 
 def quantiles(col: str, probabilities: list[float], exact: bool = False,

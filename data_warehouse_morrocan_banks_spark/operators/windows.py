@@ -88,22 +88,31 @@ def _searchsorted_bucket(lead_expr: Column, boundaries: list,
     O(log B) per row, vectorized in C across each batch.  Exact same
     semantics as the chained-when form: #boundaries STRICTLY below
     the key (``side='left'``), NULL keys → 0 below (bucket 0 asc,
-    last bucket desc).  The closure captures only plain Python values
-    (cloudpickle by value — no module-global references)."""
+    last bucket desc), NaN keys → ALL boundaries below (Spark orders
+    NaN as the largest double, and ``NaN > b`` is true in the
+    chained-when form: last bucket asc, bucket 0 desc).  NULL and NaN
+    are indistinguishable inside a float64 Arrow batch (both arrive
+    as ``isna``), so the null flag is computed SPARK-SIDE and passed
+    as a second argument — the UDF then routes true NULLs to the
+    0-below path and true NaNs to the all-below path.  The closure
+    captures only plain Python values (cloudpickle by value — no
+    module-global references)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     n_b = len(boundaries)
 
-    def _assign(v):
+    def _assign(v, isnull):
         import numpy as np
         import pandas as _pd
 
         b = np.asarray(boundaries)
         vals = v.to_numpy()
-        null = _pd.isna(vals)
-        safe = np.where(null, b[0], vals)
+        null = isnull.to_numpy().astype(bool)
+        nan = _pd.isna(vals) & ~null
+        safe = np.where(null | nan, b[0], vals)
         ab = np.searchsorted(b, safe, side="left")
+        ab[nan] = n_b
         ab[null] = 0
         out = ab if asc else n_b - ab
         return _pd.Series(out.astype("int32"))
@@ -111,8 +120,9 @@ def _searchsorted_bucket(lead_expr: Column, boundaries: list,
     # real class objects, not strings: the module's `from __future__
     # import annotations` would stringify inline hints and the UDF
     # type-hint resolver can't see a function-local `pd`
-    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(_assign, "int")(lead_expr)
+    _assign.__annotations__ = {"v": pd.Series, "isnull": pd.Series,
+                               "return": pd.Series}
+    return pandas_udf(_assign, "int")(lead_expr, lead_expr.isNull())
 
 
 def global_rank(df: DataFrame, order_by: list[Column | str],
@@ -216,8 +226,13 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 F.lit(10_000)).alias("b"),
             F.count(F.lit(1)).alias("n"),
         ).first()
+        # drop NaN grid points too (a NaN-heavy lead column can push
+        # NaN into high quantiles): NaN rows always bucket LAST asc by
+        # the assignment rule, so a NaN boundary adds nothing and
+        # breaks the chained-when form (NaN > b is never a boundary
+        # test that partitions cleanly)
         grid = [] if row is None or row["b"] is None else \
-            [b for b in row["b"] if b is not None]
+            [b for b in row["b"] if b is not None and b == b]
         if num_partitions is None:
             n_rows = 0 if row is None else row["n"]
             num_partitions = min(

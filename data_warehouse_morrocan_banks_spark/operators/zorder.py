@@ -223,18 +223,42 @@ def maybe_zorder_compact(spark, path: str, cols: list[str],
     columns (each column's range splits into ~F^(1/c) bands, so
     ~F/F^(1/c) files overlap any point) — an absolute threshold
     would misfire as F or c change.  A column without comparable
-    stats counts as unclustered.  Returns whether a rewrite
-    happened; the decision costs one manifest read, the rewrite
-    costs what the compaction was always going to cost."""
+    stats counts as unclustered, with two carve-outs that keep a
+    standing daemon from recompacting forever (r6 advice): a column
+    NO file carries usable stats for (all-NULL, or a type the stats
+    collector doesn't cover) is EXCLUDED — no rewrite can ever
+    produce stats for it; and when the current version already IS a
+    compact whose recorded ``clustered_by`` covers the column
+    (manifest provenance) a still-unknown depth is skipped — the
+    rewrite just ran and could not improve it, so re-running is pure
+    churn (the marker resets on the next append, which genuinely
+    dilutes clustering).  Returns whether a rewrite happened; the
+    decision costs one manifest read, the rewrite costs what the
+    compaction was always going to cost."""
     from ..sources import snapshot_table as st
 
     _, m = st._resolve_manifest(path, None)
     n_files = max(1, len(m["files"]))
     ideal = max(1.0, float(n_files) ** ((len(cols) - 1) / len(cols)))
+    just_zordered = (m.get("op") == "compact"
+                     and set(cols) <= set(m.get("clustered_by") or ()))
+
+    def _has_any_stats(c: str) -> bool:
+        for f in m["files"]:
+            s = m.get("stats", {}).get(f, {}).get(c)
+            if (isinstance(s, (list, tuple)) and len(s) == 2
+                    and s[0] is not None and s[1] is not None):
+                return True
+        return False
+
     worst = 0.0
     for c in cols:
         d = overlap_depth(path, c)
-        worst = max(worst, float("inf") if d is None else d)
+        if d is None:
+            if just_zordered or not _has_any_stats(c):
+                continue
+            d = float("inf")
+        worst = max(worst, d)
     if worst <= max_ratio * ideal:
         return False
     st.compact(spark, path, target_partitions=target_partitions,

@@ -1047,8 +1047,16 @@ def compact(spark: SparkSession, path: str,
             raise ConcurrentWriteError(
                 f"snapshot at {path} changed during compaction "
                 f"(v{base_v} -> v{cur}); re-run")
+        # clustering provenance: maintenance triggers
+        # (operators/zorder.maybe_zorder_compact) must be able to see
+        # that the CURRENT version already is a z-order rewrite on
+        # these columns — a column whose overlap_depth is still
+        # unknown immediately after such a rewrite can't be improved
+        # by re-running it, and without this marker a standing daemon
+        # would recompact the whole table on every poll forever
         return {"op": "compact", "files": files, "_staged": files,
                 "stats": stats,
+                "clustered_by": list(zorder_by or sort_by or []),
                 "schema": now["schema"], "parent": cur}
 
     return _commit(path, entry)
@@ -1223,7 +1231,7 @@ def publications(root: str) -> list[dict]:
 
 
 def vacuum_publications(root: str, keep_last: int = 1,
-                        min_age_s: float = 0.0) -> list[str]:
+                        min_age_s: float = 300.0) -> list[str]:
     """Publication-consistent GC: keep the last ``keep_last``
     publications, delete older publication manifests, then vacuum
     every table under ``root`` keeping exactly the versions a KEPT
@@ -1285,7 +1293,7 @@ def load_publication(spark: SparkSession, root: str,
 
 
 def vacuum(path: str, keep_last: int = 1,
-           min_age_s: float = 0.0) -> list[str]:
+           min_age_s: float = 300.0) -> list[str]:
     """Expire history: keep the last ``keep_last`` manifests, delete
     older ones plus every data file no kept manifest references
     (crash orphans included) and stale commit temp files.  Returns
@@ -1298,7 +1306,13 @@ def vacuum(path: str, keep_last: int = 1,
     vacuuming a version a job is still using fails that job's next
     action.  Set the window ≥ your longest reader (Delta's
     ``delta.deletedFileRetentionDuration`` trade, default 7 days
-    there; 0 here because the tests ARE the longest reader).
+    there).  The default is a small nonzero window (300 s, r6 ask):
+    the staged-file existence check already makes a concurrent
+    vacuum + writer CORRECT at 0, but 0 turns that pair into a churn
+    generator — every overlap aborts the writer's commit into a
+    retry loop.  Pass ``min_age_s=0`` only in a SINGLE-WRITER
+    setting (e.g. a test that just committed and wants immediate
+    collection).
 
     Tables under a publication root must be GC'd with
     :func:`vacuum_publications` instead — table-level vacuum keeps a

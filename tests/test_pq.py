@@ -188,3 +188,26 @@ def test_null_vectors_dropped_and_empty_queries(spark, emb):
         [], "query_id int, embedding array<double>")
     assert pq_search_adc(pq_encode(emb, books), empty_q, books,
                          k=3, query_id_col="query_id").count() == 0
+
+
+def test_rerank_null_vectors_and_qid_fallback(spark):
+    """pq_rerank_exact (r6 advice): a NULL vector element makes the
+    zip_with distance NULL, and NULLS FIRST under plain asc() handed
+    such a shortlist row rank 1 — now filtered by the same validity
+    gate pq_encode uses.  And a queries frame keyed on vec_id (no
+    query_id column) must work via the same fallback every other
+    search entry point has."""
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [None, 9.0]),
+         (4, [3.0, 3.0])],
+        "vec_id int, embedding array<double>")
+    # queries keyed on vec_id only — exercises the qid fallback
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id int, embedding array<double>")
+    shortlist = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (100, 4)],
+        "query_id int, vec_id int")
+    got = pq_rerank_exact(shortlist, corpus, queries, k=2).collect()
+    # vec 3 (NULL element) must NOT take rank 1; true top-2 is 1, 2
+    assert [(r["vec_id"], r["l2_dist"]) for r in got] == \
+        [(1, 0.0), (2, 2.0)]

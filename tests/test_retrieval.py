@@ -226,6 +226,52 @@ def test_decontaminate_by_retrieval(spark):
         == len(_CORPUS)
 
 
+def test_decontaminate_min_score_is_inclusive(spark):
+    """score >= min_score drops the hit (r6 advice): bm25_topk
+    publishes 6dp-rounded scores, so a genuine top-k hit whose
+    tiny-idf terms round to 0.000000 must still be dropped under the
+    default min_score=0.0 — a strict > would keep it.  Pinned at the
+    boundary: min_score set EQUAL to a hit's published score must
+    still drop that hit."""
+    from data_warehouse_morrocan_banks_spark.operators.retrieval import (
+        decontaminate_by_retrieval,
+    )
+
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "spark query")], "query_id string, query_text string")
+    hits = {r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, bench, 2).collect()}
+    weakest = min(hits.values())
+    kept = {r["doc_id"] for r in decontaminate_by_retrieval(
+        docs, bench, k=2, min_score=weakest).collect()}
+    assert kept == {i for i, _ in _CORPUS} - set(hits)
+
+
+def test_idf_matches_duckdb_ln_bitwise():
+    """Tripwire for the documented cross-engine idf convention
+    (retrieval.py module docstring, r6 advice): the Spark plan's idf
+    literals come from CPython math.log while the q_text_quality
+    oracle recomputes LN() in DuckDB.  Bit-equality relies on both
+    wrapping the same system libm — if a DuckDB upgrade ships its own
+    ln (or the platform libm changes), THIS test names the cause
+    instead of the driver hash gate silently breaking.  Sweeps the
+    idf argument over the full realistic (n, df) grid."""
+    duckdb = pytest.importorskip("duckdb")
+
+    args = [1.0 + (n - df + 0.5) / (df + 0.5)
+            for n in (1, 2, 7, 150, 1500, 60000)
+            for df in range(0, n + 1, max(1, n // 37))]
+    rows = duckdb.sql(
+        "SELECT LN(x) FROM (SELECT UNNEST(?::DOUBLE[]) AS x)",
+        params=[args]).fetchall()
+    for a, (got,) in zip(args, rows):
+        assert math.log(a) == got, (
+            f"math.log({a!r}) = {math.log(a)!r} != DuckDB LN = {got!r}; "
+            "the bm25_probe oracle's LN recomputation no longer "
+            "bit-matches the Spark plan's idf literals")
+
+
 def test_bm25_prefers_rarer_terms(spark):
     """idf does its job: a doc matching only a rare term outranks a
     doc matching only a ubiquitous one (equal tf, equal length)."""

@@ -392,6 +392,35 @@ def test_global_rank_null_keys_match_window_semantics(spark):
         assert got == want, f"ascending={asc}"
 
 
+def test_global_rank_nan_keys_match_window_semantics(spark):
+    """NaN leading keys (r6 advice): Spark orders NaN as the LARGEST
+    double — distinct from NULL (first asc / last desc).  The float64
+    Arrow batch inside the searchsorted UDF cannot tell them apart
+    (both arrive isna), so the null flag is computed Spark-side; this
+    pins the >64-boundary path AND the chained-when path against the
+    single-task window on a NULL+NaN+finite mix, asc and desc."""
+    from pyspark.sql import Window
+
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+
+    rows = [(i,
+             None if i % 7 == 0
+             else float("nan") if i % 7 == 1
+             else float(i % 23)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE")
+    for asc in (True, False):
+        w = Window.orderBy(F.col("x").asc() if asc else F.col("x").desc())
+        want = {r["id"]: r["rank"]
+                for r in df.withColumn("rank", F.rank().over(w)).collect()}
+        for n_parts in (8, 90):  # chained-when and searchsorted paths
+            got = {r["id"]: r["rank"]
+                   for r in global_rank(df, ["x"], ascending=asc,
+                                        num_partitions=n_parts).collect()}
+            assert got == want, f"ascending={asc} num_partitions={n_parts}"
+
+
 def test_suggest_interval_bucket_width(spark):
     """The derived width is the median span; degenerate frames
     (point-intervals only, empty) fall back to a positive 1.0; the
@@ -510,6 +539,43 @@ def test_heavy_hitters_fallback_on_uniform(spark):
     out = heavy_hitters(df, "k", k=5, m=16).collect()
     assert [(r["k"], r["n_occurrences"]) for r in
             sorted(out, key=lambda r: r["hh_rank"])] == _hh_brute(vals, 5)
+
+
+def test_heavy_hitters_drill_topk_pair_exercises_both_branches(spark):
+    """Pins the q_mart_drill_topk claim (r6 ask #6): on the driver's
+    events fixture, the m=2048 pair runs the CERTIFIED path (budget
+    above the ~150-user sf0.01 cardinality, zero decrement mass)
+    while the m=8 pair fails certification on the near-uniform counts
+    and runs the exact FALLBACK — measured, not assumed, across
+    1/4/32-partition layouts (the r6 verdict suggested m=64, which
+    actually CERTIFIES here: one eviction's decrement mass ~66 stays
+    below the 10th count ~85 — the exact-decrement bound is tighter
+    than the textbook one).  Both results must be identical."""
+    import os
+
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        heavy_hitters_cert,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    # the CLAIM is about the driver's correctness gate, which runs at
+    # sf0.01 (~150 distinct users, near-uniform counts).  sf0.001 has
+    # only ~15 users — m=64 exceeds that cardinality and certifies
+    # trivially, which is exactly NOT the branch this test pins.
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("driver-sf testdata not present")
+    ev = table(spark, sf01, "events")
+    certified_out, was_cert = heavy_hitters_cert(
+        ev, "user_id", k=10, m=2048)
+    assert was_cert, "m=2048 must take the certified path"
+    want = sorted(map(tuple, certified_out.collect()))
+    for parts in (1, 4, 32):
+        fb_out, fb_cert = heavy_hitters_cert(
+            ev.repartition(parts), "user_id", k=10, m=8)
+        assert not fb_cert, \
+            f"m=8 must fail certification on uniform keys (parts={parts})"
+        assert sorted(map(tuple, fb_out.collect())) == want, parts
 
 
 def test_heavy_hitters_nulls_and_layout(spark):

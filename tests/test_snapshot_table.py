@@ -77,7 +77,7 @@ def test_crash_states_are_invisible_and_vacuumable(spark, tmp_path):
         fh.write('{"version": 999')                   # truncated JSON
     assert _rows(st.read(spark, path)) == [(1, "s1")]
     assert st.current_version(path) == 1
-    removed = st.vacuum(path, keep_last=1)
+    removed = st.vacuum(path, keep_last=1, min_age_s=0)
     assert any("orphan" in p for p in removed)
     assert tmp_manifest in removed
     assert not os.path.exists(os.path.join(path, "data", "orphan"))
@@ -147,7 +147,7 @@ def test_vacuum_expires_history_keeps_current(spark, tmp_path):
     st.create(spark, path, _mk(spark, [1]))
     st.append(spark, path, _mk(spark, [2]))
     st.compact(spark, path)
-    st.vacuum(path, keep_last=1)
+    st.vacuum(path, keep_last=1, min_age_s=0)
     assert _rows(st.read(spark, path)) == [(1, "s1"), (2, "s2")]
     assert st._versions(path) == [3]
     with pytest.raises(FileNotFoundError):
@@ -207,7 +207,7 @@ def test_stream_batch_append_is_idempotent(spark, tmp_path):
     assert _rows(st.read(spark, path)) == [
         (1, "s1"), (2, "s2"), (10, "s10"), (11, "s11")]
     # replayed-batch orphans are vacuumable, content unchanged
-    st.vacuum(path, keep_last=1)
+    st.vacuum(path, keep_last=1, min_age_s=0)
     assert _rows(st.read(spark, path)) == [
         (1, "s1"), (2, "s2"), (10, "s10"), (11, "s11")]
 
@@ -499,7 +499,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 st.compact(spark, path, target_partitions=2,
                            sort_by=["k"])
             elif op[0] == "vacuum":
-                st.vacuum(path, keep_last=1)
+                st.vacuum(path, keep_last=1, min_age_s=0)
         got = dict(_rowset(st.read(spark, path)))
         assert got == model, (ops, got, model)
 
@@ -518,8 +518,13 @@ def test_vacuum_retention_window_protects_recent_versions(spark, tmp_path):
     assert st._versions(path) == [1, 2]
     assert not any(p.endswith(".json") for p in removed)
     assert _rows(pinned_v1) == [(1, "s1")]   # lazy re-read still works
-    # without the window, v1 goes
+    # the DEFAULT window is nonzero (300 s, r7): a default-args
+    # vacuum seconds after the commits must also keep v1 — min_age_s=0
+    # is the explicit single-writer opt-in, not the default
     st.vacuum(path, keep_last=1)
+    assert st._versions(path) == [1, 2]
+    # without the window, v1 goes
+    st.vacuum(path, keep_last=1, min_age_s=0)
     assert st._versions(path) == [2]
 
 
@@ -533,7 +538,7 @@ def test_vacuum_publications_keeps_pinned_versions(spark, tmp_path):
                                  "fact": _mk(spark, [10 * i])})
     assert len(st.publications(root)) == 3
 
-    removed = st.vacuum_publications(root, keep_last=2)
+    removed = st.vacuum_publications(root, keep_last=2, min_age_s=0)
     assert len(st.publications(root)) == 2
     # publications 2 and 3 load completely; 1 is gone
     p2 = st.load_publication(spark, root, version=2)
@@ -562,11 +567,11 @@ def test_vacuum_publications_tolerates_vacuumed_pinned_version(
         st.publish(spark, root, {"dim": _mk(spark, [i])})
     # the unsafe operation: plain vacuum on a published table keeps
     # only the head, dropping dim v2 — which publication 2 pins
-    st.vacuum(os.path.join(root, "dim"), keep_last=1)
+    st.vacuum(os.path.join(root, "dim"), keep_last=1, min_age_s=0)
     # the sweep must run to completion (the closure walk previously
     # raised FileNotFoundError on the missing pinned v2 after some
     # publication manifests were already deleted)
-    st.vacuum_publications(root, keep_last=2)
+    st.vacuum_publications(root, keep_last=2, min_age_s=0)
     # the latest publication still loads; publication 2's dim version
     # is genuinely gone (the unsafe op broke it — documented), which
     # is a load-time error, not a GC crash
@@ -660,7 +665,7 @@ def test_review_fixes_round5(spark, tmp_path, monkeypatch):
     removed = st.vacuum(t5, keep_last=1, min_age_s=3600)
     assert _os.path.isdir(_os.path.join(t5, "data", "staging"))
     assert not any("staging" in p for p in removed)
-    st.vacuum(t5, keep_last=1)                     # no window: collected
+    st.vacuum(t5, keep_last=1, min_age_s=0)        # no window: collected
     assert not _os.path.isdir(_os.path.join(t5, "data", "staging"))
 
 
@@ -923,7 +928,7 @@ def test_delta_log_bounds_manifest_io(spark, tmp_path, monkeypatch):
 
     # vacuum(keep_last=1) must extend the keep set down the delta
     # chain — the head stays resolvable and readable
-    st.vacuum(path, keep_last=1)
+    st.vacuum(path, keep_last=1, min_age_s=0)
     assert [r[0] for r in _rows(st.read(spark, path))] == list(
         range(n_appends + 1))
     kept = st._versions(path)

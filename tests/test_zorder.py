@@ -248,6 +248,57 @@ def test_overlap_depth_degenerate_inputs(spark, tmp_path):
     assert overlap_depth(p, "nope") is None
 
 
+def test_maintenance_never_loops_on_statless_columns(spark, tmp_path):
+    """r6 advice: depth None used to map to +inf unconditionally, so
+    a standing daemon polling an all-NULL column recompacted the
+    whole table on EVERY poll forever (a z-order rewrite can never
+    produce stats for it).  Now: a column no file carries stats for
+    is excluded; a column whose depth is STILL unknown right after a
+    z-order compact covering it (manifest ``clustered_by``
+    provenance) is skipped until the next append."""
+    from data_warehouse_morrocan_banks_spark.operators.zorder import (
+        maybe_zorder_compact,
+        overlap_depth,
+    )
+
+    p = str(tmp_path / "nullcol")
+    rows = [(i, float(i % 31), None) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "id long, x double, dead double")
+    st.create(spark, p, df.repartition(4))
+    # enough spanning appends that avg depth (F+1)/2 clears the
+    # 2·sqrt(F) two-column trigger threshold: F=24 -> 12.5 > 9.8
+    for _ in range(5):
+        st.append(spark, p, df.repartition(4))
+    assert overlap_depth(p, "dead") is None  # all-NULL: no stats anywhere
+    # x IS diluted (spanning appends) -> one legitimate rewrite fires
+    assert maybe_zorder_compact(spark, p, ["x", "dead"], 4)
+    v = st.current_version(p)
+    # the daemon loop: subsequent polls must be no-ops — dead still
+    # has no stats, but it can never gain them, and x is clustered
+    for _ in range(3):
+        assert not maybe_zorder_compact(spark, p, ["x", "dead"], 4)
+        assert st.current_version(p) == v
+
+    # SOME stats present but <2 comparable spans (an all-NULL file
+    # next to a valued file) also yields depth None: the rewrite is
+    # allowed once (unknown -> unclustered), and if the rewritten
+    # layout still has <2 comparable spans the just-zordered
+    # provenance marker stops the poll loop afterwards
+    p2 = str(tmp_path / "sparse")
+    st.create(spark, p2, spark.createDataFrame(
+        [(i, None) for i in range(400)],
+        "id long, k double").coalesce(1))
+    st.append(spark, p2, spark.createDataFrame(
+        [(400, 7.0)], "id long, k double").coalesce(1))
+    assert overlap_depth(p2, "k") is None
+    assert maybe_zorder_compact(spark, p2, ["k"], 2)
+    v2 = st.current_version(p2)
+    if overlap_depth(p2, "k") is None:  # still <2 comparable spans
+        for _ in range(2):
+            assert not maybe_zorder_compact(spark, p2, ["k"], 2)
+            assert st.current_version(p2) == v2
+
+
 def test_apply_zorder_preserves_rows(spark):
     rows = [(i, float(i % 13), float(i % 17)) for i in range(500)]
     df = spark.createDataFrame(rows, "id long, x double, y double")
