@@ -276,12 +276,15 @@ def test_manifest_stats_file_pruning(spark, tmp_path):
     want = _rows(st.read(spark, path).filter("k >= 10 AND k <= 20"))
     assert got == want == [(10, "s10"), (11, "s11"), (20, "s20")]
     assert _rows(st.read_pruned(spark, path, "k", 100, 200)) == []
-    # stats survive dropping the stats map (pre-stats manifests):
+    # stats survive dropping the stats map (pre-stats manifests) —
+    # rewritten THROUGH the backend so the scenario also runs under
+    # the HTTP object-store re-collection (a raw open() would write a
+    # posix file the backend never sees)
     m2 = dict(m)
     m2.pop("stats")
-    with open(os.path.join(path, "_manifests", "v%08d.json" % 3),
-              "w") as fh:
-        json.dump(m2, fh)
+    mp = os.path.join(path, "_manifests", "v%08d.json" % 3)
+    st._BACKEND.delete(mp)
+    st._BACKEND.create_exclusive(mp, json.dumps(m2))
     assert len(st.pruned_files(path, "k", 10, 11)) == 3  # keep all
     assert _rows(st.read_pruned(spark, path, "k", 10, 11)) == [
         (10, "s10"), (11, "s11")]
@@ -798,8 +801,9 @@ def test_read_retries_past_vacuumed_head(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(st, "_read_manifest", flaky_read)
     assert _rows(st.read(spark, path)) == [(1, "s1"), (2, "s2")]
     assert state["raced"]
-    # a PINNED version that is genuinely gone still raises
-    os.unlink(os.path.join(path, "_manifests", "v00000001.json"))
+    # a PINNED version that is genuinely gone still raises (deleted
+    # through the backend so the HTTP re-collection exercises it too)
+    st._BACKEND.delete(os.path.join(path, "_manifests", "v00000001.json"))
     with pytest.raises(FileNotFoundError):
         st.read(spark, path, version=1)
 
