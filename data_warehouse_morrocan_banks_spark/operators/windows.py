@@ -86,33 +86,39 @@ def _searchsorted_bucket(lead_expr: Column, boundaries: list,
     """Bucket id for >64 literal boundaries: ``np.searchsorted`` over
     the sorted boundary array inside an Arrow-batched pandas UDF —
     O(log B) per row, vectorized in C across each batch.  Exact same
-    semantics as the chained-when form: #boundaries STRICTLY below
-    the key (``side='left'``), NULL keys → 0 below (bucket 0 asc,
-    last bucket desc), NaN keys → ALL boundaries below (Spark orders
-    NaN as the largest double, and ``NaN > b`` is true in the
-    chained-when form: last bucket asc, bucket 0 desc).  NULL and NaN
-    are indistinguishable inside a float64 Arrow batch (both arrive
-    as ``isna``), so the null flag is computed SPARK-SIDE and passed
-    as a second argument — the UDF then routes true NULLs to the
-    0-below path and true NaNs to the all-below path.  The closure
-    captures only plain Python values (cloudpickle by value — no
-    module-global references)."""
+    semantics as the chained-when form for NULL and finite keys:
+    #boundaries STRICTLY below the key (``side='left'``), NULL keys →
+    0 below (bucket 0 asc, last bucket desc).
+
+    NaN caveat (r6 advice): a float64 Arrow batch cannot distinguish
+    NaN from NULL (both arrive ``isna``), so THIS function routes
+    both to the 0-below path — while Spark orders NaN as the LARGEST
+    double.  Callers whose column can hold NaN must intercept it
+    SPARK-SIDE: ``F.when(F.isnan(x), all-below-bucket)
+    .otherwise(_searchsorted_bucket(x, …))`` — see
+    :func:`global_rank`.  The first fix passed an ``isNull`` flag as
+    a second UDF argument, which was semantically right but doubled
+    the Arrow transfer of the hot column and measured ~1.7× wall on
+    the 60 M-row probe shape; a codegen'd ``isnan`` branch around
+    the UDF costs nothing.  (Layout-only callers — zorder codes —
+    keep the raw form: NaN placement affects clustering quality of
+    NaN rows only, never row content.)  The closure captures only
+    plain Python values (cloudpickle by value — no module-global
+    references)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     n_b = len(boundaries)
 
-    def _assign(v, isnull):
+    def _assign(v):
         import numpy as np
         import pandas as _pd
 
         b = np.asarray(boundaries)
         vals = v.to_numpy()
-        null = isnull.to_numpy().astype(bool)
-        nan = _pd.isna(vals) & ~null
-        safe = np.where(null | nan, b[0], vals)
+        null = _pd.isna(vals)
+        safe = np.where(null, b[0], vals)
         ab = np.searchsorted(b, safe, side="left")
-        ab[nan] = n_b
         ab[null] = 0
         out = ab if asc else n_b - ab
         return _pd.Series(out.astype("int32"))
@@ -120,9 +126,8 @@ def _searchsorted_bucket(lead_expr: Column, boundaries: list,
     # real class objects, not strings: the module's `from __future__
     # import annotations` would stringify inline hints and the UDF
     # type-hint resolver can't see a function-local `pd`
-    _assign.__annotations__ = {"v": pd.Series, "isnull": pd.Series,
-                               "return": pd.Series}
-    return pandas_udf(_assign, "int")(lead_expr, lead_expr.isNull())
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")(lead_expr)
 
 
 def global_rank(df: DataFrame, order_by: list[Column | str],
@@ -271,6 +276,18 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     elif boundaries:
         bucket = _searchsorted_bucket(
             lead_expr, list(boundaries), ascending[0])
+        if not isinstance(boundaries[0], str):
+            # NaN Spark-side (r6 advice): Spark orders NaN as the
+            # LARGEST double (``NaN > b`` is true in the chained-when
+            # form) but the Arrow batch inside the UDF cannot tell
+            # NaN from NULL — intercept it here with a codegen'd
+            # branch instead of shipping a second UDF column (which
+            # measured ~1.7× wall on the 60 M-row probe shape).
+            # Guarded off string boundaries (no NaN in strings; isnan
+            # would not resolve), and cast so integer leads analyze.
+            nan_bucket = len(boundaries) if ascending[0] else 0
+            bucket = F.when(F.isnan(lead_expr.cast("double")),
+                            F.lit(nan_bucket)).otherwise(bucket)
     else:
         bucket = F.lit(0)
     staged = df.withColumn("__gr_bkt", bucket)

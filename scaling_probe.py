@@ -768,7 +768,8 @@ def main(smoke: bool = False, out_path: str | None = None,
     from data_warehouse_morrocan_banks_spark.operators.similarity import (
         minhash_band_plan,
     )
-    for nn, tag in ((6_000, "1x"), (6_000 * xs, f"{xs}x")):
+    for nn, tag in ((6_000, "1x"), (60_000, "10x"),
+                    (6_000 * xs, f"{xs}x")):
         r_, b_ = minhash_band_plan(nn, 0.9)
         results[f"minhash_plan_{tag}"] = f"r={r_},b={b_}"
 
@@ -1076,8 +1077,10 @@ TABLE_LABELS = [
     ("bm25_topk", "BM25 batch top-k (32 queries, vocab-prefiltered "
                   "postings)"),
     ("stream_hh", "streaming heavy hitters (sharded MG state, "
-                  "AvailableNow multi-batch)"),
-    ("zorder_rewrite", "Z-order compaction rewrite (doc_id, text_len)"),
+                  "AvailableNow 4-batch)"),
+    # zorder/bloom/stream-hh state columns are wall/count
+    # instrumentation without per-shape byte fields — they are quoted
+    # in SCALE.md prose with their artifact keys, not table rows
 ]
 
 
