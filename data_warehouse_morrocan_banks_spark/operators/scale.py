@@ -163,9 +163,12 @@ def heavy_hitters_cert(df: DataFrame, key_col: str, k: int,
     produced the (always exact) result — the sketch certificate or
     the exact fallback.  It exists so tests and driver queries can
     PIN that a given (corpus, m) exercises the intended branch
-    (q_mart_drill_topk's m=64 pair exists precisely to run the
-    fallback under the driver oracle, r6 ask #6) — a diagnostic,
-    never a correctness signal.
+    (q_mart_drill_topk's **m=8** pair exists precisely to run the
+    fallback under the driver oracle, r6 ask #6 — NOT m=64, which
+    MEASURES as certifying on the near-uniform events keys: one
+    eviction's decrement mass stays below the 10th count, the
+    exact-decrement bound being tighter than the textbook n/(m+1))
+    — a diagnostic, never a correctness signal.
     """
     spark = df.sparkSession
     kc = key_col

@@ -276,15 +276,18 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     elif boundaries:
         bucket = _searchsorted_bucket(
             lead_expr, list(boundaries), ascending[0])
-        if not isinstance(boundaries[0], str):
+        if isinstance(boundaries[0], (int, float)):
             # NaN Spark-side (r6 advice): Spark orders NaN as the
             # LARGEST double (``NaN > b`` is true in the chained-when
             # form) but the Arrow batch inside the UDF cannot tell
             # NaN from NULL — intercept it here with a codegen'd
             # branch instead of shipping a second UDF column (which
             # measured ~1.7× wall on the 60 M-row probe shape).
-            # Guarded off string boundaries (no NaN in strings; isnan
-            # would not resolve), and cast so integer leads analyze.
+            # Guarded to NUMERIC boundaries only: string/date/etc.
+            # explicit boundaries have no NaN and their columns don't
+            # cast to double (a date lead under the old blanket
+            # not-str guard raised CANNOT_CAST at plan time,
+            # review-caught r7); the cast covers integer leads.
             nan_bucket = len(boundaries) if ascending[0] else 0
             bucket = F.when(F.isnan(lead_expr.cast("double")),
                             F.lit(nan_bucket)).otherwise(bucket)

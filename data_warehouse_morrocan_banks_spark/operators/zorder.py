@@ -182,6 +182,16 @@ def overlap_depth(path: str, column: str,
     from ..sources import snapshot_table as st
 
     v, m = st._resolve_manifest(path, version)
+    return _overlap_depth_from_manifest(m, column)
+
+
+def _overlap_depth_from_manifest(m: dict, column: str) -> float | None:
+    """:func:`overlap_depth` on an ALREADY-RESOLVED manifest — the
+    form :func:`maybe_zorder_compact` uses so all of its per-column
+    depths and its provenance carve-outs judge the SAME version (a
+    per-column re-resolve could race a concurrent append and mix
+    versions, review-caught r7), and the whole decision costs one
+    manifest read as documented."""
     if len(m["files"]) <= 1:
         return 1.0
     spans = []
@@ -253,7 +263,11 @@ def maybe_zorder_compact(spark, path: str, cols: list[str],
 
     worst = 0.0
     for c in cols:
-        d = overlap_depth(path, c)
+        # depths computed on the SAME resolved manifest as the
+        # provenance/stats carve-outs — a per-column overlap_depth()
+        # call would re-resolve the head and could judge a version
+        # the carve-outs never saw under a concurrent append
+        d = _overlap_depth_from_manifest(m, c)
         if d is None:
             if just_zordered or not _has_any_stats(c):
                 continue

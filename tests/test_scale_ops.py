@@ -421,6 +421,34 @@ def test_global_rank_nan_keys_match_window_semantics(spark):
             assert got == want, f"ascending={asc} num_partitions={n_parts}"
 
 
+def test_global_rank_date_boundaries_searchsorted_path(spark):
+    """Explicit non-numeric boundaries (>64, the documented escape
+    hatch for non-double leads) must keep working: the r7 NaN
+    intercept is guarded to NUMERIC boundaries — a blanket
+    not-a-string guard put F.isnan(cast(date as double)) in the plan
+    and raised CANNOT_CAST at analysis (review-caught r7)."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(days=i % 200))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id INT, d DATE")
+    bnds = [base + datetime.timedelta(days=k) for k in range(1, 200, 2)]
+    assert len(bnds) > 64
+    got = {r["id"]: r["rank"]
+           for r in global_rank(df, ["d"], boundaries=bnds).collect()}
+    w = Window.orderBy(F.col("d").asc())
+    want = {r["id"]: r["rank"]
+            for r in df.withColumn("rank", F.rank().over(w)).collect()}
+    assert got == want
+
+
 def test_suggest_interval_bucket_width(spark):
     """The derived width is the median span; degenerate frames
     (point-intervals only, empty) fall back to a positive 1.0; the
@@ -558,14 +586,15 @@ def test_heavy_hitters_drill_topk_pair_exercises_both_branches(spark):
     )
     from data_warehouse_morrocan_banks_spark.sources.readers import table
 
+    from .conftest import SF_ORACLE
+
     # the CLAIM is about the driver's correctness gate, which runs at
-    # sf0.01 (~150 distinct users, near-uniform counts).  sf0.001 has
-    # only ~15 users — m=64 exceeds that cardinality and certifies
-    # trivially, which is exactly NOT the branch this test pins.
-    sf01 = "/root/testdata/sf0.01"
-    if not os.path.isdir(sf01):
-        pytest.skip("driver-sf testdata not present")
-    ev = table(spark, sf01, "events")
+    # the oracle sf (~150 distinct users, near-uniform counts).
+    # sf0.001 has only ~15 users — m=64 exceeds that cardinality and
+    # certifies trivially, which is exactly NOT the branch this pins.
+    if not os.path.isdir(SF_ORACLE):
+        pytest.skip("oracle-sf testdata not present")
+    ev = table(spark, SF_ORACLE, "events")
     certified_out, was_cert = heavy_hitters_cert(
         ev, "user_id", k=10, m=2048)
     assert was_cert, "m=2048 must take the certified path"

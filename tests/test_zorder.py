@@ -293,10 +293,19 @@ def test_maintenance_never_loops_on_statless_columns(spark, tmp_path):
     assert overlap_depth(p2, "k") is None
     assert maybe_zorder_compact(spark, p2, ["k"], 2)
     v2 = st.current_version(p2)
-    if overlap_depth(p2, "k") is None:  # still <2 comparable spans
-        for _ in range(2):
-            assert not maybe_zorder_compact(spark, p2, ["k"], 2)
-            assert st.current_version(p2) == v2
+    # provenance is recorded UNCONDITIONALLY: the compact head must
+    # carry clustered_by=["k"] regardless of whether the rewritten
+    # layout happens to produce comparable spans (a dropped marker
+    # would re-open the daemon loop, so this pin must not hide
+    # behind a layout-dependent condition — review-caught r7)
+    _, m2 = st._resolve_manifest(p2, None)
+    assert m2.get("op") == "compact" and m2.get("clustered_by") == ["k"]
+    # and polls are no-ops either way: depth None -> the marker skips
+    # it; depth comparable -> 2 files on 1 column are at/below the
+    # 2.0x-of-ideal threshold
+    for _ in range(2):
+        assert not maybe_zorder_compact(spark, p2, ["k"], 2)
+        assert st.current_version(p2) == v2
 
 
 def test_apply_zorder_preserves_rows(spark):
