@@ -1241,7 +1241,16 @@ def vacuum_publications(root: str, keep_last: int = 1,
     safe GC for a publication root: plain table-level :func:`vacuum`
     keeps a version suffix and would delete non-suffix versions an
     older publication still pins, breaking
-    :func:`load_publication` time travel."""
+    :func:`load_publication` time travel.
+
+    ``min_age_s`` here shields IN-FLIGHT WRITERS' young data files
+    only (it passes through to ``_vacuum_keep``'s data-file age
+    check) — it does NOT extend the keep set by manifest age the way
+    :func:`vacuum` does.  An unpinned non-head table version or a
+    superseded publication manifest committed seconds ago is still
+    deleted: PINNING (a kept publication referencing the version) is
+    the retention mechanism for manifests under a publication root,
+    not the age window (ADVICE r7)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     pubs = _versions(root, _PUB_DIR)

@@ -1097,14 +1097,16 @@ def emit_tables(art: dict, artifact_name: str) -> str:
         "## 1× / 10× (sf0.1 base, reps: min per merged artifact)",
         "",
         "| shape | 1× | 10× | wall ratio | sw 1× | sw 10× | sw ratio "
-        "| spill |",
-        "|---|---|---|---|---|---|---|---|",
+        "| spill 1× | spill 10× |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for key, label in rows:
         if f"{key}_1x" not in art or f"{key}_10x" not in art:
             continue
-        spill = max(art.get(f"{key}_1x_spill_mb") or 0.0,
-                    art.get(f"{key}_10x_spill_mb") or 0.0)
+        # per-scale spill cells (ADVICE r7: a single max(1x,10x) cell
+        # hid WHICH scale spilled — render each scale's own value)
+        sp1 = art.get(f"{key}_1x_spill_mb") or 0.0
+        sp10 = art.get(f"{key}_10x_spill_mb") or 0.0
         lines.append(
             f"| {label} | {_fmt_wall(art[f'{key}_1x'])} "
             f"| {_fmt_wall(art[f'{key}_10x'])} "
@@ -1112,7 +1114,8 @@ def emit_tables(art: dict, artifact_name: str) -> str:
             f"| {_fmt_mb(art.get(f'{key}_1x_shuffle_write_mb'))} "
             f"| {_fmt_mb(art.get(f'{key}_10x_shuffle_write_mb'))} "
             f"| {_fmt_ratio(art.get(f'{key}_shuffle_write_ratio'))} "
-            f"| {_fmt_spill(spill, None) if spill else '0'} |")
+            f"| {_fmt_spill(sp1, None) if sp1 else '0'} "
+            f"| {_fmt_spill(sp10, None) if sp10 else '0'} |")
     lines += [
         "",
         "## 100× (60 M lineitem rows / 500 k docs / 600 k zipf docs; "
