@@ -1,0 +1,52 @@
+"""The snapshot-table suite re-run against a FLAKY object-store
+emulator (r7 judge task #5 completion criterion: "snapshot-table
+suite green under a flaky-mode emulator").
+
+Every 5th request — any method, deterministic counter — answers 500
+before applying, the stand-in for an object store's background error
+rate.  The client's bounded retries (reads) and read-back resolution
+(conditional PUT) must absorb every injected failure; the suite's
+assertions are unchanged, so any retry that double-commits, loses a
+commit, or mis-reads a manifest fails loudly here.
+
+Same re-collection mechanism and POSIX-only exclusions as
+tests/test_snapshot_http_backend.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_morrocan_banks_spark.sources import snapshot_table as st
+from data_warehouse_morrocan_banks_spark.sources.commit_http import (
+    HttpCommitBackend,
+    LocalObjectStoreServer,
+)
+
+from . import test_snapshot_table as base
+from .test_snapshot_http_backend import _POSIX_ONLY
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _flaky_http_backend():
+    server = LocalObjectStoreServer().start()
+    # a MODE, not a counter: every 5th request 500s for the whole
+    # module (deterministic request counter, no randomness)
+    server.inject("flaky_every", times=5)
+    prev = st.set_commit_backend(
+        HttpCommitBackend(server.url, timeout_s=10.0, retries=3,
+                          backoff_s=0.01))
+    try:
+        yield server
+    finally:
+        st.set_commit_backend(prev)
+        server.stop()
+
+
+def _reexport():
+    for name in dir(base):
+        if name.startswith("test_") and name not in _POSIX_ONLY:
+            globals()[name] = getattr(base, name)
+
+
+_reexport()
