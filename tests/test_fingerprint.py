@@ -1,0 +1,104 @@
+"""Plan fingerprints (r7 judge ask #2): bench.py's ``work_changed``
+is now COMPUTED from normalized-executedPlan hashes instead of a
+hand-maintained list.  These tests pin the two properties the scheme
+rests on — the fingerprint is stable across rebuilds of the same
+query, and it FLIPS when the plan gains or loses work — plus the
+diff/baseline plumbing in bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+import bench
+from data_warehouse_morrocan_banks_spark.plans.fingerprint import (
+    normalize_plan,
+    plan_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, extra_col=False, wider_agg=False):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    aggs = [F.sum("l_quantity").alias("sq")]
+    if wider_agg:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    df = li.groupBy("l_returnflag").agg(*aggs)
+    if extra_col:
+        df = df.withColumn("sq2", F.col("sq") * 2)
+    return df
+
+
+def test_stable_across_rebuilds(spark):
+    assert plan_fingerprint(_q(spark)) == plan_fingerprint(_q(spark))
+
+
+def test_plan_edit_flips_fingerprint(spark):
+    """The core guarantee: added work (a new aggregate, a new
+    projection) changes the fingerprint — a capability fold-in under
+    the 50-query cap can no longer ride an unchanged work_changed."""
+    base = plan_fingerprint(_q(spark))
+    assert plan_fingerprint(_q(spark, extra_col=True)) != base
+    assert plan_fingerprint(_q(spark, wider_agg=True)) != base
+
+
+def test_stable_for_hof_heavy_registered_query(spark):
+    """HOF lambda variables carry a session-global counter in their
+    NAME (lambda x_11 vs x_25) and FileScan metadata truncates at a
+    width that shifts with exprId digits — both normalized.  The
+    brute-force cosine query exercises zip_with/aggregate/transform
+    lambdas; two builds must agree."""
+    from data_warehouse_morrocan_banks_spark import registry
+
+    fn = registry.all_queries()["q_ann_cosine_topk"]
+    assert plan_fingerprint(fn(spark, SF)) == plan_fingerprint(fn(spark, SF))
+
+
+def test_normalize_strips_session_noise():
+    raw = ("Project [a#123L, lambda x_11#456]  [id=#7] @3fa2b1c8 "
+           "rdd_42 Statistics(sizeInBytes=1.2 KiB) plan_id=9 "
+           "file:/tmp/spark-abc/x 0f8fad5b-d9cb-469f-a165-70867728950e")
+    n = normalize_plan(raw)
+    for noise in ("#123", "x_11", "[id=#7]", "@3fa2b1c8", "rdd_42",
+                  "sizeInBytes", "plan_id=9", "/tmp/spark-abc",
+                  "0f8fad5b"):
+        assert noise not in n, (noise, n)
+    # structure survives: the operator and column names are intact
+    assert "Project [a#L, lambda x_#" in n
+
+
+def test_compute_work_changed_diff():
+    cur = {"q_a": "aaaa", "q_b": "bbbb", "q_c": "unstable", "q_new": "nnnn"}
+    base = {"q_a": "aaaa", "q_b": "OLD!", "q_gone": "gggg",
+            "q_c": "cccc"}
+    out = bench.compute_work_changed(cur, base)
+    assert out["changed"] == ["q_b"]          # stable both sides, differs
+    assert out["added"] == ["q_new"]
+    assert out["removed"] == ["q_gone"]
+    assert out["unstable"] == ["q_c"]         # excluded, not "changed"
+
+
+def test_compute_work_changed_no_baseline():
+    out = bench.compute_work_changed({"q_a": "aaaa", "q_b": "unstable"},
+                                     None)
+    assert out["changed"] is None
+    assert out["unstable"] == ["q_b"]
+
+
+def test_find_fingerprint_baseline_latest_round(tmp_path):
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"fingerprints": {"q_a": "x"}}))
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"fingerprints": {"q_a": "y"}}))
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"value": 1.0}))  # pre-fingerprint round: skipped
+    name, fps = bench.find_fingerprint_baseline(str(tmp_path))
+    assert name == "BENCH_r09.json" and fps == {"q_a": "y"}
+
+
+def test_find_fingerprint_baseline_none(tmp_path):
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({"value": 1.0}))
+    assert bench.find_fingerprint_baseline(str(tmp_path)) is None
