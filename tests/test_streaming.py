@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from data_warehouse_morrocan_banks_spark.sources.readers import table
 from data_warehouse_morrocan_banks_spark.streaming.events import (
     daily_rollup_batch,
@@ -134,12 +136,16 @@ def test_stream_rollup_maintenance_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_streaming_heavy_hitters_invariants(spark):
+@pytest.mark.parametrize("pre_count", [False, True])
+def test_streaming_heavy_hitters_invariants(spark, pre_count):
     """Sharded-MG state over multiple micro-batches: the final
     snapshot satisfies the mergeable-summaries invariants against
     exact batch counts — superset (every key with count > D_s
     present), bounds (residual <= exact <= residual + D_s) — and the
-    genuinely hot keys all survive."""
+    genuinely hot keys all survive.  Parametrized over the map-side
+    pre-count (r8): weighted folding must satisfy the IDENTICAL
+    invariants — the pre-count changes what the exchange carries,
+    never what the sketch means."""
     from collections import Counter
 
     from data_warehouse_morrocan_banks_spark.streaming.heavy_hitters import (
@@ -162,13 +168,15 @@ def test_streaming_heavy_hitters_invariants(spark):
                 [(v,) for v in vals[i::3]], "k string"
             ).coalesce(1).write.mode("append").parquet(landing)
 
+        tbl = f"t_hh_pc{int(pre_count)}"
         stream_heavy_hitters(spark, landing, f"{tmp}/ckpt", "k",
-                             m=32, shards=4, out_table="t_hh",
-                             max_files_per_trigger=1)
-        snap = latest_snapshot(spark.table("t_hh")).collect()
+                             m=32, shards=4, out_table=tbl,
+                             max_files_per_trigger=1,
+                             pre_count=pre_count)
+        snap = latest_snapshot(spark.table(tbl)).collect()
 
     assert snap and max(r["ver"] for r in
-                        spark.table("t_hh").collect()) >= 2
+                        spark.table(tbl).collect()) >= 2
     by_shard_d = {}
     got = {}
     for r in snap:
@@ -223,3 +231,38 @@ def test_streaming_heavy_hitters_unique_heavy_batch_updates_dmass(spark):
     for r in snap:
         if r["key"] is not None:
             assert r["residual"] + d >= 1  # true count of every key
+
+
+def test_precount_arrivals_weights_exact(spark):
+    """The map-side pre-count is lossless: per-(shard, key) weight
+    sums equal the exact arrival counts, whatever the partition
+    layout — and a tiny flush cap (forcing mid-partition flushes)
+    only un-collapses rows, never changes the sums."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.streaming.heavy_hitters import (
+        precount_arrivals,
+    )
+
+    vals = [f"hot{i % 4}" for i in range(400)] + \
+           [f"u{i}" for i in range(300)]
+    exact = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "key string") \
+        .repartition(7) \
+        .select(F.pmod(F.xxhash64("key"), F.lit(4)).cast("int")
+                .alias("shard"), "key")
+
+    for cap in (262_144, 16):  # default, and forced mid-flush
+        out = precount_arrivals(df, max_entries=cap) \
+            .groupBy("key").agg(F.sum("weight").alias("w")).collect()
+        got = {r["key"]: r["w"] for r in out}
+        assert got == dict(exact), cap
+    # the collapse is real: with the default cap, output rows are
+    # bounded by distinct-keys-per-partition, below the arrival count
+    n_out = precount_arrivals(df).count()
+    assert n_out < len(vals)
+    # shard routing rides through untouched
+    shards = precount_arrivals(df).select("shard").distinct().count()
+    assert shards == df.select("shard").distinct().count()
