@@ -129,6 +129,23 @@ def main(smoke: bool = False, out_path: str | None = None,
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if out_path is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALEPROBE.json")
+
+    def flush_partial(results):
+        """Persist the keys recorded SO FAR (marked partial): the r8
+        run-1 lesson — a failure in the last shape of a 45-minute run
+        erased every earlier number because the artifact was only
+        written at the end.  The final write overwrites this with the
+        complete (and, if requested, merge-min'ed) artifact."""
+        snap = dict(results)
+        snap["sf_dir"] = sf_dir
+        snap["smoke"] = smoke
+        snap["partial"] = True
+        with open(out_path, "w") as fh:
+            fh.write(json.dumps(snap) + "\n")
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
 
@@ -451,7 +468,13 @@ def main(smoke: bool = False, out_path: str | None = None,
             .otherwise(F.col("id"))
         epoch = (F.lit(1_609_459_200).cast("long")
                  + F.pmod(h, F.lit(126_144_000)))
-        return spark.range(n).select(
+        # self-sized partitions (~250k rows/task, the global_rank
+        # lesson): the default 32 range splits put 1.9M-row blocks in
+        # 32 CONCURRENT cache unrolls at 60M rows — the r8 run-1 OOM
+        # (8 GB single-JVM heap; a real cluster sizes executors, but
+        # the partition grain is the portable fix)
+        n_parts = max(32, int(n) // 250_000)
+        return spark.range(n, numPartitions=n_parts).select(
             F.concat(F.lit("r"), rid.cast("string")).alias("review_id"),
             F.concat(F.lit("place_"),
                      F.pmod(h, F.lit(1810)).cast("string"))
@@ -910,6 +933,7 @@ def main(smoke: bool = False, out_path: str | None = None,
 
         for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s, hh_s, hhz_s):
             f_.unpersist()
+        flush_partial(results)
         # operator-pinned generations (jaccard postings, span frames,
         # bm25 postings) must not hold storage into the next scale
         # loop or the 100x section
@@ -1080,22 +1104,36 @@ def main(smoke: bool = False, out_path: str | None = None,
          (("pq_adc", pq_adc),), False, ()),
     ):
         frame = make().cache()
-        cnt = frame.count()
-        if record_rows:
-            results[f"rows_{xs}x"] = cnt
-        for name, fn in shapes_x:
-            run_100x(name, fn, frame)
-        for hook in hooks:
-            hook(frame)
-        frame.unpersist()
+        try:
+            cnt = frame.count()
+            if record_rows:
+                results[f"rows_{xs}x"] = cnt
+            for name, fn in shapes_x:
+                run_100x(name, fn, frame)
+            for hook in hooks:
+                hook(frame)
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            # a failed group must not erase the rest of the run; its
+            # missing keys fail --smoke loudly, and the error key makes
+            # the artifact honest about WHY (run-1 lesson)
+            results[f"probe_error_{shapes_x[0][0] if shapes_x else hooks[0].__name__}_{xs}x"] = (  # noqa: E501
+                f"{type(e).__name__}: {e}"[:300])
+        finally:
+            frame.unpersist()
         from data_warehouse_morrocan_banks_spark.operators import (
             lifecycle,
         )
         lifecycle.release_all()
+        flush_partial(results)
 
     # the star build at the third decade — its input is generated,
     # not a cached frame, so it runs outside the group loop
-    probe_star_build((60_000 if smoke else 600_000) * xs, f"{xs}x")
+    try:
+        probe_star_build((60_000 if smoke else 600_000) * xs, f"{xs}x")
+    except Exception as e:  # noqa: BLE001
+        results[f"probe_error_star_build_{xs}x"] = (
+            f"{type(e).__name__}: {e}"[:300])
+    flush_partial(results)
 
     if smoke:
         # the assertion IS the product here: every shape must have run
@@ -1178,9 +1216,6 @@ def main(smoke: bool = False, out_path: str | None = None,
         results = merge_min_walls(results, merge_min)
     line = json.dumps(results)
     print(line)
-    if out_path is None:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "SCALEPROBE.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     spark.stop()
