@@ -19,6 +19,14 @@ artifact; the hand-written list is demoted to annotation
 WITHIN one bench process (e.g. a plan embedding a per-run value the
 normalizer doesn't cover yet) are recorded as ``"unstable"`` and
 excluded from the diff rather than producing a false "changed".
+
+Deliberate trade: the list canonicalization (``_canon_lists``) sorts
+aggregate keys/functions/outputs and Expand groups, so a PURE
+REORDERING of grouping keys or projected columns hashes equal — that
+is the same work, and accepting it is what kills the
+RewriteDistinctAggregates false-positive class (Catalyst assigns
+Expand gids by exprId-hash iteration order, different per build).
+Any change that adds, removes, or alters an expression still flips.
 """
 
 from __future__ import annotations
