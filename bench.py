@@ -69,6 +69,10 @@ def find_fingerprint_baseline(repo_dir: str) -> tuple[str, dict] | None:
                 art = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        # The driver wraps bench's JSON line under "parsed"; accept
+        # both the wrapped artifact and bench's own raw output.
+        if isinstance(art.get("parsed"), dict):
+            art = art["parsed"]
         fps = art.get("fingerprints")
         if isinstance(fps, dict) and fps:
             n = int(m.group(1))

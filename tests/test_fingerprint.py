@@ -91,8 +91,9 @@ def test_compute_work_changed_no_baseline():
 def test_find_fingerprint_baseline_latest_round(tmp_path):
     (tmp_path / "BENCH_r08.json").write_text(
         json.dumps({"fingerprints": {"q_a": "x"}}))
+    # the driver wraps bench output under "parsed" — must unwrap
     (tmp_path / "BENCH_r09.json").write_text(
-        json.dumps({"fingerprints": {"q_a": "y"}}))
+        json.dumps({"parsed": {"fingerprints": {"q_a": "y"}}}))
     (tmp_path / "BENCH_r07.json").write_text(
         json.dumps({"value": 1.0}))  # pre-fingerprint round: skipped
     name, fps = bench.find_fingerprint_baseline(str(tmp_path))
