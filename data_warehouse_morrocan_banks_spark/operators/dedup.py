@@ -228,7 +228,8 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
 def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
                       k: int = 8, carry: list[str] | None = None,
                       dup_broadcast_max: int = 500_000,
-                      rem_broadcast_max: int = 200_000) -> DataFrame:
+                      rem_broadcast_max: int = 200_000,
+                      plan_out: dict | None = None) -> DataFrame:
     """Exact k-token span dedup, keep-first — the corpus-rewrite form
     of duplicate removal (vs. :func:`dedup_exact_content`, which drops
     whole documents): every k-gram that occurs more than once in the
@@ -350,6 +351,16 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     n_families = dup_winners.count()
     join_side = (F.broadcast(dup_winners)
                  if n_families <= dup_broadcast_max else dup_winners)
+    if plan_out is not None:
+        # the measured decision inputs/outcomes, for probes and tests:
+        # past dup_broadcast_max the winners join degrades to the
+        # co-partitioned SMJ and the gram table shuffles a SECOND
+        # time — the byte-law transition SCALEPROBE attributes with
+        # these numbers (span_dedup_families_*/span_dedup_join_*)
+        plan_out["n_families"] = n_families
+        plan_out["dup_join"] = ("broadcast"
+                                if n_families <= dup_broadcast_max
+                                else "smj")
     removed = (
         grams.join(join_side, "__h", "inner")
         .filter(F.struct("__id", "__s") != F.col("__w"))
@@ -367,6 +378,11 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     n_affected = rem_starts.count()
     rem_side = (F.broadcast(rem_starts)
                 if n_affected <= rem_broadcast_max else rem_starts)
+    if plan_out is not None:
+        plan_out["n_affected"] = n_affected
+        plan_out["rem_join"] = ("broadcast"
+                                if n_affected <= rem_broadcast_max
+                                else "smj")
 
     # merge the sorted removed starts into disjoint coverage intervals
     # (a left fold: starts ascend, so each [s, s+k-1] either extends

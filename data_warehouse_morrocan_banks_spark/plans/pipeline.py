@@ -83,7 +83,12 @@ class PipelineRunner:
             info["seconds"] = round(time.perf_counter() - t0, 3)
             info["status"] = "failed" if last_err else "ok"
             if last_err:
-                info["error"] = last_err.splitlines()[-1]
+                # last NON-EMPTY line: Py4J/JVM tracebacks can end
+                # with blank lines, which made a 100x-probe OOM
+                # surface as error:"" (r8) — useless for diagnosis
+                info["error"] = next(
+                    (ln for ln in reversed(last_err.splitlines())
+                     if ln.strip()), "")
             manifest.stages[stage.name] = info
             if last_err:
                 manifest.status = "failed"

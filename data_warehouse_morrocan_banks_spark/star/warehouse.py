@@ -126,19 +126,48 @@ def enrich_reviews(raw: DataFrame) -> DataFrame:
 
 
 def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
-                    min_rows: int = 1) -> Warehouse:
-    """Run the full star-schema build with staged retries + manifest."""
+                    min_rows: int = 1, intermediate: str = "cache",
+                    intermediate_dir: str | None = None) -> Warehouse:
+    """Run the full star-schema build with staged retries + manifest.
+
+    ``intermediate`` picks the silver materialization policy (G7 —
+    the reference's dbt staging models are ``materialized: table``,
+    i.e. written to storage, never held in RAM):
+
+    - ``"cache"`` (default): lifecycle-pinned persist — fastest when
+      the working set fits executor storage memory (it does at test
+      scale, and on a sized cluster).
+    - ``"table"``: silver is WRITTEN to parquet under
+      ``intermediate_dir`` (a temp dir if None) and read back — the
+      policy whose memory footprint is bounded at ANY corpus size:
+      downstream dims/fact/marts re-scan a columnar file instead of
+      unrolling the whole wide frame into block-manager memory.
+      This is the at-scale default for a 100 TB build (measured:
+      the cache-mode silver persist OOMs an 8 GiB single-JVM heap
+      at 60 M reviews; table mode completes — SCALEPROBE_r08
+      ``star_table_100x`` vs ``star_build_100x_skip_reason``).
+    """
     from ..session import ensure_query_confs
 
     ensure_query_confs(spark)  # AQE partition coalescing on externally built sessions
+    if intermediate not in ("cache", "table"):
+        raise ValueError(f"unknown intermediate policy: {intermediate!r}")
 
     def stage_preflight(outputs):
         return preflight_rowcount(raw_reviews, min_rows, "raw_reviews")
 
     def stage_silver(outputs):
+        if intermediate == "table":
+            import tempfile
+
+            path = intermediate_dir or tempfile.mkdtemp(
+                prefix="dwmb_silver_")
+            enrich_reviews(raw_reviews).write.mode("overwrite") \
+                .parquet(path)
+            return spark.read.parquet(path)
         from ..operators.lifecycle import begin, pin
 
-        # G7: intermediate=table policy → cached once; lifecycle pin
+        # G7: intermediate=cache policy → cached once; lifecycle pin
         # so a rebuild in the same session releases the previous
         # build's blocks instead of stacking generations
         begin("warehouse_silver")

@@ -499,7 +499,8 @@ def main(smoke: bool = False, out_path: str | None = None,
             .alias("collected_at"),
         )
 
-    def probe_star_build(n_reviews, tag: str) -> None:
+    def probe_star_build(n_reviews, tag: str,
+                         intermediate: str = "cache") -> None:
         """The reference's CORE workload at probe scale (r7 judge task
         #6: the 100x section was rich for LLM-ops shapes but thin on
         the star build itself — complete_data_pipeline_fixed.py:90-303
@@ -507,29 +508,53 @@ def main(smoke: bool = False, out_path: str | None = None,
         → NLP-enrich silver → dims → fact → marts, quality battery
         included, fact + every mart materialized through the noop
         sink.  Records wall / bytes / spill split / CPU plus the fact
-        row count (output law)."""
+        row count (output law).
+
+        Probed under BOTH silver policies (r8): ``star_build_*`` =
+        cache (lifecycle-pinned persist — wins while the working set
+        fits block-manager memory, and at 60 M rows it does NOT fit
+        an 8 GiB single-JVM heap: the r8 runA/B 100x attempt died in
+        the unroll, recorded as star_build_100x_skip_reason);
+        ``star_table_*`` = table (silver written to parquet and
+        re-scanned — the dbt-materialization policy whose memory is
+        bounded at any corpus size, so it is the only one probed at
+        the third decade)."""
+        import shutil
+        import tempfile
+
         from data_warehouse_morrocan_banks_spark.operators import (
             lifecycle,
         )
         from data_warehouse_morrocan_banks_spark.star.warehouse import (
             build_warehouse,
         )
-        raw = make_reviews(n_reviews)
-        before = completed_stages(spark)
-        t0 = time.perf_counter()
-        wh = build_warehouse(spark, raw)
-        wh.fact_reviews.write.format("noop").mode("overwrite").save()
-        for mdf in wh.marts.values():
-            mdf.write.format("noop").mode("overwrite").save()
-        results[f"star_build_{tag}"] = round(time.perf_counter() - t0, 2)
-        d = stage_delta(before, completed_stages(spark))
-        if d is not None:
-            results[f"star_build_{tag}_shuffle_read_mb"] = d["sr"]
-            results[f"star_build_{tag}_shuffle_write_mb"] = d["sw"]
-            results[f"star_build_{tag}_spill_mb"] = d["spill"]
-            results[f"star_build_{tag}_spill_disk_mb"] = d["spill_disk"]
-            results[f"star_build_{tag}_cpu_s"] = d["cpu_s"]
-        results[f"star_fact_rows_{tag}"] = wh.fact_reviews.count()
+        prefix = "star_build" if intermediate == "cache" else "star_table"
+        fact_key = ("star_fact_rows" if intermediate == "cache"
+                    else "star_table_fact_rows")
+        sdir = (tempfile.mkdtemp(prefix=f"probe_star_{tag}_")
+                if intermediate == "table" else None)
+        try:
+            raw = make_reviews(n_reviews)
+            before = completed_stages(spark)
+            t0 = time.perf_counter()
+            wh = build_warehouse(spark, raw, intermediate=intermediate,
+                                 intermediate_dir=sdir)
+            wh.fact_reviews.write.format("noop").mode("overwrite").save()
+            for mdf in wh.marts.values():
+                mdf.write.format("noop").mode("overwrite").save()
+            results[f"{prefix}_{tag}"] = round(
+                time.perf_counter() - t0, 2)
+            d = stage_delta(before, completed_stages(spark))
+            if d is not None:
+                results[f"{prefix}_{tag}_shuffle_read_mb"] = d["sr"]
+                results[f"{prefix}_{tag}_shuffle_write_mb"] = d["sw"]
+                results[f"{prefix}_{tag}_spill_mb"] = d["spill"]
+                results[f"{prefix}_{tag}_spill_disk_mb"] = d["spill_disk"]
+                results[f"{prefix}_{tag}_cpu_s"] = d["cpu_s"]
+            results[f"{fact_key}_{tag}"] = wh.fact_reviews.count()
+        finally:
+            if sdir is not None:
+                shutil.rmtree(sdir, ignore_errors=True)
         # release the build's pinned silver before the next shape
         lifecycle.release_all()
 
@@ -781,7 +806,12 @@ def main(smoke: bool = False, out_path: str | None = None,
         # from the OUTPUT frame (k=8 → grams/doc = max(n_raw-7, 0)),
         # so the artifact records whether the answer itself grows
         # super-linearly (it doesn't: both scale exactly with rows).
-        sp = span_dedup(d_s).agg(
+        from data_warehouse_morrocan_banks_spark.operators.dedup import (
+            dedup_spans_exact,
+        )
+        span_plan = {}
+        sp = dedup_spans_exact(d_s, "text", "doc_id",
+                               plan_out=span_plan).agg(
             F.sum(F.greatest(F.col("n_tokens_raw") - F.lit(7),
                              F.lit(0))).alias("g"),
             F.sum("n_spans_removed").alias("r"),
@@ -790,6 +820,15 @@ def main(smoke: bool = False, out_path: str | None = None,
         results[f"span_dedup_grams_{scale}x"] = int(sp["g"])
         results[f"span_dedup_removed_{scale}x"] = int(sp["r"])
         results[f"span_dedup_affected_docs_{scale}x"] = int(sp["a"])
+        # the measured join decisions (r8): families is the input to
+        # the dup_broadcast_max gate — past it the winners join
+        # degrades to SMJ and the gram table shuffles TWICE, the
+        # byte-law transition the 100x row shows
+        results[f"span_dedup_families_{scale}x"] = span_plan["n_families"]
+        results[f"span_dedup_join_{scale}x"] = span_plan["dup_join"]
+        # jaccard_zipf output law (r7 task #7): emitted pair count —
+        # true-pair structure is linear by corpus construction
+        results[f"jaccard_zipf_npairs_{scale}x"] = jaccard(z_s).count()
 
         # dedup_sets guard cost, on vs off (round-6 ask #5): min-of-2
         # on BOTH corpora — the degenerate driver vocabulary (guard
@@ -926,10 +965,13 @@ def main(smoke: bool = False, out_path: str | None = None,
                         pre_count=True)
 
         # the reference's core star-schema workload at this decade
-        # (r7 judge task #6); smoke shrinks the corpus — the assert
-        # is instrumentation liveness, not the law
+        # (r7 judge task #6), under BOTH silver policies; smoke
+        # shrinks the corpus — the assert is instrumentation
+        # liveness, not the law
         probe_star_build((60_000 if smoke else 600_000) * scale,
                          f"{scale}x")
+        probe_star_build((60_000 if smoke else 600_000) * scale,
+                         f"{scale}x", intermediate="table")
 
         for f_ in (li_s, d_s, z_s, c_s, ev_s, e_s, hh_s, hhz_s):
             f_.unpersist()
@@ -1013,7 +1055,12 @@ def main(smoke: bool = False, out_path: str | None = None,
         #7): same derivation as the per-scale block — gram count from
         the raw token law, removed spans and affected docs from the
         operator's own output columns."""
-        sp = span_dedup(frame).agg(
+        from data_warehouse_morrocan_banks_spark.operators.dedup import (
+            dedup_spans_exact,
+        )
+        span_plan = {}
+        sp = dedup_spans_exact(frame, "text", "doc_id",
+                               plan_out=span_plan).agg(
             F.sum(F.greatest(F.col("n_tokens_raw") - F.lit(7),
                              F.lit(0))).alias("g"),
             F.sum("n_spans_removed").alias("r"),
@@ -1022,6 +1069,16 @@ def main(smoke: bool = False, out_path: str | None = None,
         results[f"span_dedup_grams_{xs}x"] = int(sp["g"])
         results[f"span_dedup_removed_{xs}x"] = int(sp["r"])
         results[f"span_dedup_affected_docs_{xs}x"] = int(sp["a"])
+        results[f"span_dedup_families_{xs}x"] = span_plan["n_families"]
+        results[f"span_dedup_join_{xs}x"] = span_plan["dup_join"]
+
+    def jaccard_counts_x(frame):
+        """jaccard_zipf output law at the third decade (r7 task #7):
+        emitted pair count only — pair structure is linear by corpus
+        construction, so a superlinear BYTE ratio with a linear pair
+        count attributes to the candidate stage (fixed vocabulary →
+        postings grow linearly per token), never the answer."""
+        results[f"jaccard_zipf_npairs_{xs}x"] = jaccard(frame).count()
 
     def replicate_docs_cross(n):
         """Token-NAMESPACED 100x docs (r7 judge task #7): the verbatim
@@ -1094,7 +1151,8 @@ def main(smoke: bool = False, out_path: str | None = None,
          (("span_dedup", span_dedup),), False, (span_counts_x,)),
         (lambda: zipf_docs(6_000 * xs),
          (("minhash_banded", minhash),
-          ("jaccard_zipf", jaccard)), False, (minhash_counts_x,)),
+          ("jaccard_zipf", jaccard)), False,
+         (minhash_counts_x, jaccard_counts_x)),
         (lambda: hh_corpus(600_000 * xs),
          (("heavy_hitters", hh_sketch),
           ("hh_exact_groupby", hh_exact)), False, (stream_hh_x,)),
@@ -1127,11 +1185,21 @@ def main(smoke: bool = False, out_path: str | None = None,
         flush_partial(results)
 
     # the star build at the third decade — its input is generated,
-    # not a cached frame, so it runs outside the group loop
+    # not a cached frame, so it runs outside the group loop.  TABLE
+    # mode only: the cache-mode silver persist OOMs the 8 GiB
+    # single-JVM heap at 60 M rows (r8 runA/B, java.lang.
+    # OutOfMemoryError in the block-manager unroll after 3 stage
+    # retries) — recorded as a string key so the artifact stays
+    # honest about the skipped cell rather than silently thin.
+    results[f"star_build_{xs}x_skip_reason"] = (
+        "cache-mode silver persist OOMs the 8 GiB single-JVM heap at "
+        "60M rows (measured r8 runA/B); table mode is the bounded-"
+        "memory at-scale policy — see star_table_" + f"{xs}x")
     try:
-        probe_star_build((60_000 if smoke else 600_000) * xs, f"{xs}x")
+        probe_star_build((60_000 if smoke else 600_000) * xs, f"{xs}x",
+                         intermediate="table")
     except Exception as e:  # noqa: BLE001
-        results[f"probe_error_star_build_{xs}x"] = (
+        results[f"probe_error_star_table_{xs}x"] = (
             f"{type(e).__name__}: {e}"[:300])
     flush_partial(results)
 
@@ -1177,12 +1245,19 @@ def main(smoke: bool = False, out_path: str | None = None,
                     "stream_hh_zipf_1x_shuffle_write_records",
                     "stream_hh_zipf_pre_1x_shuffle_write_records",
                     "star_build_1x", "star_build_1x_cpu_s",
-                    "star_fact_rows_1x", "star_build_2x",
-                    "star_fact_rows_2x",
+                    "star_fact_rows_1x", "star_build_2x_skip_reason",
                     "span_dedup_2x", "span_dedup_grams_2x",
                     "span_dedup_removed_2x", "jaccard_zipf_2x",
                     "stream_hh_pre_2x", "stream_hh_zipf_2x",
-                    "q1_agg_2x_cpu_s"):
+                    "q1_agg_2x_cpu_s",
+                    # r8 second wave: dual-policy star build, span
+                    # join-decision record, jaccard output law
+                    "star_table_1x", "star_table_1x_cpu_s",
+                    "star_table_fact_rows_1x", "star_table_2x",
+                    "star_table_fact_rows_2x",
+                    "span_dedup_families_1x", "span_dedup_join_1x",
+                    "span_dedup_families_2x", "span_dedup_join_2x",
+                    "jaccard_zipf_npairs_1x", "jaccard_zipf_npairs_2x"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         # stream_hh (all four corpus×pre_count variants) and
@@ -1190,7 +1265,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         # multi-output build, not a noop-sink frame) but carry the
         # same wall+byte keys, so they join the ratio computation
         extra = ("stream_hh", "stream_hh_pre", "stream_hh_zipf",
-                 "stream_hh_zipf_pre", "star_build")
+                 "stream_hh_zipf_pre", "star_build", "star_table")
         for name in SHAPE_NAMES + extra:
             results[f"{name}_scaling_ratio"] = round(
                 results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
@@ -1250,6 +1325,10 @@ def merge_min_walls(results: dict, prev_path: str) -> dict:
         and "banded_rows" not in k and "cand" not in k
         and "state" not in k and "emitted" not in k
         and "batches" not in k
+        # r8 count keys: join-decision inputs and output-law pairs —
+        # deterministic per plan, never wall-merged ("npairs", not
+        # "pairs": jaccard_pairs_1x IS a mergeable wall)
+        and "families" not in k and "npairs" not in k
         # r8: fact row counts and CPU seconds are not walls — counts
         # are deterministic; CPU is kept from the newest run so the
         # artifact's cross-round column always describes the code it
@@ -1312,7 +1391,11 @@ TABLE_LABELS = [
     ("stream_hh_zipf_pre", "…with map-side pre-count (the exchange "
                            "collapse case)"),
     ("star_build", "full star-schema build (clean→dedup→NLP→dims→"
-                   "fact→marts + quality)"),
+                   "fact→marts + quality; cache-policy silver)"),
+    ("star_table", "…same build, table-policy silver (parquet "
+                   "write + re-scan — the bounded-memory 100 TB "
+                   "form; the only policy that completes the third "
+                   "decade)"),
     # zorder/bloom/stream-hh state columns are wall/count
     # instrumentation without per-shape byte fields — they are quoted
     # in SCALE.md prose with their artifact keys, not table rows

@@ -405,3 +405,35 @@ def test_normalize_unicode_matches_python_and_duckdb(spark):
             continue
         want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         assert out[i][0] == want
+
+
+def test_span_dedup_plan_out_records_join_decisions(spark):
+    """``plan_out`` records the measured broadcast/SMJ decisions and
+    their inputs (families, affected docs) — the numbers SCALEPROBE's
+    byte-law attribution quotes: past ``dup_broadcast_max`` the
+    winners join degrades to SMJ and the gram table shuffles twice
+    (the r8 100x span_dedup 212x byte transition)."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+
+    rows = [(i, "a b c d e f g h tail%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plan = {}
+    dedup_spans_exact(df, "text", "doc_id", plan_out=plan).collect()
+    # the shared 8-gram "a b c d e f g h" is ONE duplicated family
+    assert plan["n_families"] == 1
+    assert plan["dup_join"] == "broadcast"
+    assert plan["n_affected"] == 5          # every doc but the winner
+    assert plan["rem_join"] == "broadcast"
+
+    forced = {}
+    out = dedup_spans_exact(df, "text", "doc_id",
+                            dup_broadcast_max=0, rem_broadcast_max=0,
+                            plan_out=forced)
+    got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert forced["dup_join"] == "smj" and forced["rem_join"] == "smj"
+    # degraded join strategy, identical answer
+    assert got[0] == "a b c d e f g h tail0"
+    assert all(got[i] == "tail%d" % i for i in range(1, 6))

@@ -249,3 +249,63 @@ def test_enriched_quality_flag_ladder_order(spark):
         ).collect()
     ]
     assert got == [r[4] for r in rows]
+
+
+def test_build_warehouse_table_policy_matches_cache(spark, tmp_path):
+    """G7 intermediate policies agree: ``intermediate="table"``
+    (silver written to parquet and re-scanned — the bounded-memory
+    form the 100x probe uses after the cache-mode persist OOM'd an
+    8 GiB single JVM at 60 M rows) produces the same fact rows and
+    mart aggregates as the default cache policy.  ``processed_at``
+    is a current_timestamp audit column, excluded from the compare."""
+    from data_warehouse_morrocan_banks_spark.star.warehouse import (
+        build_warehouse,
+    )
+
+    raw = raw_reviews_df(spark)
+    wh_c = build_warehouse(spark, raw, min_rows=100)
+    wh_t = build_warehouse(spark, raw, min_rows=100,
+                           intermediate="table",
+                           intermediate_dir=str(tmp_path / "silver"))
+    assert wh_t.manifest.status == "ok"
+    assert wh_t.quality.passed, wh_t.quality.failures()
+
+    drop = ["processed_at"]
+    fc = wh_c.fact_reviews.drop(*drop)
+    ft = wh_t.fact_reviews.drop(*drop)
+    assert fc.count() == ft.count()
+    assert fc.exceptAll(ft).count() == 0
+    assert ft.exceptAll(fc).count() == 0
+    mc = wh_c.marts["bank_performance"]
+    mt = wh_t.marts["bank_performance"]
+    assert mc.exceptAll(mt).count() == 0
+    assert mt.exceptAll(mc).count() == 0
+
+
+def test_build_warehouse_rejects_unknown_policy(spark):
+    import pytest
+
+    from data_warehouse_morrocan_banks_spark.star.warehouse import (
+        build_warehouse,
+    )
+
+    with pytest.raises(ValueError, match="intermediate"):
+        build_warehouse(spark, raw_reviews_df(spark),
+                        intermediate="ram")
+
+
+def test_pipeline_error_records_last_nonempty_line():
+    """A stage failure whose traceback ends in blank lines (the Py4J
+    shape — the r8 100x OOM surfaced as error:"") must still record
+    the exception line."""
+    from data_warehouse_morrocan_banks_spark.plans.pipeline import (
+        PipelineRunner,
+        Stage,
+    )
+
+    def boom(outputs):
+        raise RuntimeError("heap exhausted\n\n")
+
+    manifest = PipelineRunner([Stage("s", boom, retries=0)]).run()
+    assert manifest.status == "failed"
+    assert "heap exhausted" in manifest.stages["s"]["error"]
