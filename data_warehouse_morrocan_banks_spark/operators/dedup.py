@@ -280,8 +280,15 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     one-time transition as a 20.1x shuffle-byte ratio at 10x
     (attribution measured in SCALE.md; intermediates scale exactly
     10.0x).  Past ``dup_broadcast_max`` families (pathological
-    corpora) the join degrades to the same co-partitioned SMJ as
-    before — never a driver OOM.  Removed starts aggregate per
+    corpora) the join degrades to a co-partitioned SMJ — never a
+    driver OOM — but since r8 the SMJ's gram side is first run
+    through an expression-only Bloom BITMAP of the family hashes
+    (64x-oversized bit space folded to one long per bucket,
+    broadcast-joined; no false negatives, FPs dropped by the exact
+    hash join), so the second corpus-sized exchange carries only
+    duplicate-family occurrences plus a ~1/64 FP tail instead of
+    every gram (the r8 probe measured the unfiltered form doubling
+    bytes/gram at 100x).  Removed starts aggregate per
     document (ONE row per doc, bounded by n/1 starts) and join back
     id-to-id under the same measured decision (``rem_broadcast_max``):
     on natural corpora the affected-document frame broadcasts, so the
@@ -349,20 +356,65 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     dup_winners = pin("dedup_spans_exact",
                       winners.filter(F.col("__c") > 1).drop("__c"))
     n_families = dup_winners.count()
-    join_side = (F.broadcast(dup_winners)
-                 if n_families <= dup_broadcast_max else dup_winners)
     if plan_out is not None:
         # the measured decision inputs/outcomes, for probes and tests:
         # past dup_broadcast_max the winners join degrades to the
-        # co-partitioned SMJ and the gram table shuffles a SECOND
-        # time — the byte-law transition SCALEPROBE attributes with
-        # these numbers (span_dedup_families_*/span_dedup_join_*)
+        # co-partitioned SMJ — with the bitmap prefilter below, so
+        # only candidate grams pay the second shuffle (the byte-law
+        # transition SCALEPROBE attributes with these numbers:
+        # span_dedup_families_*/span_dedup_join_*)
         plan_out["n_families"] = n_families
         plan_out["dup_join"] = ("broadcast"
                                 if n_families <= dup_broadcast_max
-                                else "smj")
+                                else "smj+bloom")
+    if n_families <= dup_broadcast_max:
+        probe_side = grams.join(F.broadcast(dup_winners), "__h", "inner")
+    else:
+        # Pathological regime (families past the broadcast cap): the
+        # co-partitioned SMJ would re-shuffle the ENTIRE gram table a
+        # second time (measured r8 at 100x: bytes/gram doubled,
+        # 41.3 -> 88.8 B, on exactly-linear gram counts).  Prefilter
+        # the gram side through a Bloom BITMAP of the family hashes —
+        # expression-only (the jaccard bitmap-verify idiom, no UDF):
+        # each family hash sets one bit in a 64x-oversized bit space
+        # (FPR = families/bits, ~1.6%; capped at 2^30 bits = 128 MiB
+        # of words, past which FPR degrades gracefully), the bitmap
+        # folds to one long per 64-bit bucket via groupBy+bit_or
+        # (rows = occupied buckets <= bits/64), and grams keep only
+        # rows whose exact bit is set via a broadcast join on the
+        # bucket.  No false negatives (every true family member's bit
+        # is set); false positives are dropped by the exact __h join
+        # that follows — so the second corpus-sized exchange carries
+        # duplicate-family occurrences (+ the small FP tail), never
+        # the whole gram table.
+        nbits = 1 << max(20, min(30, (64 * n_families - 1).bit_length()))
+
+        def _pos(col):
+            return F.pmod(F.xxhash64(col), F.lit(nbits))
+
+        _mask = ("shiftleft(CAST(1 AS BIGINT), "
+                 "CAST(pmod(__p, 64) AS INT))")
+        bitmap = (
+            dup_winners.select(_pos(F.col("__h")).alias("__p"))
+            .select(
+                F.call_function("div", F.col("__p"), F.lit(64))
+                .alias("__bk"),
+                F.expr(_mask).alias("__m"),
+            )
+            .groupBy("__bk").agg(F.bit_or("__m").alias("__bm"))
+        )
+        probe_side = (
+            grams.withColumn("__p", _pos(F.col("__h")))
+            .withColumn("__bk",
+                        F.call_function("div", F.col("__p"), F.lit(64)))
+            .join(F.broadcast(bitmap), "__bk", "left")
+            .where(F.col("__bm").isNotNull()
+                   & (F.col("__bm").bitwiseAND(F.expr(_mask)) != 0))
+            .drop("__p", "__bk", "__bm")
+            .join(dup_winners, "__h", "inner")
+        )
     removed = (
-        grams.join(join_side, "__h", "inner")
+        probe_side
         .filter(F.struct("__id", "__s") != F.col("__w"))
         .select("__id", "__s")
     )

@@ -433,7 +433,34 @@ def test_span_dedup_plan_out_records_join_decisions(spark):
                             dup_broadcast_max=0, rem_broadcast_max=0,
                             plan_out=forced)
     got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
-    assert forced["dup_join"] == "smj" and forced["rem_join"] == "smj"
+    assert forced["dup_join"] == "smj+bloom"
+    assert forced["rem_join"] == "smj"
     # degraded join strategy, identical answer
     assert got[0] == "a b c d e f g h tail0"
     assert all(got[i] == "tail%d" % i for i in range(1, 6))
+
+
+def test_span_dedup_bloom_prefilter_regime_matches_broadcast(spark):
+    """Past dup_broadcast_max the winners join runs SMJ with the
+    Bloom-bitmap gram prefilter — output must be bit-identical to the
+    broadcast regime on a real corpus, and the prefilter must appear
+    as a BroadcastHashJoin on the bitmap bucket (expression-only, no
+    UDF, no extra corpus-sized exchange)."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        dedup_spans_exact,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    cols = ["doc_id", "text_dedup", "n_tokens_raw", "n_tokens_kept",
+            "n_spans_removed"]
+    base = dedup_spans_exact(d, "text", "doc_id").select(cols)
+    plan = {}
+    bloomed = dedup_spans_exact(d, "text", "doc_id",
+                                dup_broadcast_max=0,
+                                plan_out=plan).select(cols)
+    assert plan["dup_join"] == "smj+bloom"
+    assert base.exceptAll(bloomed).count() == 0
+    assert bloomed.exceptAll(base).count() == 0
+    phys = bloomed._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in phys or "BroadcastHashJoin" in phys
