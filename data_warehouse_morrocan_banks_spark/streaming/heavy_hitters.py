@@ -27,9 +27,11 @@ row per distinct key per partition instead — the map-side-combine
 every batch groupBy gets for free, recovered for the stateful op.
 The win is corpus-shaped: on a Zipfian stream (hot keys repeat
 within every partition) the exchange collapses toward the distinct
-count; on a mostly-unique stream nothing collapses and the weight
-column is pure overhead — measured both ways in SCALEPROBE
-(``stream_hh_zipf_*`` vs ``stream_hh_pre_*`` rows).
+count; on a mostly-unique stream nothing collapses — measured both
+ways in SCALEPROBE (``stream_hh_zipf_*`` vs ``stream_hh_pre_*``
+rows) — so each partition decides from its first Arrow chunk's
+distinct ratio whether to count or pass through
+(:func:`precount_arrivals`'s adaptive guard).
 Exact top-k on demand = the batch operator's count-back over the
 emitted candidate union (two passes over at-rest data), so the
 stream maintains CANDIDATES cheaply and exactness is a batch join
@@ -62,8 +64,18 @@ def precount_arrivals(df: DataFrame, max_entries: int = 262_144
     output whenever it exceeds ``max_entries`` distinct keys (a
     flushed key can re-emit — the stateful side sums weights, so
     duplicates across flushes are merely un-collapsed, never wrong).
-    On a mostly-unique stream this degenerates to one output row per
-    arrival plus an 8-byte weight — the honest non-win case."""
+
+    Measured design note (r8): an in-UDF adaptive guard — pass
+    chunks through weight-1 when the first chunk looks mostly
+    unique, skipping the groupby — was built, measured WORSE, and
+    removed: on the 6 M-row 80%-unique corpus it cost 37.2 executor
+    CPU s vs 26.5 for always-count vs 11.4 for no pre-count at all.
+    Once the mapInPandas Arrow round-trip is paid, counting always
+    wins (it shrinks the Arrow OUTPUT; pass-through ships more rows
+    back), so inside this function counting is unconditional and
+    the only meaningful adaptivity is whether to insert the stage
+    AT ALL — that plan-level decision is
+    :func:`stream_heavy_hitters`'s ``pre_count="auto"``."""
     cap = int(max_entries)
 
     def summarize(pdfs):
@@ -157,7 +169,10 @@ def stream_heavy_hitters(spark: SparkSession, parquet_path: str,
                          out_table: str = "stream_hh",
                          schema=None,
                          max_files_per_trigger: int | None = None,
-                         pre_count: bool = False
+                         pre_count: bool | str = False,
+                         auto_sample_rows: int = 20_000,
+                         auto_distinct_ratio: float = 0.7,
+                         decision_out: dict | None = None
                          ) -> None:
     """readStream → shard by key hash → [optional map-side pre-count]
     → sharded-MG state → AvailableNow into an in-memory sink; every
@@ -166,10 +181,37 @@ def stream_heavy_hitters(spark: SparkSession, parquet_path: str,
 
     ``pre_count=True`` collapses the arrival exchange to one weighted
     row per distinct key per partition (:func:`precount_arrivals`) —
-    pays on repetitive (Zipfian) streams, pure overhead on
-    mostly-unique ones; the final sketch satisfies the identical MG
-    invariants either way (weighted folding ≡ per-occurrence
+    pays on repetitive (Zipfian) streams, pure overhead on mostly-
+    unique ones (both measured in SCALEPROBE: the Zipfian exchange
+    collapses 60 M → 7 M records; the 80%-unique one barely moves at
+    ~3× the CPU).  ``pre_count="auto"`` makes that call from the
+    data: a bounded BATCH-side sample of the source
+    (``auto_sample_rows``) engages the stage iff the sampled
+    distinct-key ratio is below ``auto_distinct_ratio`` (measured on
+    the probe corpora: ~0.47 Zipfian vs ~0.80 80%-unique — 0.7
+    splits them with margin; the dedup_sets measured-crossover
+    convention).  The decision must live HERE, not inside the UDF —
+    see :func:`precount_arrivals`'s measured design note: once the
+    Arrow round-trip is paid, counting always wins, so the only
+    lever is whether the stage exists.  ``decision_out`` (if a dict)
+    records ``pre_count`` and ``sample_distinct_ratio`` for probes
+    and tests.  The final sketch satisfies the identical MG
+    invariants on every path (weighted folding ≡ per-occurrence
     folding)."""
+    if pre_count == "auto":
+        sample = (spark.read.parquet(parquet_path)
+                  .where(F.col(key_col).isNotNull())
+                  .limit(int(auto_sample_rows))
+                  .select(F.col(key_col).cast("string").alias("k")))
+        n, nd = sample.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("k").alias("nd")).first()
+        ratio = (nd / n) if n else 1.0
+        pre_count = ratio < auto_distinct_ratio
+        if decision_out is not None:
+            decision_out["sample_distinct_ratio"] = round(ratio, 3)
+    if decision_out is not None:
+        decision_out["pre_count"] = bool(pre_count)
     if schema is None:
         schema = spark.read.parquet(parquet_path).schema
     reader = spark.readStream.schema(schema)

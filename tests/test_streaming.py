@@ -266,3 +266,52 @@ def test_precount_arrivals_weights_exact(spark):
     # shard routing rides through untouched
     shards = precount_arrivals(df).select("shard").distinct().count()
     assert shards == df.select("shard").distinct().count()
+
+
+def test_stream_hh_auto_precount_decision(spark, tmp_path):
+    """``pre_count="auto"`` decides from a bounded batch-side sample:
+    engaged on a repetitive (Zipfian-like) source, bypassed on a
+    mostly-unique one — and the sketch invariants hold on both paths
+    (the emitted summary is a valid MG state either way).  The
+    decision must be plan-level: the in-UDF variant was measured
+    strictly worse (see precount_arrivals' design note)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.streaming.heavy_hitters import (
+        latest_snapshot,
+        stream_heavy_hitters,
+    )
+
+    n = 40_000
+    h = F.abs(F.xxhash64(F.col("id")))
+    corpora = {
+        # ~8 hot keys dominate -> low distinct ratio -> engage
+        "rep": spark.range(n).select(
+            F.concat(F.lit("hot"), (h % 8).cast("string")).alias("k")),
+        # 80% unique tail -> high distinct ratio -> bypass
+        "uniq": spark.range(n).select(
+            F.when(h % 5 == 0,
+                   F.concat(F.lit("hot"), (h % 16).cast("string")))
+            .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+            .alias("k")),
+    }
+    expect = {"rep": True, "uniq": False}
+    for name, df in corpora.items():
+        src = str(tmp_path / f"src_{name}")
+        df.repartition(4).write.parquet(src)
+        decision = {}
+        stream_heavy_hitters(spark, src, str(tmp_path / f"ck_{name}"),
+                             "k", m=64, shards=4,
+                             out_table=f"auto_{name}",
+                             pre_count="auto", decision_out=decision)
+        assert decision["pre_count"] is expect[name], (name, decision)
+        assert 0.0 <= decision["sample_distinct_ratio"] <= 1.0
+        snap = latest_snapshot(spark.table(f"auto_{name}"))
+        cands = snap.where(F.col("key").isNotNull())
+        # superset invariant on the hot keys: every true heavy key
+        # must be present among the emitted candidates
+        got = {r["key"] for r in cands.collect()}
+        hot = {r["k"] for r in
+               df.groupBy("k").count().orderBy(F.desc("count"))
+               .limit(4).collect()}
+        assert hot <= got, (name, hot - got)
