@@ -17,8 +17,17 @@ shuffle moves hashes, not documents.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# dedup_spans_exact SMJ regime: expected set-bit density above which
+# the Bloom-bitmap gram prefilter is dropped from the plan (it would
+# pass most grams while still costing its broadcast + per-gram bit
+# math).  Below it the bitmap removes the majority of non-family
+# grams from the second corpus-sized exchange.
+BLOOM_SKIP_FPR = 0.5
 
 
 def dedup_keep_first(df: DataFrame, keys: list[str],
@@ -288,7 +297,14 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     hash join), so the second corpus-sized exchange carries only
     duplicate-family occurrences plus a ~1/64 FP tail instead of
     every gram (the r8 probe measured the unfiltered form doubling
-    bytes/gram at 100x).  Removed starts aggregate per
+    bytes/gram at 100x).  The bit space caps at 2^30 (the occupied
+    word buckets must broadcast: ~128 MiB at the cap), so expected
+    FPR rises with families past ~16.8 M; once it would exceed
+    ``BLOOM_SKIP_FPR`` (≈744 M families) the prefilter is dropped
+    from the plan — a saturated bitmap passes most grams anyway —
+    and the join runs as the plain co-partitioned SMJ, correct at
+    any family count (``plan_out["dup_join"] = "smj"``,
+    ``plan_out["bloom_fpr"]`` records the decision input).  Removed starts aggregate per
     document (ONE row per doc, bounded by n/1 starts) and join back
     id-to-id under the same measured decision (``rem_broadcast_max``):
     on natural corpora the affected-document frame broadcasts, so the
@@ -356,6 +372,22 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
     dup_winners = pin("dedup_spans_exact",
                       winners.filter(F.col("__c") > 1).drop("__c"))
     n_families = dup_winners.count()
+    # bit space for the SMJ regime's Bloom prefilter: 64x-oversized,
+    # capped at 2^30 bits (the word bitmap must BROADCAST — occupied
+    # buckets <= bits/64 = 16.8M (bucket, long) rows = ~128 MiB at the
+    # cap, already the ceiling of comfortable broadcast; a bigger bit
+    # space would need a gram-side shuffle to meet it, which is the
+    # exchange the prefilter exists to avoid).  Past the cap the
+    # set-bit density 1-exp(-families/bits) rises toward 1; once the
+    # bitmap passes most grams anyway (> BLOOM_SKIP_FPR) it is pure
+    # overhead — a saturated 128 MiB broadcast plus per-gram bit math
+    # buying back almost none of the shuffle — so the plan DROPS it
+    # and runs the plain SMJ (measured-decision convention; the
+    # expected FPR is recorded in plan_out either way).
+    nbits = 1 << max(20, min(30, (64 * n_families - 1).bit_length())) \
+        if n_families else 1 << 20
+    bloom_fpr = 1.0 - math.exp(-n_families / nbits)
+    use_bloom = bloom_fpr <= BLOOM_SKIP_FPR
     if plan_out is not None:
         # the measured decision inputs/outcomes, for probes and tests:
         # past dup_broadcast_max the winners join degrades to the
@@ -364,11 +396,17 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
         # transition SCALEPROBE attributes with these numbers:
         # span_dedup_families_*/span_dedup_join_*)
         plan_out["n_families"] = n_families
-        plan_out["dup_join"] = ("broadcast"
-                                if n_families <= dup_broadcast_max
-                                else "smj+bloom")
+        plan_out["bloom_fpr"] = round(bloom_fpr, 4)
+        plan_out["dup_join"] = (
+            "broadcast" if n_families <= dup_broadcast_max
+            else ("smj+bloom" if use_bloom else "smj"))
     if n_families <= dup_broadcast_max:
         probe_side = grams.join(F.broadcast(dup_winners), "__h", "inner")
+    elif not use_bloom:
+        # saturated-bitmap regime (families ≫ 2^30 bits): plain
+        # co-partitioned SMJ — both sides exchange on __h, correct at
+        # any family count, no driver/broadcast memory involved
+        probe_side = grams.join(dup_winners, "__h", "inner")
     else:
         # Pathological regime (families past the broadcast cap): the
         # co-partitioned SMJ would re-shuffle the ENTIRE gram table a
@@ -386,9 +424,8 @@ def dedup_spans_exact(df: DataFrame, text_col: str, id_col: str,
         # is set); false positives are dropped by the exact __h join
         # that follows — so the second corpus-sized exchange carries
         # duplicate-family occurrences (+ the small FP tail), never
-        # the whole gram table.
-        nbits = 1 << max(20, min(30, (64 * n_families - 1).bit_length()))
-
+        # the whole gram table.  (nbits computed above with the
+        # saturation decision.)
         def _pos(col):
             return F.pmod(F.xxhash64(col), F.lit(nbits))
 

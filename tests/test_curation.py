@@ -440,6 +440,31 @@ def test_span_dedup_plan_out_records_join_decisions(spark):
     assert all(got[i] == "tail%d" % i for i in range(1, 6))
 
 
+def test_span_dedup_bloom_saturation_skips_prefilter(spark, monkeypatch):
+    """Past ~744M families the capped 2^30-bit bitmap saturates
+    (expected FPR > BLOOM_SKIP_FPR) and the plan must DROP the
+    prefilter — plain co-partitioned SMJ, identical answer — rather
+    than pay a broadcast that filters nothing.  Forced here by
+    lowering the threshold below any achievable FPR."""
+    from data_warehouse_morrocan_banks_spark.operators import dedup
+
+    rows = [(i, "a b c d e f g h tail%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    monkeypatch.setattr(dedup, "BLOOM_SKIP_FPR", -1.0)
+    plan = {}
+    out = dedup.dedup_spans_exact(df, "text", "doc_id",
+                                  dup_broadcast_max=0, plan_out=plan)
+    got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert plan["dup_join"] == "smj"
+    assert 0.0 <= plan["bloom_fpr"] < 1.0  # recorded (tiny corpus → ~0)
+    assert got[0] == "a b c d e f g h tail0"
+    assert all(got[i] == "tail%d" % i for i in range(1, 6))
+    # the saturated plan must not contain the bitmap's bit_or fold
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" not in phys
+
+
 def test_span_dedup_bloom_prefilter_regime_matches_broadcast(spark):
     """Past dup_broadcast_max the winners join runs SMJ with the
     Bloom-bitmap gram prefilter — output must be bit-identical to the
