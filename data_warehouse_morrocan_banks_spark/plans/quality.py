@@ -3,9 +3,11 @@
 The reference's dbt schema tests (unique / not_null /
 accepted_values / accepted_range, sources.yml:10-67, schema.yml) and
 pipeline validations (row-count gates, orphaned-FK probe, G3/G4)
-replayed as programmatic DataFrame checks.  Each check returns a
-violation COUNT computed in one aggregate pass — checks batch into a
-single job, not one action per rule.
+replayed as programmatic DataFrame checks.  Checks batch — never one
+action per rule: every predicate counter shares ONE aggregate pass,
+and the unique tests share one more over just the key columns (the
+count_distinct Expand must not drag the counter buffers to per-key
+grain — see the note in :func:`check_table`).
 """
 
 from __future__ import annotations
@@ -48,25 +50,34 @@ def check_table(
     for c, (lo, hi) in (ranges or {}).items():
         conds[f"range:{c}"] = F.col(c).isNotNull() & ~F.col(c).between(lo, hi)
 
-    # ONE aggregate job for the entire battery — predicate counters,
-    # min_rows, and the unique tests together (the module's design
-    # statement; a second action would re-scan the table, which at the
-    # design scale doubles the cost of every build's quality gate).
+    # ONE aggregate job for the predicate counters + min_rows; the
+    # unique tests run as a SECOND, narrow aggregation over only the
+    # key columns.  An earlier draft folded count_distinct into the
+    # counter job — measured at 60 M rows (r8 star-build attribution)
+    # that single job spilled 20.7 GB: count_distinct plans through
+    # Expand, so the partial hash-aggregate keys on (gid, key) —
+    # one group per DISTINCT KEY — and every one of those ~60 M
+    # groups carries the full battery's counter buffers.  Split, the
+    # counter job aggregates to ONE group (no spill possible) and the
+    # unique job's per-key state is just the pruned key column
+    # (parquet reads only that column); same two-job cost on a 5-row
+    # dim, ~21 GB less spill on a 60 M-row silver.
     # dbt's unique test excludes NULL keys (the not_null test's
     # business): count(c) counts non-null values, count_distinct(c)
     # the distinct ones, so the difference is the surplus duplicates.
     aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
     aggs.append(F.count(F.lit(1)).alias("__n"))
-    for c in unique or []:
-        aggs.append(
-            (F.count(F.col(c)) - F.countDistinct(F.col(c)))
-            .alias(f"__dup_{c}")
-        )
     row = df.agg(*aggs).collect()[0]
     for name in conds:
         report.checks[name] = int(row[name])
-    for c in unique or []:
-        report.checks[f"unique:{c}"] = int(row[f"__dup_{c}"])
+    if unique:
+        urow = df.select(*unique).agg(*[
+            (F.count(F.col(c)) - F.countDistinct(F.col(c)))
+            .alias(f"__dup_{c}")
+            for c in unique
+        ]).collect()[0]
+        for c in unique:
+            report.checks[f"unique:{c}"] = int(urow[f"__dup_{c}"])
     report.checks["min_rows"] = 0 if row["__n"] >= min_rows else 1
     return report
 

@@ -96,9 +96,13 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     """
     hashed = batch_df.withColumn("content_md5", content_hash(text_col))
     # keep-first within the batch (lowest id — deterministic under
-    # any layout), then against history
+    # any layout), then against history.  dup_broadcast_max=0 keeps
+    # the single-window form: a micro-batch is bounded, and the
+    # split plan's extra decision-count job would add a per-batch
+    # action to the stream's critical path for nothing
     in_batch = dedup_keep_first(hashed, ["content_md5"],
-                                [F.col(id_col).asc()])
+                                [F.col(id_col).asc()],
+                                dup_broadcast_max=0)
     seen = read(spark, hashes_path).select("content_md5")
     fresh = in_batch.join(seen, "content_md5", "left_anti")
     # stage once: both appends and the document/fingerprint split must

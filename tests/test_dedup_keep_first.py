@@ -1,0 +1,100 @@
+"""dedup_keep_first's r8 split+broadcast plan vs the single-window
+form: bit-identical output on every edge the window semantics cover
+(NULL keys group, exact-duplicate rows keep one copy, multi-key
+grains), with the measured decision recorded in plan_out and the
+forced-fallback regime still correct.
+
+Motivation (star-build attribution, SCALEPROBE r8): the single-window
+form shuffled the full wide frame — 6.3 GB shuffle + 17.3 GB spill at
+60 M rows — while ~1 % of keys were duplicated.  The split plan
+anti/semi-joins against the broadcast dup-key set so singleton rows
+never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.operators.dedup import (
+    dedup_keep_first,
+)
+
+ROWS = [
+    # (k, ts, payload) — k='a' singleton; 'b' dup w/ distinct rows;
+    # 'c' exact bit-identical duplicate pair (survivor must be ONE of
+    # them, not zero); NULL key twice (window groups NULLs — split's
+    # null-safe joins must too); 'd' singleton
+    ("a", 3, "pa"),
+    ("b", 5, "pb-new"),
+    ("b", 4, "pb-old"),
+    ("c", 7, "pc"),
+    ("c", 7, "pc"),
+    (None, 2, "pn-1"),
+    (None, 1, "pn-2"),
+    ("d", 9, "pd"),
+]
+SCHEMA = "k string, ts int, payload string"
+def _order():
+    return [F.col("ts").desc(), F.col("payload")]
+
+
+def _sorted(df):
+    return sorted((tuple(repr(v) for v in r) for r in df.collect()))
+
+
+def test_split_plan_matches_window_and_records_decision(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    base = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=0)
+
+    plan = {}
+    split = dedup_keep_first(df, ["k"], _order(), plan_out=plan)
+    assert plan["dup_plan"] == "split+broadcast"
+    assert plan["n_dup_keys"] == 3          # 'b', 'c', NULL
+    assert _sorted(split) == _sorted(base)
+    # survivors: highest ts per key; 'c' keeps exactly one copy
+    got = {r["k"]: r["payload"] for r in split.collect()}
+    assert got == {"a": "pa", "b": "pb-new", "c": "pc",
+                   None: "pn-1", "d": "pd"}
+    # the dup-key set must meet the corpus as a broadcast hash join
+    # (null-safe keys stay hash-joinable, not a nested-loop join)
+    phys = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "NestedLoop" not in phys
+
+
+def test_forced_window_fallback_identical(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    base = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=0)
+    plan = {}
+    # cap below the measured 3 dup keys → falls back to the window
+    out = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=2,
+                           plan_out=plan)
+    assert plan["dup_plan"] == "window"
+    assert plan["n_dup_keys"] == 3
+    assert _sorted(out) == _sorted(base)
+
+
+def test_no_duplicate_keys_passes_frame_through(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], SCHEMA)
+    plan = {}
+    out = dedup_keep_first(df, ["k"], _order(), plan_out=plan)
+    assert plan["n_dup_keys"] == 0
+    assert _sorted(out) == _sorted(df)
+
+
+def test_multi_key_grain_matches_window(spark):
+    rows = [
+        ("x", "u", 1, "r1"),
+        ("x", "u", 2, "r2"),
+        ("x", "v", 1, "r3"),     # same first key, different second
+        (None, "u", 1, "r4"),
+        (None, "u", 2, "r5"),
+        (None, None, 1, "r6"),
+    ]
+    df = spark.createDataFrame(rows, "k string, j string, ts int, p string")
+    order = [F.col("ts").desc(), F.col("p")]
+    base = dedup_keep_first(df, ["k", "j"], order, dup_broadcast_max=0)
+    split = dedup_keep_first(df, ["k", "j"], order)
+    assert _sorted(split) == _sorted(base)
+    assert split.count() == 4

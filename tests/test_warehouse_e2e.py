@@ -129,6 +129,12 @@ def test_full_warehouse_build(spark):
     assert geo.count() > 0
     assert trends.filter(F.col("prev_avg_sentiment").isNotNull()).count() > 0
 
+    # the stage-local cache() above is NOT lifecycle-registered —
+    # drop it so later tests' flat-storage assertions (test_lifecycle
+    # asserts 0 pinned RDDs after release_all) see a clean context
+    # regardless of file ordering
+    silver.unpersist()
+
 
 def test_sentiment_ladder_overlap_semantics(spark):
     """FIXTURES §4: scores 0.5/0.6/−0.5/−0.6 must resolve by CASE
