@@ -107,10 +107,13 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     if plan_out is not None:
         plan_out["n_dup_keys"] = n_dup_keys
         plan_out["dup_plan"] = "split+broadcast" if use_split else "window"
-    if not use_split:
-        return _window_form(df)
-    if n_dup_keys == 0:
-        return df
+    if not use_split or n_dup_keys == 0:
+        # neither returned plan reads dup_keys — release the pin NOW
+        # rather than at the next invocation (in the fallback regime
+        # dup_keys is larger than the broadcast cap, the one case
+        # where holding it would actually cost storage memory)
+        begin("dedup_keep_first")
+        return df if n_dup_keys == 0 else _window_form(df)
     cond = None
     for i, k in enumerate(keys):
         c = df[k].eqNullSafe(dup_keys[f"__dk{i}"])

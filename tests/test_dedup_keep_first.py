@@ -63,6 +63,11 @@ def test_split_plan_matches_window_and_records_decision(spark):
 
 
 def test_forced_window_fallback_identical(spark):
+    from data_warehouse_morrocan_banks_spark.operators.lifecycle import (
+        release_all,
+    )
+
+    release_all()
     df = spark.createDataFrame(ROWS, SCHEMA)
     base = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=0)
     plan = {}
@@ -72,6 +77,9 @@ def test_forced_window_fallback_identical(spark):
     assert plan["dup_plan"] == "window"
     assert plan["n_dup_keys"] == 3
     assert _sorted(out) == _sorted(base)
+    # the fallback plan never reads the dup-key frame — its pin must
+    # be released at decision time, not held until the next call
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_no_duplicate_keys_passes_frame_through(spark):
