@@ -94,10 +94,25 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
 
     from .lifecycle import begin, pin
 
+    # self-sized key exchange (the make_reviews partition-grain
+    # lesson): at 60 M mostly-unique keys the session's 32 shuffle
+    # partitions put ~1.9 M keys in each final hash map — measured
+    # 6.6 GB of aggregation spill.  Repartitioning the slim key
+    # projection to max(input partitions, shuffle partitions) keeps
+    # per-task key counts at the input grain; the explicit
+    # numPartitions is deliberately AQE-stable (AQE does not coalesce
+    # a user-specified repartition), and the exchange count is
+    # unchanged — the groupBy reuses the repartition's hash layout.
+    slim = df.select(*[F.col(k) for k in keys])
+    n_key_parts = max(
+        slim.rdd.getNumPartitions(),
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
     begin("dedup_keep_first")
     dup_keys = pin(
         "dedup_keep_first",
-        df.groupBy(*[F.col(k) for k in keys])
+        slim.repartition(n_key_parts, *[F.col(k) for k in keys])
+        .groupBy(*[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") > 1)
         .select(*[F.col(k).alias(f"__dk{i}") for i, k in enumerate(keys)]),

@@ -4,10 +4,12 @@ The reference's dbt schema tests (unique / not_null /
 accepted_values / accepted_range, sources.yml:10-67, schema.yml) and
 pipeline validations (row-count gates, orphaned-FK probe, G3/G4)
 replayed as programmatic DataFrame checks.  Checks batch — never one
-action per rule: every predicate counter shares ONE aggregate pass,
-and the unique tests share one more over just the key columns (the
-count_distinct Expand must not drag the counter buffers to per-key
-grain — see the note in :func:`check_table`).
+action per rule: every predicate counter shares ONE aggregate pass;
+each unique test runs as its own key-grain job over just its pruned
+key column, on a self-sized key exchange (the count_distinct Expand
+must not drag the counter buffers to per-key grain, and 32 shuffle
+partitions must not hold 60 M-key hash maps — see the notes in
+:func:`check_table`).
 """
 
 from __future__ import annotations
@@ -51,8 +53,8 @@ def check_table(
         conds[f"range:{c}"] = F.col(c).isNotNull() & ~F.col(c).between(lo, hi)
 
     # ONE aggregate job for the predicate counters + min_rows; the
-    # unique tests run as a SECOND, narrow aggregation over only the
-    # key columns.  An earlier draft folded count_distinct into the
+    # unique tests run as separate, narrow key-grain jobs (below).
+    # An earlier draft folded count_distinct into the
     # counter job — measured at 60 M rows (r8 star-build attribution)
     # that single job spilled 20.7 GB: count_distinct plans through
     # Expand, so the partial hash-aggregate keys on (gid, key) —
@@ -60,24 +62,43 @@ def check_table(
     # groups carries the full battery's counter buffers.  Split, the
     # counter job aggregates to ONE group (no spill possible) and the
     # unique job's per-key state is just the pruned key column
-    # (parquet reads only that column); same two-job cost on a 5-row
+    # (parquet reads only that column); same job count on a 5-row
     # dim, ~21 GB less spill on a 60 M-row silver.
     # dbt's unique test excludes NULL keys (the not_null test's
-    # business): count(c) counts non-null values, count_distinct(c)
-    # the distinct ones, so the difference is the surplus duplicates.
+    # business).
     aggs = [F.count(F.when(c, 1)).alias(name) for name, c in conds.items()]
     aggs.append(F.count(F.lit(1)).alias("__n"))
     row = df.agg(*aggs).collect()[0]
     for name in conds:
         report.checks[name] = int(row[name])
-    if unique:
-        urow = df.select(*unique).agg(*[
-            (F.count(F.col(c)) - F.countDistinct(F.col(c)))
-            .alias(f"__dup_{c}")
-            for c in unique
-        ]).collect()[0]
-        for c in unique:
-            report.checks[f"unique:{c}"] = int(urow[f"__dup_{c}"])
+    # one key-grain job per unique column, written as an explicit
+    # per-key count (no count_distinct Expand) over a SELF-SIZED key
+    # exchange: max(input partitions, shuffle partitions) keeps each
+    # final hash map at the input's per-task key grain — at 60 M keys
+    # the session's 32 shuffle partitions alone measured 12.6 GB of
+    # aggregation spill (r8 star attribution).  The explicit
+    # numPartitions is AQE-stable (user repartitions are never
+    # coalesced) and the groupBy reuses its hash layout, so the
+    # exchange count is unchanged.  Surplus = Σ per-key counts −
+    # #non-null keys (count(c) skips the NULL-key group on both
+    # terms, preserving dbt's NULL exclusion).
+    for c in unique or []:
+        slim = df.select(c)
+        # sized from the counter pass's MEASURED row count (~250k
+        # keys per reduce task, the engine's partition-grain
+        # convention) — input split count is the wrong proxy here:
+        # a re-read parquet silver lands in ~bytes/maxPartitionBytes
+        # splits, which at 60 M rows was ≈ the session's 32 shuffle
+        # partitions, so an input-partitions floor never engaged
+        # (measured: 12.6 GB spill unchanged until this sizing)
+        n = max(int(row["__n"]) // 250_000,
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        per_key = (slim.repartition(n, F.col(c)).groupBy(c)
+                   .agg(F.count(F.col(c)).alias("__nn")))
+        urow = per_key.agg(
+            (F.coalesce(F.sum("__nn"), F.lit(0)) - F.count(F.col(c)))
+            .alias("__dup")).collect()[0]
+        report.checks[f"unique:{c}"] = int(urow["__dup"])
     report.checks["min_rows"] = 0 if row["__n"] >= min_rows else 1
     return report
 
