@@ -75,8 +75,12 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     lifecycle-pinned under ``dedup_keep_first`` (generation release).
 
     ``plan_out`` (when a dict) records ``n_dup_keys`` and ``dup_plan``
-    (``"split+broadcast"`` / ``"window"``) — the measured-decision
-    convention.
+    (``"split+broadcast"`` / ``"window"`` / ``"passthrough"`` — the
+    last when the decision count finds ZERO duplicate keys and the
+    input is returned unchanged, no joins and no window) — the
+    measured-decision convention.  NOTE the decision makes this
+    operator EAGER: building the returned plan runs the slim count
+    job (and pins its frame) at call time.
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
 
@@ -104,10 +108,21 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     # a user-specified repartition), and the exchange count is
     # unchanged — the groupBy reuses the repartition's hash layout.
     slim = df.select(*[F.col(k) for k in keys])
-    n_key_parts = max(
-        slim.rdd.getNumPartitions(),
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-    )
+    # .rdd on an AQE plan containing an Exchange EXECUTES the upstream
+    # shuffle stages just to expose a partition count (toRdd →
+    # getFinalPhysicalPlan) — only take the input-partitions proxy
+    # from map-only lineage, where building the RDD chain runs no
+    # jobs.  Exchange-bearing inputs land at shuffle-partition width
+    # anyway, so the session floor is the honest size there.  Note
+    # the proxy's documented limit (CLAUDE.md): a re-read parquet
+    # input splits near the session default, so callers deduping a
+    # table-materialized frame at huge key counts should repartition
+    # upstream — exact row-count sizing here would cost the pre-count
+    # this operator deliberately avoids.
+    n_key_parts = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    if "Exchange" not in slim._jdf.queryExecution().executedPlan().toString():
+        n_key_parts = max(n_key_parts, slim.rdd.getNumPartitions())
     begin("dedup_keep_first")
     dup_keys = pin(
         "dedup_keep_first",
@@ -121,7 +136,9 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     use_split = n_dup_keys <= dup_broadcast_max
     if plan_out is not None:
         plan_out["n_dup_keys"] = n_dup_keys
-        plan_out["dup_plan"] = "split+broadcast" if use_split else "window"
+        plan_out["dup_plan"] = (
+            "passthrough" if n_dup_keys == 0
+            else ("split+broadcast" if use_split else "window"))
     if not use_split or n_dup_keys == 0:
         # neither returned plan reads dup_keys — release the pin NOW
         # rather than at the next invocation (in the fallback regime

@@ -96,8 +96,15 @@ class Warehouse:
 
 
 def enrich_reviews(raw: DataFrame) -> DataFrame:
-    """Bronze → silver: the reference's phase-2 pipeline as ONE lazy
-    plan (SURVEY §3.2 — the CSV hops and INSERT loops disappear)."""
+    """Bronze → silver: the reference's phase-2 pipeline as one plan
+    (SURVEY §3.2 — the CSV hops and INSERT loops disappear).
+
+    NOT fully lazy since r8: the dedup stage's measured plan decision
+    runs a slim key-count job at BUILD time (dedup_keep_first
+    docstring), so constructing the silver plan scans the bronze
+    keys once — a retried pipeline stage repeats that count, which
+    is the price of the split plan that keeps the wide frame from
+    ever shuffling."""
     cleaned = impute_defaults(filter_required_keys(raw, ["review_id", "place_id"]))
     # the final order column is a full-row fingerprint: (collected_at,
     # text) alone is not a unique total order (one collection pass

@@ -457,7 +457,11 @@ def test_span_dedup_bloom_saturation_skips_prefilter(spark, monkeypatch):
                                   dup_broadcast_max=0, plan_out=plan)
     got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
     assert plan["dup_join"] == "smj"
-    assert 0.0 <= plan["bloom_fpr"] < 1.0  # recorded (tiny corpus → ~0)
+    # decision input recorded; 1 family in 2^20 bits rounds to
+    # exactly 0.0 at 4dp — pinning the value catches a swapped
+    # families/bits ratio (which would read ~1.0) where a range
+    # check could not
+    assert plan["bloom_fpr"] == 0.0
     assert got[0] == "a b c d e f g h tail0"
     assert all(got[i] == "tail%d" % i for i in range(1, 6))
     # the saturated plan must not contain the bitmap's bit_or fold

@@ -88,6 +88,7 @@ def test_no_duplicate_keys_passes_frame_through(spark):
     plan = {}
     out = dedup_keep_first(df, ["k"], _order(), plan_out=plan)
     assert plan["n_dup_keys"] == 0
+    assert plan["dup_plan"] == "passthrough"   # no joins, no window
     assert _sorted(out) == _sorted(df)
 
 
