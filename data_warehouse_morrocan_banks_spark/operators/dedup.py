@@ -98,35 +98,18 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
 
     from .lifecycle import begin, pin
 
-    # self-sized key exchange (the make_reviews partition-grain
-    # lesson): at 60 M mostly-unique keys the session's 32 shuffle
-    # partitions put ~1.9 M keys in each final hash map — measured
-    # 6.6 GB of aggregation spill.  Repartitioning the slim key
-    # projection to max(input partitions, shuffle partitions) keeps
-    # per-task key counts at the input grain; the explicit
-    # numPartitions is deliberately AQE-stable (AQE does not coalesce
-    # a user-specified repartition), and the exchange count is
-    # unchanged — the groupBy reuses the repartition's hash layout.
-    slim = df.select(*[F.col(k) for k in keys])
-    # .rdd on an AQE plan containing an Exchange EXECUTES the upstream
-    # shuffle stages just to expose a partition count (toRdd →
-    # getFinalPhysicalPlan) — only take the input-partitions proxy
-    # from map-only lineage, where building the RDD chain runs no
-    # jobs.  Exchange-bearing inputs land at shuffle-partition width
-    # anyway, so the session floor is the honest size there.  Note
-    # the proxy's documented limit (CLAUDE.md): a re-read parquet
-    # input splits near the session default, so callers deduping a
-    # table-materialized frame at huge key counts should repartition
-    # upstream — exact row-count sizing here would cost the pre-count
-    # this operator deliberately avoids.
-    n_key_parts = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
-    if "Exchange" not in slim._jdf.queryExecution().executedPlan().toString():
-        n_key_parts = max(n_key_parts, slim.rdd.getNumPartitions())
+    # self-sized, bucketing-aware key exchange for the decision count
+    # (scale.sized_for_key_agg: at 60 M mostly-unique keys the
+    # session's 32 shuffle partitions put ~1.9 M keys in each final
+    # hash map — measured 6.6 GB of aggregation spill, zero after
+    # sizing; on a source bucketed by the keys the groupBy is already
+    # exchange-free and is left untouched)
+    from .scale import sized_for_key_agg
+
     begin("dedup_keep_first")
     dup_keys = pin(
         "dedup_keep_first",
-        slim.repartition(n_key_parts, *[F.col(k) for k in keys])
+        sized_for_key_agg(df, keys)
         .groupBy(*[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") > 1)

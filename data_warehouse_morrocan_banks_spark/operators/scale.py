@@ -27,6 +27,49 @@ from pyspark.sql.types import (
 )
 
 
+def sized_for_key_agg(df: DataFrame, keys: list[str],
+                      rows_hint: int | None = None,
+                      rows_per_task: int = 250_000) -> DataFrame:
+    """Slim key projection, exchange-sized for a key-grain groupBy
+    (one whose group count is ~the row count — dedup decision counts,
+    unique tests).  Three regimes, decided from the PLAN, not
+    guessed (CLAUDE.md self-sized-exchange convention):
+
+    - **bucketed source** (a probe groupBy on ``keys`` plans with no
+      Exchange — ``sources/bucketed`` layout): returned UNTOUCHED; a
+      repartition here would ADD the exchange bucketing exists to
+      remove, and the aggregation is already partition-local.
+    - **known row count** (``rows_hint``): repartition to
+      ``max(shuffle partitions, rows_hint // rows_per_task)`` —
+      ~250 k keys per final hash map, the grain measured to zero
+      spill at 60 M keys (STARATTR_r08_post) where the session's 32
+      partitions alone spilled 12.6 GB.
+    - **no hint**: the input-partitions proxy, taken ONLY from
+      map-only lineage (``.rdd`` on an Exchange-bearing AQE plan
+      executes the upstream shuffle stages just to expose a
+      partition count); exchange-bearing inputs keep the session
+      floor.  The proxy's limit is documented: re-read parquet
+      splits near the session default, so pass ``rows_hint`` when a
+      measured count exists.
+
+    The explicit numPartitions is AQE-stable and a following
+    ``groupBy(keys)`` reuses the repartition's hash layout, so the
+    exchange count never increases.  Callers group the RETURNED
+    frame by ``keys`` and aggregate.
+    """
+    slim = df.select(*[F.col(k) for k in keys])
+    probe = slim.groupBy(*[F.col(k) for k in keys]).count()
+    if "Exchange" not in probe._jdf.queryExecution().executedPlan().toString():
+        return slim
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if rows_hint is not None:
+        n = max(n, int(rows_hint) // rows_per_task)
+    elif "Exchange" not in slim._jdf.queryExecution() \
+            .executedPlan().toString():
+        n = max(n, slim.rdd.getNumPartitions())
+    return slim.repartition(n, *[F.col(k) for k in keys])
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt_buckets: int = 16, how: str = "inner") -> DataFrame:
     """Skew-resistant equi-join: salt the big side, explode the small.

@@ -82,19 +82,19 @@ def check_table(
     # exchange count is unchanged.  Surplus = Σ per-key counts −
     # #non-null keys (count(c) skips the NULL-key group on both
     # terms, preserving dbt's NULL exclusion).
+    # sized from the counter pass's MEASURED row count (~250k keys
+    # per reduce task) — the input-split proxy is the wrong one
+    # here: a re-read parquet silver lands in ~bytes/
+    # maxPartitionBytes splits, ≈ the session's 32 shuffle
+    # partitions at 60 M rows, so a partitions floor never engaged
+    # (measured: 12.6 GB spill unchanged until the rowcount sizing).
+    # On a source bucketed by the key the helper leaves the frame
+    # alone and the test runs with no exchange at all.
+    from ..operators.scale import sized_for_key_agg
+
     for c in unique or []:
-        slim = df.select(c)
-        # sized from the counter pass's MEASURED row count (~250k
-        # keys per reduce task, the engine's partition-grain
-        # convention) — input split count is the wrong proxy here:
-        # a re-read parquet silver lands in ~bytes/maxPartitionBytes
-        # splits, which at 60 M rows was ≈ the session's 32 shuffle
-        # partitions, so an input-partitions floor never engaged
-        # (measured: 12.6 GB spill unchanged until this sizing)
-        n = max(int(row["__n"]) // 250_000,
-                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-        per_key = (slim.repartition(n, F.col(c)).groupBy(c)
-                   .agg(F.count(F.col(c)).alias("__nn")))
+        per_key = (sized_for_key_agg(df, [c], rows_hint=int(row["__n"]))
+                   .groupBy(c).agg(F.count(F.col(c)).alias("__nn")))
         urow = per_key.agg(
             (F.coalesce(F.sum("__nn"), F.lit(0)) - F.count(F.col(c)))
             .alias("__dup")).collect()[0]

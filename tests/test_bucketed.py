@@ -83,3 +83,34 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
         assert agg.count() > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_sized_for_key_agg_leaves_bucketed_source_alone(spark, bucketed_pair):
+    """The key-grain exchange sizer must NOT repartition a source
+    already bucketed by the keys — that would ADD the exchange the
+    layout exists to remove.  (This is the exchange-free unique-test
+    path: plans/quality.check_table rides the same helper.)"""
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        sized_for_key_agg,
+    )
+
+    src = spark.table("t_lineitem_b")
+    out = sized_for_key_agg(src, ["o_orderkey"], rows_hint=10**9)
+    agg = out.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert agg.count() > 0
+
+
+def test_sized_for_key_agg_sizes_plain_source_from_rows_hint(spark):
+    from data_warehouse_morrocan_banks_spark.operators.scale import (
+        sized_for_key_agg,
+    )
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    out = sized_for_key_agg(li, ["l_orderkey"], rows_hint=100_000_000)
+    # 100M rows / 250k keys-per-task = 400 target partitions
+    assert out.rdd.getNumPartitions() == 400
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = sized_for_key_agg(li, ["l_orderkey"], rows_hint=10)
+    assert floor.rdd.getNumPartitions() == shuffle
