@@ -33,7 +33,8 @@ BLOOM_SKIP_FPR = 0.5
 def dedup_keep_first(df: DataFrame, keys: list[str],
                      order_by: list[Column],
                      dup_broadcast_max: int = 1_000_000,
-                     plan_out: dict | None = None) -> DataFrame:
+                     plan_out: dict | None = None,
+                     rows_hint: int | None = None) -> DataFrame:
     """D1: keep exactly one row per key, the first under ``order_by``.
 
     Deterministic equivalent of pandas ``drop_duplicates(keep='first')``
@@ -74,13 +75,30 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     (the engine-wide lineage contract).  The dup-key frame is
     lifecycle-pinned under ``dedup_keep_first`` (generation release).
 
-    ``plan_out`` (when a dict) records ``n_dup_keys`` and ``dup_plan``
+    ``plan_out`` (when a dict) records ``dup_plan``
     (``"split+broadcast"`` / ``"window"`` / ``"passthrough"`` — the
     last when the decision count finds ZERO duplicate keys and the
-    input is returned unchanged, no joins and no window) — the
-    measured-decision convention.  NOTE the decision makes this
+    input is returned unchanged, no joins and no window) plus
+    ``n_dup_keys`` — EXCEPT in the ``dup_broadcast_max <= 0`` path,
+    which deliberately runs no count and records only ``dup_plan`` —
+    the measured-decision convention.  NOTE the decision makes this
     operator EAGER: building the returned plan runs the slim count
-    job (and pins its frame) at call time.
+    job (and pins its frame) at call time.  ``rows_hint`` (a known
+    row count, e.g. a pipeline preflight's) sizes the decision
+    count's key exchange exactly (~250 k keys per reduce task,
+    ``scale.sized_for_key_agg``); without it the sizing falls back to
+    the map-only input-partitions proxy, which a re-read parquet
+    input defeats (CLAUDE.md note).
+
+    Generation contract (the span-dedup convention): the dup-key
+    frame is persist-pinned under a key derived from ``keys`` and
+    released when the NEXT ``dedup_keep_first`` ON THE SAME KEY
+    COLUMNS begins — a previously returned, still-unexecuted plan
+    stays CORRECT (a stale re-read recomputes the dup keys from
+    lineage; only the caching is lost).  Distinct key columns use
+    distinct generations, so interleaved plan-building over
+    different grains (the driver registry shape) does not evict each
+    other's pins.
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
 
@@ -106,10 +124,11 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     # exchange-free and is left untouched)
     from .scale import sized_for_key_agg
 
-    begin("dedup_keep_first")
+    gen_key = "dedup_keep_first:" + ",".join(keys)
+    begin(gen_key)
     dup_keys = pin(
-        "dedup_keep_first",
-        sized_for_key_agg(df, keys)
+        gen_key,
+        sized_for_key_agg(df, keys, rows_hint=rows_hint)
         .groupBy(*[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") > 1)
@@ -127,7 +146,7 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
         # rather than at the next invocation (in the fallback regime
         # dup_keys is larger than the broadcast cap, the one case
         # where holding it would actually cost storage memory)
-        begin("dedup_keep_first")
+        begin(gen_key)
         return df if n_dup_keys == 0 else _window_form(df)
     cond = None
     for i, k in enumerate(keys):

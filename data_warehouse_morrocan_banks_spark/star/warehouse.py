@@ -95,7 +95,8 @@ class Warehouse:
         return names
 
 
-def enrich_reviews(raw: DataFrame) -> DataFrame:
+def enrich_reviews(raw: DataFrame,
+                   rows_hint: int | None = None) -> DataFrame:
     """Bronze → silver: the reference's phase-2 pipeline as one plan
     (SURVEY §3.2 — the CSV hops and INSERT loops disappear).
 
@@ -104,7 +105,10 @@ def enrich_reviews(raw: DataFrame) -> DataFrame:
     docstring), so constructing the silver plan scans the bronze
     keys once — a retried pipeline stage repeats that count, which
     is the price of the split plan that keeps the wide frame from
-    ever shuffling."""
+    ever shuffling.  ``rows_hint`` (the preflight count, when the
+    caller ran one) sizes that decision count's key exchange exactly
+    — without it a re-read parquet bronze defeats the
+    input-partitions proxy (dedup_keep_first docstring)."""
     cleaned = impute_defaults(filter_required_keys(raw, ["review_id", "place_id"]))
     # the final order column is a full-row fingerprint: (collected_at,
     # text) alone is not a unique total order (one collection pass
@@ -115,6 +119,7 @@ def enrich_reviews(raw: DataFrame) -> DataFrame:
     deduped = dedup_keep_first(
         cleaned, ["review_id"],
         [F.col("collected_at").desc(), F.col("text"), row_fp],
+        rows_hint=rows_hint,
     )
     in_range = filter_text_length(deduped, "text")
     lang = language_detect_cols("text")
@@ -164,13 +169,17 @@ def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
         return preflight_rowcount(raw_reviews, min_rows, "raw_reviews")
 
     def stage_silver(outputs):
+        # the preflight count doubles as the dedup decision-count's
+        # exchange sizing (rows_hint) — free exactness, since G3
+        # already paid for the count
+        hint = outputs.get("preflight")
         if intermediate == "table":
             import tempfile
 
             path = intermediate_dir or tempfile.mkdtemp(
                 prefix="dwmb_silver_")
-            enrich_reviews(raw_reviews).write.mode("overwrite") \
-                .parquet(path)
+            enrich_reviews(raw_reviews, rows_hint=hint) \
+                .write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
         from ..operators.lifecycle import begin, pin
 
@@ -178,7 +187,8 @@ def build_warehouse(spark: SparkSession, raw_reviews: DataFrame,
         # so a rebuild in the same session releases the previous
         # build's blocks instead of stacking generations
         begin("warehouse_silver")
-        silver = pin("warehouse_silver", enrich_reviews(raw_reviews))
+        silver = pin("warehouse_silver",
+                     enrich_reviews(raw_reviews, rows_hint=hint))
         silver.count()
         return silver
 

@@ -109,8 +109,14 @@ def test_sized_for_key_agg_sizes_plain_source_from_rows_hint(spark):
 
     li = table(spark, SF_SMOKE, "lineitem")
     out = sized_for_key_agg(li, ["l_orderkey"], rows_hint=100_000_000)
-    # 100M rows / 250k keys-per-task = 400 target partitions
-    assert out.rdd.getNumPartitions() == 400
+    # 100M rows / 250k keys-per-task = 400 target partitions.  Read
+    # the count from the PLAN, not .rdd — the repartition plan
+    # contains an Exchange, where .rdd under AQE would execute the
+    # shuffle just to expose a partition count (CLAUDE.md rule)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_orderkey" in plan and ", 400)" in plan, \
+        plan[:1500]
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     floor = sized_for_key_agg(li, ["l_orderkey"], rows_hint=10)
-    assert floor.rdd.getNumPartitions() == shuffle
+    fplan = floor._jdf.queryExecution().executedPlan().toString()
+    assert f", {shuffle})" in fplan, fplan[:1500]
