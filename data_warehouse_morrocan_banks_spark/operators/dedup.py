@@ -30,9 +30,31 @@ from pyspark.sql import functions as F
 BLOOM_SKIP_FPR = 0.5
 
 
+def _dup_broadcast_cap_bytes(spark) -> int:
+    """Session-derived byte cap for the split regime's dup-key
+    broadcast (r8 verdict: the static 1 M-key cap was one corpus away
+    from the wrong regime — its own first cut at 500 k landed just
+    outside the probe corpus's 594 k dup keys and made things WORSE,
+    commit 27a3c77).  Sized from the JVM heap the relation must live
+    in: ``maxMemory() / 64`` (128 MiB on the 8 GiB local heap; a
+    broadcast hash relation inflates raw bytes ~2-4x, so this keeps
+    the relation under ~10 % of the smallest heap it lands in — on a
+    cluster every executor holds a copy), floored at the session's
+    ``autoBroadcastJoinThreshold`` (the cap must never be MORE
+    conservative than what the planner itself would broadcast)."""
+    jvm = spark.sparkContext._jvm
+    heap = int(jvm.java.lang.Runtime.getRuntime().maxMemory())
+    try:
+        thresh = int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")))
+    except Exception:  # noqa: BLE001 — conf unset/unparsable: default
+        thresh = 10 * 1024 * 1024
+    return max(heap // 64, thresh)
+
+
 def dedup_keep_first(df: DataFrame, keys: list[str],
                      order_by: list[Column],
-                     dup_broadcast_max: int = 1_000_000,
+                     dup_broadcast_max: int | None = None,
                      plan_out: dict | None = None,
                      rows_hint: int | None = None) -> DataFrame:
     """D1: keep exactly one row per key, the first under ``order_by``.
@@ -54,14 +76,21 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     the row_number window on the sliver that needs it; the union is
     row-for-row identical to the single-window form.  Joins are
     null-safe (``<=>``) so NULL-keyed rows group exactly like the
-    window's ``partitionBy``.  The default cap sizes the broadcast:
-    dup-key rows are key-only (~40-60 B for a short-string key), so
-    1 M keys is a ≤60 MB broadcast — small against the wide-frame
-    shuffle it replaces (measured 6.3 GB at 60 M reviews), and the
-    probe corpus's 1 % dup rate (≈594 k dup keys at 60 M rows) must
-    land INSIDE the split regime or the decision count is pure cost
-    on top of the window (measured: the r8 first cut's 500 k cap put
-    it just outside — shuffle records doubled).  Past the cap —
+    window's ``partitionBy``.
+
+    The regime gate is self-sized (r9): with the default
+    ``dup_broadcast_max=None`` the decision job measures the dup-key
+    set's estimated broadcast BYTES (per-row: 16 B row overhead +
+    8 B/field + actual UTF-8/binary payload for var-width keys) in
+    the same aggregation as the count, and splits while that estimate
+    fits :func:`_dup_broadcast_cap_bytes` (heap/64, floored at the
+    session broadcast threshold — ~128 MiB here, so the r8 probe
+    corpus's 594 k short-string dup keys ≈ 20 MB sit well inside; the
+    retired static 1 M-KEY cap was a worked byte guess whose own
+    500 k first cut landed just outside that corpus and made things
+    WORSE, commit 27a3c77).  An explicit positive
+    ``dup_broadcast_max`` pins a key-COUNT cap instead (tests and
+    callers that need a deterministic regime).  Past the cap —
     pathological corpora where most keys repeat, so the dirty branch
     IS the corpus — the plan falls back to the single window (the
     right shape there);
@@ -79,7 +108,10 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     (``"split+broadcast"`` / ``"window"`` / ``"passthrough"`` — the
     last when the decision count finds ZERO duplicate keys and the
     input is returned unchanged, no joins and no window) plus
-    ``n_dup_keys`` — EXCEPT in the ``dup_broadcast_max <= 0`` path,
+    ``n_dup_keys``, ``dup_key_bytes`` (the measured estimate) and
+    ``dup_cap_bytes`` (the session-derived cap; None when an explicit
+    key-count cap was passed) — EXCEPT in the
+    ``dup_broadcast_max <= 0`` path,
     which deliberately runs no count and records only ``dup_plan`` —
     the measured-decision convention.  NOTE the decision makes this
     operator EAGER: building the returned plan runs the slim count
@@ -109,7 +141,7 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
             .drop("__rn")
         )
 
-    if dup_broadcast_max <= 0:
+    if dup_broadcast_max is not None and dup_broadcast_max <= 0:
         if plan_out is not None:
             plan_out["dup_plan"] = "window"
         return _window_form(df)
@@ -124,7 +156,12 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
     # exchange-free and is left untouched)
     from .scale import sized_for_key_agg
 
-    gen_key = "dedup_keep_first:" + ",".join(keys)
+    # repr(keys), not ','.join: distinct key lists like ["a,b"] and
+    # ["a","b"] must not collide on one generation (a collision would
+    # release the other grain's pinned dup-key frame early —
+    # correctness survives via lineage recompute, only caching is
+    # lost; ADVICE r8)
+    gen_key = "dedup_keep_first:" + repr(keys)
     begin(gen_key)
     dup_keys = pin(
         gen_key,
@@ -134,10 +171,33 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
         .filter(F.col("__c") > 1)
         .select(*[F.col(k).alias(f"__dk{i}") for i, k in enumerate(keys)]),
     )
-    n_dup_keys = dup_keys.count()
-    use_split = n_dup_keys <= dup_broadcast_max
+    # one decision job measures count AND estimated broadcast bytes
+    # (UnsafeRow-ish: 16 B/row + 8 B/field + var-width payload for
+    # string/binary keys; fixed-width values live inside their 8 B
+    # field word) — the byte estimate is what the self-sized cap
+    # compares against, replacing the retired static key-count guess
+    from pyspark.sql.types import BinaryType, StringType
+
+    width: Column = F.lit(16 + 8 * len(keys))
+    for i, k in enumerate(keys):
+        if isinstance(df.schema[k].dataType, (StringType, BinaryType)):
+            width = width + F.coalesce(
+                F.octet_length(F.col(f"__dk{i}")), F.lit(0))
+    dec = dup_keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(width), F.lit(0)).alias("b"),
+    ).first()
+    n_dup_keys, dup_key_bytes = int(dec["n"]), int(dec["b"])
+    if dup_broadcast_max is None:
+        cap_bytes = _dup_broadcast_cap_bytes(df.sparkSession)
+        use_split = dup_key_bytes <= cap_bytes
+    else:
+        cap_bytes = None
+        use_split = n_dup_keys <= dup_broadcast_max
     if plan_out is not None:
         plan_out["n_dup_keys"] = n_dup_keys
+        plan_out["dup_key_bytes"] = dup_key_bytes
+        plan_out["dup_cap_bytes"] = cap_bytes
         plan_out["dup_plan"] = (
             "passthrough" if n_dup_keys == 0
             else ("split+broadcast" if use_split else "window"))

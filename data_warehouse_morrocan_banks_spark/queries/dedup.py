@@ -127,9 +127,20 @@ FROM part
 """
 
 
+# the regime dedup_keep_first took on the LAST q_d123 build, for
+# tests/operators to observe (ADVICE r8: the eager measured decision
+# at this call site should be inspectable, not silent)
+LAST_D123_DEDUP_PLAN: dict = {}
+
+
 @register("q_d123_dedup_suite", oracle=_D123_ORACLE)
 def q_d123_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2/D3/D5 suite.  NOTE: building this plan is EAGER — the
+    keep-first stage runs its slim dup-key decision count at call
+    time (dedup_keep_first docstring) and records the regime taken in
+    ``LAST_D123_DEDUP_PLAN``."""
     ensure_query_confs(spark)
+    LAST_D123_DEDUP_PLAN.clear()
     # the events source round-trips through the snapshot-table layer
     # (write → manifest commit → snapshot read) — the driver's oracle
     # hash-check on this suite is therefore also the transactional
@@ -143,6 +154,7 @@ def q_d123_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         keys=["user_id", "event_type"],
         order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        plan_out=LAST_D123_DEDUP_PLAN,
     ).select(
         F.lit("keep_first_events").alias("src"),
         F.col("event_id").cast("string").alias("k1"),

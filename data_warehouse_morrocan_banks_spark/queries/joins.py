@@ -304,16 +304,27 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# observable regime of the click-dedup stage (ADVICE r8; see
+# LAST_D123_DEDUP_PLAN in queries/dedup.py for the convention)
+LAST_ASOF_DEDUP_PLAN: dict = {}
+
+
 @register("q_asof_join_last_click", oracle=_ASOF_ORACLE)
 def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join suite.  NOTE: building this plan is EAGER — the
+    click-dedup stage runs its dup-key decision count at call time
+    (dedup_keep_first docstring); regime lands in
+    ``LAST_ASOF_DEDUP_PLAN``."""
     from ..operators.dedup import dedup_keep_first
     from ..operators.joins import asof_join
 
     ensure_query_confs(spark)
+    LAST_ASOF_DEDUP_PLAN.clear()
     ev = table(spark, sf_dir, "events")
     clicks = dedup_keep_first(
         ev.filter(F.col("event_type") == "click"),
         ["user_id", "ts"], [F.col("event_id").desc()],
+        plan_out=LAST_ASOF_DEDUP_PLAN,
     ).select(
         "user_id", "ts",
         F.col("event_id").alias("click_event_id"),

@@ -92,6 +92,63 @@ def test_no_duplicate_keys_passes_frame_through(spark):
     assert _sorted(out) == _sorted(df)
 
 
+def test_self_sized_cap_measures_bytes_and_session(spark):
+    """r9: dup_broadcast_max=None derives the regime gate from the
+    session (heap/64, floored at autoBroadcastJoinThreshold) and a
+    MEASURED byte estimate, replacing the static 1 M-key guess whose
+    own 500 k first cut misfired on the r8 probe corpus (27a3c77)."""
+    from data_warehouse_morrocan_banks_spark.operators.dedup import (
+        _dup_broadcast_cap_bytes,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = {}
+    dedup_keep_first(df, ["k"], _order(), plan_out=plan)
+    cap = _dup_broadcast_cap_bytes(spark)
+    assert plan["dup_cap_bytes"] == cap
+    # floor: never more conservative than the planner's own broadcast
+    # threshold (10 MB session default)
+    assert cap >= 10 * 1024 * 1024
+    # 3 dup keys ('b', 'c', NULL): 16 B row + 8 B field + 1 B payload
+    # for the single-char keys, 0 payload for the NULL key
+    assert plan["dup_key_bytes"] == (16 + 8 + 1) * 2 + (16 + 8)
+    assert plan["dup_key_bytes"] <= cap
+    assert plan["dup_plan"] == "split+broadcast"
+    # the r8 probe corpus regime re-check (verdict task #4 done-gate):
+    # 594 k dup keys of the star corpus's ~10-char review_id shape
+    # (~34 B/row estimated) must land INSIDE the split regime under
+    # this session's derived cap — the 60 M-row corpus keeps the plan
+    # the r8 attribution measured (STARATTR_r08_post, zero spill)
+    assert 594_000 * (16 + 8 + 10) <= cap
+
+
+def test_explicit_cap_stays_key_count_semantics(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = {}
+    out = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=3,
+                           plan_out=plan)
+    assert plan["dup_plan"] == "split+broadcast"
+    assert plan["dup_cap_bytes"] is None      # explicit cap: no session gate
+    base = dedup_keep_first(df, ["k"], _order(), dup_broadcast_max=0)
+    assert _sorted(out) == _sorted(base)
+
+
+def test_registered_call_sites_expose_regime(spark, tmp_path):
+    """ADVICE r8: the eager decision at the q_d123/q_asof call sites
+    must be observable.  Exercised at sf0.001."""
+    from data_warehouse_morrocan_banks_spark.queries import dedup as qd
+    from data_warehouse_morrocan_banks_spark.queries import joins as qj
+
+    sf = "/root/testdata/sf0.001"
+    qd.q_d123_dedup_suite(spark, sf)
+    assert qd.LAST_D123_DEDUP_PLAN.get("dup_plan") in (
+        "split+broadcast", "window", "passthrough")
+    assert "n_dup_keys" in qd.LAST_D123_DEDUP_PLAN
+    qj.q_asof_join_last_click(spark, sf)
+    assert qj.LAST_ASOF_DEDUP_PLAN.get("dup_plan") in (
+        "split+broadcast", "window", "passthrough")
+
+
 def test_multi_key_grain_matches_window(spark):
     rows = [
         ("x", "u", 1, "r1"),
