@@ -79,7 +79,18 @@ def whitespace_tokens(col: Column | str) -> Column:
 
 def word_count(col: Column | str) -> Column:
     """F7: whitespace word count, pandas semantics (blank or
-    whitespace-only → 0).  Tokenization: :func:`whitespace_tokens`."""
+    whitespace-only → 0).  Tokenization: :func:`whitespace_tokens`.
+
+    Measured dead end (r9, recorded so it isn't retried): an
+    array-free run-count form — collapse each non-separator run to
+    one char, drop separators, take length — won IN ISOLATION
+    (30.2 → 12.0 CPU-s per 6 M rows) but LOST in the full silver
+    composition (501 → 674 CPU-s per 6 M rows, min-of-3), where the
+    extra regexp_replace instances land in an already-large
+    whole-stage-codegen method.  Composition-level measurement is
+    the deciding one (the shape that ships), so the split form
+    stays — the CLAUDE.md bench-discipline rule applied to
+    expression choice."""
     return F.size(whitespace_tokens(col))
 
 
@@ -109,6 +120,25 @@ def keyword_flag(col: Column | str, pattern: str) -> Column:
     (run_phase2_transformation.py:164-172 str.contains port)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.rlike(pattern)
+
+
+def any_keyword_flag(col: Column | str, tokens: list[str]) -> Column:
+    """Literal-alternation fast path for :func:`keyword_flag`: OR of
+    ``contains`` probes instead of one regex alternation — identical
+    truth value when the pattern is a plain ``a|b|c`` of literals
+    (every MENTION_PATTERNS entry is), at ~2.7x less CPU (regex
+    engine dispatch per row vs UTF8String substring scans; measured
+    r9: 47.3 → 17.2 CPU-s per 6 M rows isolated, and — the deciding
+    number — 556.7 → 501.0 CPU-s on the full silver composition.
+    The silver hot path uses this; the F6 oracle query keeps the
+    rlike form as the contract under test).  Caller lowers the
+    column; tokens must be pre-lowered literals with no regex
+    metacharacters."""
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(False)
+    for t in tokens:
+        cond = cond | F.contains(c, F.lit(t))
+    return cond
 
 
 def like_ladder(col: Column | str, mapping: list[tuple[str, str]],

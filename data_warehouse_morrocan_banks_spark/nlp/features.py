@@ -18,15 +18,31 @@ from ..config import (
 )
 from ..functions.conditional import rating_category
 from ..functions.datetime import day_name, is_weekend, month_name
-from ..functions.text import char_count, keyword_flag, word_count
+from ..functions.text import (
+    any_keyword_flag,
+    char_count,
+    keyword_flag,
+    word_count,
+)
 
 
 def add_review_features(df: DataFrame, text_col: str = "text",
                         rating_col: str = "rating",
                         ts_col: str = "review_time") -> DataFrame:
     """Apply the full N8 block; column names mirror the reference's
-    processed.bank_reviews DDL (phase2_transformation_pipeline.py:210-255)."""
-    wc = word_count(text_col)
+    processed.bank_reviews DDL (phase2_transformation_pipeline.py:210-255).
+
+    The word count (two regex passes + a split) is materialized in
+    its own Project before the detail-level ladder references it:
+    CaseWhen conditions are exempt from codegen subexpression
+    elimination, so the inline form re-tokenized the document per
+    ladder probe (the conditional-CSE class measured in
+    nlp/language.add_language_detect; the feature block was +1,818
+    CPU-s of the 60 M-row silver build pre-fix, STARATTR_r09).
+    CollapseProject keeps the split (non-cheap alias, multiply
+    referenced); output values and column order are unchanged."""
+    df = df.withColumn("__wc", word_count(text_col))
+    wc = F.col("__wc")
     out = (
         df.withColumn("word_count", wc)
         .withColumn("char_count", char_count(text_col))
@@ -47,8 +63,19 @@ def add_review_features(df: DataFrame, text_col: str = "text",
     # match against lower(text): Java's inline (?i) folds ASCII only,
     # so 'EMPLOYÉ'/'COÛT' would never hit the accented patterns —
     # lower() is Unicode-aware and the pattern keywords are lowercase
+    # mention flags: every MENTION_PATTERNS entry is a literal
+    # alternation, so the contains-OR fast path applies (measured in
+    # the FULL silver composition, the shape that ships: 556.7 vs
+    # 501.0 CPU-s per 6 M rows — any_keyword_flag docstring has the
+    # isolated numbers); a pattern with real regex syntax falls back
+    # to the rlike contract
+    meta = set(".[]()*+?^$\\{}")
     for flag, pattern in MENTION_PATTERNS.items():
-        out = out.withColumn(
-            flag, keyword_flag(F.lower(F.col(text_col)), pattern)
-        )
-    return out
+        body = pattern[4:] if pattern.startswith("(?i)") else pattern
+        tokens = body.split("|")
+        lowered = F.lower(F.col(text_col))
+        if all(not (set(t) & meta) for t in tokens):
+            out = out.withColumn(flag, any_keyword_flag(lowered, tokens))
+        else:  # pragma: no cover — current patterns are all literal
+            out = out.withColumn(flag, keyword_flag(lowered, pattern))
+    return out.drop("__wc")

@@ -148,24 +148,12 @@ def contains_hits(text: Column, words: list[str]) -> Column:
     return hits
 
 
-def language_detect_cols(
-    text: Column | str,
-    french: list[str] | None = None,
-    arabic: list[str] | None = None,
-) -> dict[str, Column]:
-    """Return {detected_language, language_confidence, n_words} exprs."""
-    from ..functions.text import word_count
-
-    c = F.col(text) if isinstance(text, str) else text
-    lowered = F.lower(c)
-    # Reference text_lower.split() drops leading/trailing empties —
-    # word_count strips first (a bare split('\s+') would count padded
-    # text high and skew the confidence denominator).
-    n_words = word_count(c)
-    fr = contains_hits(lowered, french or FRENCH_INDICATORS)
-    ar = contains_hits(c, arabic or ARABIC_INDICATORS)
+def _label_conf_exprs(c: Column, fr: Column, ar: Column,
+                      n_words: Column) -> tuple[Column, Column]:
+    """Assemble (detected_language, language_confidence) from the
+    evidence columns — shared by the expression and frame-level forms
+    so the two can never diverge semantically."""
     too_short = F.length(F.trim(c)) < 3
-
     lang = (
         F.when(too_short, F.lit("unknown"))
         .when(fr > 0, F.lit("fr"))
@@ -179,11 +167,78 @@ def language_detect_cols(
         .when(ar > 0, F.least(ar.cast("double") / denom, F.lit(1.0)))
         .otherwise(F.lit(0.3))
     )
+    return lang, F.round(conf.cast("decimal(24,12)"), 6).cast("double")
+
+
+def language_detect_cols(
+    text: Column | str,
+    french: list[str] | None = None,
+    arabic: list[str] | None = None,
+) -> dict[str, Column]:
+    """Return {detected_language, language_confidence, n_words} exprs.
+
+    Hot-path note: these are inline expressions — the 19+8-term
+    ``contains`` sums land inside CaseWhen conditions/branches, which
+    codegen subexpression elimination does NOT reach (conditionally
+    evaluated positions are exempt from CSE), so each sum re-executes
+    per branch probe.  Fine for oracle queries at sf scale; corpus-
+    sized enrichment must use :func:`add_language_detect`, which
+    materializes the evidence once per row (measured 2.7x CPU on the
+    60 M-row star corpus — STARATTR_r09)."""
+    from ..functions.text import word_count
+
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    # Reference text_lower.split() drops leading/trailing empties —
+    # word_count strips first (a bare split('\s+') would count padded
+    # text high and skew the confidence denominator).
+    n_words = word_count(c)
+    fr = contains_hits(lowered, french or FRENCH_INDICATORS)
+    ar = contains_hits(c, arabic or ARABIC_INDICATORS)
+    lang, conf = _label_conf_exprs(c, fr, ar, n_words)
     return {
         "detected_language": lang,
-        "language_confidence": F.round(conf.cast("decimal(24,12)"), 6)
-        .cast("double"),
+        "language_confidence": conf,
         "n_words": n_words,
         "french_hits": fr,
         "arabic_hits": ar,
     }
+
+
+def add_language_detect(df, text_col: str = "text",
+                        french: list[str] | None = None,
+                        arabic: list[str] | None = None):
+    """Frame-level N1 for corpus-sized enrichment: adds
+    ``detected_language`` + ``language_confidence`` with the evidence
+    counts (fr/ar hit sums, word count) MATERIALIZED in their own
+    Project, then assembled by cheap column references.
+
+    Why a separate Project (r9, STARATTR_r09): in the inline form the
+    hit sums sit inside CaseWhen conditions and branch values, which
+    whole-stage-codegen subexpression elimination exempts
+    (conditionally-evaluated positions), so the 19-term French sum
+    executed ~4x per row — the language block was 4,120 of
+    silver_write's 5,936 CPU-s at 60 M rows.  Staging the three
+    evidence columns first cut the block to near its evidence-only
+    floor (140.7 → 52.8 CPU-s at 6 M rows; floor 48.8).
+    CollapseProject keeps the split because the staged aliases are
+    non-cheap and multiply referenced.  Output values are
+    bit-identical to :func:`language_detect_cols` — both assemble via
+    ``_label_conf_exprs``."""
+    from ..functions.text import word_count
+
+    c = F.col(text_col)
+    staged = df.select(
+        "*",
+        contains_hits(F.lower(c), french or FRENCH_INDICATORS)
+        .alias("__lang_fr"),
+        contains_hits(c, arabic or ARABIC_INDICATORS).alias("__lang_ar"),
+        word_count(c).alias("__lang_nw"),
+    )
+    lang, conf = _label_conf_exprs(
+        c, F.col("__lang_fr"), F.col("__lang_ar"), F.col("__lang_nw"))
+    return (
+        staged.withColumn("detected_language", lang)
+        .withColumn("language_confidence", conf)
+        .drop("__lang_fr", "__lang_ar", "__lang_nw")
+    )

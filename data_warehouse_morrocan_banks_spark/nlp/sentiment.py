@@ -45,23 +45,9 @@ from ..config import (
 from .language import contains_hits
 
 
-def lexicon_sentiment_cols(
-    text: Column | str,
-    positive: list[str] | None = None,
-    negative: list[str] | None = None,
-) -> dict[str, Column]:
-    """Deterministic lexicon sentiment: score/label/confidence exprs."""
-    c = F.col(text) if isinstance(text, str) else text
-    lowered = F.lower(c)
-    # coalesce: NULL text must yield ZERO evidence — without it the
-    # NULL hit count propagates into confidence where least(NULL, 1.0)
-    # SKIPS the null (both engines) and a no-evidence row reports full
-    # confidence 1.0
-    pos = F.coalesce(contains_hits(lowered, positive or POSITIVE_LEXICON),
-                     F.lit(0))
-    neg = F.coalesce(contains_hits(lowered, negative or NEGATIVE_LEXICON),
-                     F.lit(0))
-
+def _sentiment_exprs(pos: Column, neg: Column) -> dict[str, Column]:
+    """Assemble score/label/confidence from the hit counts — shared
+    by the expression and frame-level forms."""
     w = F.lit(SENTIMENT_WORD_WEIGHT)
     cap = F.lit(SENTIMENT_SCORE_CAP)
     score = (
@@ -83,9 +69,59 @@ def lexicon_sentiment_cols(
         "sentiment_label": label,
         "sentiment_confidence": F.round(confidence.cast("decimal(24,12)"), 6)
         .cast("double"),
-        "positive_hits": pos,
-        "negative_hits": neg,
     }
+
+
+def lexicon_sentiment_cols(
+    text: Column | str,
+    positive: list[str] | None = None,
+    negative: list[str] | None = None,
+) -> dict[str, Column]:
+    """Deterministic lexicon sentiment: score/label/confidence exprs.
+
+    Hot-path note: inline form — the hit sums sit in CaseWhen
+    conditions where codegen CSE cannot share them (see
+    language_detect_cols); corpus-sized enrichment uses
+    :func:`add_lexicon_sentiment`."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    # coalesce: NULL text must yield ZERO evidence — without it the
+    # NULL hit count propagates into confidence where least(NULL, 1.0)
+    # SKIPS the null (both engines) and a no-evidence row reports full
+    # confidence 1.0
+    pos = F.coalesce(contains_hits(lowered, positive or POSITIVE_LEXICON),
+                     F.lit(0))
+    neg = F.coalesce(contains_hits(lowered, negative or NEGATIVE_LEXICON),
+                     F.lit(0))
+    out = _sentiment_exprs(pos, neg)
+    out["positive_hits"] = pos
+    out["negative_hits"] = neg
+    return out
+
+
+def add_lexicon_sentiment(df, text_col: str = "text",
+                          positive: list[str] | None = None,
+                          negative: list[str] | None = None):
+    """Frame-level N2 for corpus-sized enrichment: materializes the
+    pos/neg hit counts in their own Project, then assembles
+    score/label/confidence from cheap column references — the same
+    conditional-CSE fix as :func:`..nlp.language.add_language_detect`
+    (measured there; the sentiment block was +888 CPU-s of the 60 M-row
+    silver build, STARATTR_r09).  Values bit-identical to the inline
+    form — both assemble via ``_sentiment_exprs``."""
+    lowered = F.lower(F.col(text_col))
+    staged = df.select(
+        "*",
+        F.coalesce(contains_hits(lowered, positive or POSITIVE_LEXICON),
+                   F.lit(0)).alias("__sent_pos"),
+        F.coalesce(contains_hits(lowered, negative or NEGATIVE_LEXICON),
+                   F.lit(0)).alias("__sent_neg"),
+    )
+    out = _sentiment_exprs(F.col("__sent_pos"), F.col("__sent_neg"))
+    for name in ("sentiment_score", "sentiment_label",
+                 "sentiment_confidence"):
+        staged = staged.withColumn(name, out[name])
+    return staged.drop("__sent_pos", "__sent_neg")
 
 
 def textblob_sentiment_udf():

@@ -269,7 +269,9 @@ def dedup_exact_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         stats_out: dict | None = None,
+                         on_round=None) -> DataFrame:
     """Connected components over an undirected edge list — the family
     resolver that turns near-duplicate PAIRS (jaccard / simhash /
     cosine) into dedup DECISIONS (one representative per family).
@@ -304,6 +306,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Returns (vertex, component) with component = min vertex id of the
     family.
+
+    ``stats_out`` (when a dict) records ``n_rounds`` — the number of
+    label-propagation rounds actually executed, including the final
+    no-change round that proves convergence (the rounds-vs-diameter
+    law the scale probe quotes: ~log2(diameter) + 1).  ``on_round``
+    (when callable) is invoked as ``on_round(round_index)`` after
+    each round's checkpoint + convergence probe — probe
+    instrumentation (e.g. sampling executor storage to show the
+    two-generation lifecycle holds per round), never control flow.
     """
     from .lifecycle import (
         begin,
@@ -330,6 +341,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         .withColumn("component", F.col("vertex")),
         eager=True,
     )
+    n_rounds = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["vertex"], "inner")
@@ -369,15 +381,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         release_rdd_ids(jumped, prev_ids)
         prev_ids = new_ids
         labels = jumped
+        n_rounds += 1
+        if on_round is not None:
+            on_round(n_rounds)
         if changed == 0:
             break
+    if stats_out is not None:
+        stats_out["n_rounds"] = n_rounds
     release_rdd_ids(labels, sym_ids)
     defer_release_ids("connected_components", sc, prev_ids)
     return labels
 
 
 def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
-                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                   src: str = "id_a", dst: str = "id_b",
+                   stats_out: dict | None = None,
+                   on_round=None) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: every document
     joins its connected component (singletons keep their own id) and
     the minimum id per family is the canonical representative.
@@ -393,7 +412,8 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
     result before resolving another pair set, or the stale frame
     fails on missing checkpoint blocks.
     """
-    comps = connected_components(pairs, src, dst)
+    comps = connected_components(pairs, src, dst, stats_out=stats_out,
+                                 on_round=on_round)
     return (
         df.select(F.col(id_col))
         .join(comps, df[id_col] == comps["vertex"], "left")

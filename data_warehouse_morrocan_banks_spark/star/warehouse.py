@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from ..functions.datetime import date_key, epoch_to_timestamp
 from ..functions.text import stable_hash_key
 from ..nlp.features import add_review_features
-from ..nlp.language import language_detect_cols
-from ..nlp.sentiment import lexicon_sentiment_cols
+from ..nlp.language import add_language_detect
+from ..nlp.sentiment import add_lexicon_sentiment
 from ..operators.cleaning import (
     data_quality_flag,
     filter_required_keys,
@@ -122,15 +122,21 @@ def enrich_reviews(raw: DataFrame,
         rows_hint=rows_hint,
     )
     in_range = filter_text_length(deduped, "text")
-    lang = language_detect_cols("text")
-    sent = lexicon_sentiment_cols("text")
+    # frame-level NLP forms (r9, STARATTR_r09): the inline expression
+    # dicts put the lexicon/indicator hit sums inside CaseWhen
+    # conditions, which codegen subexpression elimination exempts —
+    # the language block alone re-executed its 19-term contains sum
+    # ~4x per row and cost 4,120 of silver_write's 5,936 CPU-s at
+    # 60 M rows.  add_language_detect / add_lexicon_sentiment /
+    # add_review_features materialize the evidence once per row;
+    # values are bit-identical (shared assembly exprs).
     enriched = (
         in_range.withColumn("review_time", epoch_to_timestamp("time"))
-        .withColumn("detected_language", lang["detected_language"])
-        .withColumn("language_confidence", lang["language_confidence"])
-        .withColumn("sentiment_score", sent["sentiment_score"])
-        .withColumn("sentiment_label", sent["sentiment_label"])
-        .withColumn("sentiment_confidence", sent["sentiment_confidence"])
+    )
+    enriched = add_language_detect(enriched, "text")
+    enriched = add_lexicon_sentiment(enriched, "text")
+    enriched = (
+        enriched
         .withColumn("data_quality_flag", data_quality_flag("text"))
         .withColumn("processed_at", F.current_timestamp())
     )

@@ -26,11 +26,35 @@ crash after the fingerprint commit makes the replay's anti-join see
 its own batch's hashes, compute ``fresh = ∅``, and never emit the
 documents.
 
-Scale: the anti-join shuffles on the 32-char digest — documents never
-move for it; the fingerprint table is one slim column, and the
-``compact_every`` hook (or a separate maintenance job) keeps both
-tables' file counts flat as batches accumulate — without it, file
-groups and manifests grow one per batch, unbounded.
+Scale — the history-growth law (r8 verdict task #3): the naive form
+``batch LEFT ANTI history`` reshuffles the ENTIRE all-time fingerprint
+table on every micro-batch (SortMergeJoin exchanges both sides; the
+planner cannot broadcast the history side because it grows without
+bound, and LEFT ANTI can only build the RIGHT side), so per-batch
+shuffle cost grows linearly with corpus history — the probed
+``incdedup_shuffle_*`` decade rows show exactly that.  The default
+``history_join="broadcast"`` inverts the build side in two steps:
+
+1. ``matched = history LEFT SEMI broadcast(batch hashes)`` — the
+   history is SCANNED (one slim column-pruned parquet column) but
+   never exchanged; the broadcast is the batch's own hash set, which
+   is bounded by construction (micro-batches are sized by the source
+   trigger — the plan-level adaptivity convention, decided here
+   statically rather than per-row);
+2. ``fresh = batch LEFT ANTI broadcast(matched)`` — ``matched`` is at
+   most batch-sized, so the anti side broadcasts too.
+
+Net: per-batch SHUFFLE is flat (≈ the in-batch window's own
+batch-sized exchange, zero history bytes); the residual history term
+is the map-side scan of one digest column, which costs linearly in
+IO but never in network/shuffle — scans are cheaper than shuffles
+(the engine-wide trade).  A bucketed catalog layout was considered
+and rejected: it removes the same exchange but drags in metastore
+state and a second exactly-once path, while the broadcast form keeps
+``append_stream_batch`` untouched.  ``history_join="shuffle"`` keeps
+the legacy SMJ anti-join for jumbo batches that exceed broadcast
+comfort (documented opt-out, same rows guaranteed —
+tests/test_incremental_dedup.py pins mode equality).
 Cross-batch ties (same content in two IN-FLIGHT batches)
 serialize through the table: batch N+1's anti-join reads the manifest
 committed by batch N — foreachBatch runs batches sequentially per
@@ -56,11 +80,39 @@ def init_incremental_dedup(spark: SparkSession, out_path: str,
         [], "content_md5 STRING"))
 
 
+def fresh_against_history(in_batch: DataFrame, seen: DataFrame,
+                          history_join: str = "broadcast") -> DataFrame:
+    """Rows of ``in_batch`` whose ``content_md5`` is absent from
+    ``seen`` — the per-batch history gate, factored out so the plan
+    shape is testable (tests/test_incremental_dedup.py asserts the
+    broadcast form exchanges ZERO history rows).
+
+    ``"broadcast"`` (default): history LEFT SEMI broadcast(batch
+    hashes) → batch LEFT ANTI broadcast(matched) — both joins build a
+    batch-bounded side, the history contributes scan IO only (module
+    docstring's growth-law fix).  ``"shuffle"``: the legacy
+    SortMergeJoin anti — per-batch cost grows with history (probed:
+    ``incdedup_shuffle_*``); keep for jumbo batches only.
+    """
+    if history_join == "broadcast":
+        matched = seen.join(
+            F.broadcast(in_batch.select("content_md5")),
+            "content_md5", "left_semi")
+        return in_batch.join(F.broadcast(matched),
+                             "content_md5", "left_anti")
+    if history_join == "shuffle":
+        return in_batch.join(seen, "content_md5", "left_anti")
+    raise ValueError(
+        f"unknown history_join: {history_join!r} "
+        "(expected 'broadcast' or 'shuffle')")
+
+
 def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
                                   hashes_path: str, batch_df: DataFrame,
                                   batch_id: int, text_col: str,
                                   id_col: str, app_id: str = "default",
-                                  compact_every: int | None = None) -> None:
+                                  compact_every: int | None = None,
+                                  history_join: str = "broadcast") -> None:
     """foreachBatch body — use as::
 
         stream.writeStream.foreachBatch(
@@ -104,7 +156,7 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
                                 [F.col(id_col).asc()],
                                 dup_broadcast_max=0)
     seen = read(spark, hashes_path).select("content_md5")
-    fresh = in_batch.join(seen, "content_md5", "left_anti")
+    fresh = fresh_against_history(in_batch, seen, history_join)
     # stage once: both appends and the document/fingerprint split must
     # see the SAME rows, and recomputing the anti-join between the two
     # commits would race the fingerprint append.  Lifecycle-pinned so

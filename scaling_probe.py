@@ -34,6 +34,76 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
+_REVIEW_BANKS = ("Attijariwafa Bank", "Banque Populaire",
+                 "BMCE Bank", "CIH Bank", "Credit Agricole")
+_REVIEW_CITIES = ("Casablanca", "Rabat", "Marrakech", "Fes",
+                  "Tanger", "Agadir", "Oujda", "Meknes")
+_REVIEW_SNIPPETS = (
+    "service excellent et accueil rapide je recommande",
+    "tres bonne banque personnel aimable et professionnel",
+    "attente trop longue service mauvais je deconseille",
+    "personnel desagreable et guichet ferme sans explication",
+    "agence correcte rien de special horaires classiques",
+    "bon conseiller mais application mobile lente",
+    "retrait rapide distributeur toujours disponible super",
+    "frais eleves et reponse tardive tres decevant",
+)
+
+
+def make_reviews_frame(spark, n):
+    """Synthetic raw-review corpus at the RAW_REVIEWS grain
+    (schemas.py), all content hash-derived from the row id
+    (layout-independent, CLAUDE.md): ~1800 branches over 5 banks /
+    8 cities, French snippet texts the lexicon/langid actually
+    fire on, ~1% duplicate review_ids so the dedup stage does real
+    work, 4-year epoch span for the date dim.  Module-level (r9) so
+    the STARATTR attribution runs build the SAME corpus the probe's
+    star shapes measure."""
+    h = F.abs(F.xxhash64(F.col("id")))
+    div = lambda a, b: F.call_function("div", a, F.lit(b))  # noqa: E731
+    pick = lambda opts, hh: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]),
+        (F.pmod(hh, F.lit(len(opts))) + 1).cast("int"))
+    bank = pick(_REVIEW_BANKS, h)
+    city = pick(_REVIEW_CITIES, div(h, 7))
+    text = F.concat(pick(_REVIEW_SNIPPETS, div(h, 13)),
+                    F.lit(" ref "), F.col("id").cast("string"))
+    rid = F.when(F.pmod(h, F.lit(100)) == 0, F.col("id") - 1) \
+        .otherwise(F.col("id"))
+    epoch = (F.lit(1_609_459_200).cast("long")
+             + F.pmod(h, F.lit(126_144_000)))
+    # self-sized partitions (~250k rows/task, the global_rank
+    # lesson): the default 32 range splits put 1.9M-row blocks in
+    # 32 CONCURRENT cache unrolls at 60M rows — the r8 run-1 OOM
+    # (8 GB single-JVM heap; a real cluster sizes executors, but
+    # the partition grain is the portable fix)
+    n_parts = max(32, int(n) // 250_000)
+    return spark.range(n, numPartitions=n_parts).select(
+        F.concat(F.lit("r"), rid.cast("string")).alias("review_id"),
+        F.concat(F.lit("place_"),
+                 F.pmod(h, F.lit(1810)).cast("string"))
+        .alias("place_id"),
+        bank.alias("bank_name"),
+        F.concat(F.lit("Agence "), bank, F.lit(" "), city)
+        .alias("branch_name"),
+        F.concat(F.lit("author_"),
+                 F.pmod(div(h, 3), F.lit(120)).cast("string"))
+        .alias("author_name"),
+        F.lit(None).cast("string").alias("author_url"),
+        F.lit("fr").alias("language"),
+        F.lit(None).cast("string").alias("original_language"),
+        F.lit(None).cast("string").alias("profile_photo_url"),
+        (F.pmod(div(h, 11), F.lit(5)) + 1).cast("int")
+        .alias("rating"),
+        text.alias("text"),
+        epoch.alias("time"),
+        F.lit(False).alias("translated"),
+        F.lit("il y a 2 mois").alias("relative_time_description"),
+        F.timestamp_seconds(epoch + F.lit(86_400))
+        .alias("collected_at"),
+    )
+
+
 def replicate(df, n, key_cols):
     """n shifted copies — distinct keys per copy so joins/groups scale."""
     parts = []
@@ -93,6 +163,45 @@ def completed_stages(spark):
             return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
     except Exception:
         return None
+
+
+def executors_storage_mb(spark):
+    """Total block-manager storage memory in use (UI REST /executors
+    memoryUsed sum), MB; None when the UI is unavailable.  Sampled
+    per connected-components round to evidence the two-generation
+    lifecycle (storage must stay ~flat across rounds, not grow one
+    checkpoint per round)."""
+    try:
+        sc = spark.sparkContext
+        url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+               f"/executors")
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return sum(e.get("memoryUsed", 0) for e in json.load(r)) \
+                / (1024.0 * 1024.0)
+    except Exception:
+        return None
+
+
+def max_task_runtime_s(spark, before, after):
+    """Max single-task executorRunTime (seconds) across the stages
+    completed between two snapshots — the straggler column for the
+    skew-join probe (stage sums hide the one hot task; the per-task
+    max IS the skew evidence)."""
+    if before is None or after is None:
+        return None
+    sc = spark.sparkContext
+    mx = 0.0
+    for sid, att in set(after) - set(before):
+        try:
+            url = (f"{sc.uiWebUrl}/api/v1/applications/"
+                   f"{sc.applicationId}/stages/{sid}/{att}/taskSummary"
+                   f"?quantiles=1.0")
+            with urllib.request.urlopen(url, timeout=10) as r:
+                s = json.load(r)
+            mx = max(mx, float(s["executorRunTime"][0]) / 1000.0)
+        except Exception:
+            continue
+    return round(mx, 2)
 
 
 def stage_delta(before, after):
@@ -433,71 +542,8 @@ def main(smoke: bool = False, out_path: str | None = None,
         return spark.range(n).select(
             F.concat(F.lit("z"), rank.cast("string")).alias("k"))
 
-    _REVIEW_BANKS = ("Attijariwafa Bank", "Banque Populaire",
-                     "BMCE Bank", "CIH Bank", "Credit Agricole")
-    _REVIEW_CITIES = ("Casablanca", "Rabat", "Marrakech", "Fes",
-                      "Tanger", "Agadir", "Oujda", "Meknes")
-    _REVIEW_SNIPPETS = (
-        "service excellent et accueil rapide je recommande",
-        "tres bonne banque personnel aimable et professionnel",
-        "attente trop longue service mauvais je deconseille",
-        "personnel desagreable et guichet ferme sans explication",
-        "agence correcte rien de special horaires classiques",
-        "bon conseiller mais application mobile lente",
-        "retrait rapide distributeur toujours disponible super",
-        "frais eleves et reponse tardive tres decevant",
-    )
-
     def make_reviews(n):
-        """Synthetic raw-review corpus at the RAW_REVIEWS grain
-        (schemas.py), all content hash-derived from the row id
-        (layout-independent, CLAUDE.md): ~1800 branches over 5 banks /
-        8 cities, French snippet texts the lexicon/langid actually
-        fire on, ~1% duplicate review_ids so the dedup stage does real
-        work, 4-year epoch span for the date dim."""
-        h = F.abs(F.xxhash64(F.col("id")))
-        div = lambda a, b: F.call_function("div", a, F.lit(b))  # noqa: E731
-        pick = lambda opts, hh: F.element_at(  # noqa: E731
-            F.array(*[F.lit(o) for o in opts]),
-            (F.pmod(hh, F.lit(len(opts))) + 1).cast("int"))
-        bank = pick(_REVIEW_BANKS, h)
-        city = pick(_REVIEW_CITIES, div(h, 7))
-        text = F.concat(pick(_REVIEW_SNIPPETS, div(h, 13)),
-                        F.lit(" ref "), F.col("id").cast("string"))
-        rid = F.when(F.pmod(h, F.lit(100)) == 0, F.col("id") - 1) \
-            .otherwise(F.col("id"))
-        epoch = (F.lit(1_609_459_200).cast("long")
-                 + F.pmod(h, F.lit(126_144_000)))
-        # self-sized partitions (~250k rows/task, the global_rank
-        # lesson): the default 32 range splits put 1.9M-row blocks in
-        # 32 CONCURRENT cache unrolls at 60M rows — the r8 run-1 OOM
-        # (8 GB single-JVM heap; a real cluster sizes executors, but
-        # the partition grain is the portable fix)
-        n_parts = max(32, int(n) // 250_000)
-        return spark.range(n, numPartitions=n_parts).select(
-            F.concat(F.lit("r"), rid.cast("string")).alias("review_id"),
-            F.concat(F.lit("place_"),
-                     F.pmod(h, F.lit(1810)).cast("string"))
-            .alias("place_id"),
-            bank.alias("bank_name"),
-            F.concat(F.lit("Agence "), bank, F.lit(" "), city)
-            .alias("branch_name"),
-            F.concat(F.lit("author_"),
-                     F.pmod(div(h, 3), F.lit(120)).cast("string"))
-            .alias("author_name"),
-            F.lit(None).cast("string").alias("author_url"),
-            F.lit("fr").alias("language"),
-            F.lit(None).cast("string").alias("original_language"),
-            F.lit(None).cast("string").alias("profile_photo_url"),
-            (F.pmod(div(h, 11), F.lit(5)) + 1).cast("int")
-            .alias("rating"),
-            text.alias("text"),
-            epoch.alias("time"),
-            F.lit(False).alias("translated"),
-            F.lit("il y a 2 mois").alias("relative_time_description"),
-            F.timestamp_seconds(epoch + F.lit(86_400))
-            .alias("collected_at"),
-        )
+        return make_reviews_frame(spark, n)
 
     def probe_star_build(n_reviews, tag: str,
                          intermediate: str = "cache") -> None:
@@ -722,6 +768,203 @@ def main(smoke: bool = False, out_path: str | None = None,
                 (st_row["bytes"] or 0) / 1024.0, 1)
         finally:
             shutil.rmtree(sdir, ignore_errors=True)
+
+    def cc_edges(n_vertices, chain_len=40):
+        """Chain-family edge list: vertices 0..n-1 in chains of
+        ``chain_len`` (diameter chain_len-1).  Families scale
+        linearly with vertices while the diameter stays FIXED, so
+        the round count must stay ~log2(diameter)+1 across decades
+        while per-round shuffle grows linearly — the
+        connected-components law (content-derived edges,
+        layout-independent)."""
+        return (
+            spark.range(n_vertices - 1)
+            .where((F.col("id") + 1) % chain_len != 0)
+            .select(F.col("id").alias("id_a"),
+                    (F.col("id") + 1).alias("id_b"))
+        )
+
+    def probe_cc(edges, n_vertices, tag):
+        """dedup_families (connected_components + family join-back)
+        wall/bytes/CPU + the executed round count + peak storage
+        sampled per round (the lifecycle two-generation claim,
+        measured rather than assumed)."""
+        from data_warehouse_morrocan_banks_spark.operators import (
+            lifecycle,
+        )
+        from data_warehouse_morrocan_banks_spark.operators.dedup import (
+            dedup_families,
+        )
+        verts = spark.range(n_vertices).select(F.col("id"))
+        stats, peak = {}, {"mb": 0.0}
+
+        def _sample(_round):
+            mb = executors_storage_mb(spark)
+            if mb is not None:
+                peak["mb"] = max(peak["mb"], mb)
+
+        before = completed_stages(spark)
+        t0 = time.perf_counter()
+        dedup_families(verts, edges, "id", stats_out=stats,
+                       on_round=_sample) \
+            .write.format("noop").mode("overwrite").save()
+        results[f"dedup_families_{tag}"] = round(
+            time.perf_counter() - t0, 2)
+        d = stage_delta(before, completed_stages(spark))
+        if d is not None:
+            results[f"dedup_families_{tag}_shuffle_read_mb"] = d["sr"]
+            results[f"dedup_families_{tag}_shuffle_write_mb"] = d["sw"]
+            results[f"dedup_families_{tag}_spill_mb"] = d["spill"]
+            results[f"dedup_families_{tag}_spill_disk_mb"] = \
+                d["spill_disk"]
+            results[f"dedup_families_{tag}_cpu_s"] = d["cpu_s"]
+        results[f"cc_rounds_{tag}"] = stats["n_rounds"]
+        results[f"cc_peak_storage_mb_{tag}"] = round(peak["mb"], 1)
+        lifecycle.release_all()
+
+    def skew_corpus(n):
+        """Hot-key join corpus: ONE key carries 30% of rows, the rest
+        spread uniformly over 100k keys (content-hash routed, no
+        rand)."""
+        h = F.abs(F.xxhash64(F.col("id")))
+        tail = F.concat(
+            F.lit("k"),
+            F.pmod(F.call_function("div", h, F.lit(10)),
+                   F.lit(100_000)).cast("string"))
+        return spark.range(n).select(
+            F.when(F.pmod(h, F.lit(10)) < 3, F.lit("hot"))
+            .otherwise(tail).alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+
+    def skew_dim():
+        """100k+1-key dimension (~3 MB — broadcast-eligible by size,
+        pinned OFF in the probe: salted_join exists for the
+        broadcast-INELIGIBLE case, so the probe must compare shuffle
+        strategies, not let one variant silently broadcast)."""
+        base = spark.range(100_000).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            (F.col("id") * 2).cast("double").alias("w"))
+        return base.union(spark.range(1).select(
+            F.lit("hot").alias("k"), F.lit(1.0).alias("w")))
+
+    def probe_skew(frame, tag):
+        """salted_join vs AQE skew-join vs plain SMJ on the hot-key
+        corpus (r8 verdict task #5): per-variant wall/bytes/CPU plus
+        the MAX single-task runtime — the straggler column that stage
+        sums hide."""
+        from data_warehouse_morrocan_banks_spark.operators.scale import (
+            salted_join,
+        )
+        dim = skew_dim()
+        variants = (
+            ("skew_plain", lambda: frame.join(dim, "k", "inner"),
+             {"spark.sql.adaptive.skewJoin.enabled": "false",
+              **NO_BROADCAST}),
+            ("skew_aqe", lambda: frame.join(dim, "k", "inner"),
+             {"spark.sql.adaptive.skewJoin.enabled": "true",
+              **NO_BROADCAST}),
+            ("skew_salted",
+             lambda: salted_join(frame, dim, "k", salt_buckets=16),
+             {"spark.sql.adaptive.skewJoin.enabled": "false",
+              **NO_BROADCAST}),
+        )
+        for name, fn, confs in variants:
+            saved = {}
+            for k, v in confs.items():
+                saved[k] = spark.conf.get(k, None)
+                spark.conf.set(k, v)
+            try:
+                before = completed_stages(spark)
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                results[f"{name}_{tag}"] = round(
+                    time.perf_counter() - t0, 2)
+                after = completed_stages(spark)
+                d = stage_delta(before, after)
+                if d is not None:
+                    results[f"{name}_{tag}_shuffle_read_mb"] = d["sr"]
+                    results[f"{name}_{tag}_shuffle_write_mb"] = d["sw"]
+                    results[f"{name}_{tag}_spill_mb"] = d["spill"]
+                    results[f"{name}_{tag}_spill_disk_mb"] = \
+                        d["spill_disk"]
+                    results[f"{name}_{tag}_cpu_s"] = d["cpu_s"]
+                mt = max_task_runtime_s(spark, before, after)
+                if mt is not None:
+                    results[f"{name}_{tag}_maxtask_s"] = mt
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+
+    def probe_incdedup(history_rows, tag, batch_rows=20_000):
+        """Per-batch incremental-dedup cost vs HISTORY size (r8
+        verdict task #3): one fixed-size batch (half historical dups,
+        half fresh) against a pre-populated fingerprint table, under
+        both history_join modes.  The law the decades must show:
+        ``shuffle`` mode's bytes grow with history (the SMJ
+        re-exchanges the all-time table every batch), ``broadcast``
+        mode's bytes stay ≈ batch-sized (history contributes scan IO
+        only)."""
+        import shutil
+        import tempfile
+
+        from data_warehouse_morrocan_banks_spark.sources import (
+            snapshot_table as st,
+        )
+        from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+            incremental_exact_dedup_batch,
+            init_incremental_dedup,
+        )
+        for mode in ("broadcast", "shuffle"):
+            sdir = tempfile.mkdtemp(prefix=f"probe_incd_{tag}_{mode}_")
+            out = os.path.join(sdir, "corpus")
+            hashes = os.path.join(sdir, "hashes")
+            try:
+                doc_schema = spark.range(1).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("x").alias("text"))
+                init_incremental_dedup(spark, out, hashes, doc_schema)
+                # history digests = content_hash(str(id)) for ids
+                # 0..history_rows — even-id batch texts collide with
+                # these exactly (md5 of the bare decimal string)
+                st.append(spark, hashes, spark.range(history_rows).select(
+                    F.md5(F.col("id").cast("string"))
+                    .alias("content_md5")))
+                batch = spark.range(batch_rows).select(
+                    F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 2 == 0,
+                           F.col("id").cast("string"))
+                    .otherwise(F.concat(F.lit("fresh_"),
+                                        F.col("id").cast("string")))
+                    .alias("text"))
+                before = completed_stages(spark)
+                t0 = time.perf_counter()
+                incremental_exact_dedup_batch(
+                    spark, out, hashes, batch, 0, "text", "doc_id",
+                    history_join=mode)
+                results[f"incdedup_{mode}_{tag}"] = round(
+                    time.perf_counter() - t0, 2)
+                d = stage_delta(before, completed_stages(spark))
+                if d is not None:
+                    results[f"incdedup_{mode}_{tag}_shuffle_read_mb"] = \
+                        d["sr"]
+                    results[f"incdedup_{mode}_{tag}_shuffle_write_mb"] = \
+                        d["sw"]
+                    results[f"incdedup_{mode}_{tag}_swrec"] = d["swrec"]
+                    results[f"incdedup_{mode}_{tag}_spill_mb"] = \
+                        d["spill"]
+                    results[f"incdedup_{mode}_{tag}_spill_disk_mb"] = \
+                        d["spill_disk"]
+                    results[f"incdedup_{mode}_{tag}_cpu_s"] = d["cpu_s"]
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+            from data_warehouse_morrocan_banks_spark.operators import (
+                lifecycle,
+            )
+            lifecycle.release_all()
 
     for scale in ((1,) if smoke else (1, 10)):
         li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
@@ -964,6 +1207,33 @@ def main(smoke: bool = False, out_path: str | None = None,
         probe_stream_hh(hhz_s, f"zipf_pre_{scale}x", n_files=8 * scale,
                         pre_count=True)
 
+        # connected components / dedup_families (r8 verdict task #2):
+        # rounds + bytes at this decade, plus the rounds-vs-diameter
+        # series once (fixed 120k vertices, chain lengths spanning
+        # two orders — the ~log2(diameter)+1 law)
+        probe_cc(cc_edges(600_000 * scale), 600_000 * scale,
+                 f"{scale}x")
+        if scale == 1:
+            from data_warehouse_morrocan_banks_spark.operators import (
+                lifecycle as _lc,
+            )
+            from data_warehouse_morrocan_banks_spark.operators.dedup import (  # noqa: E501
+                connected_components,
+            )
+            for chain_len in (5, 40, 400):
+                st_ = {}
+                connected_components(cc_edges(120_000, chain_len),
+                                     stats_out=st_)
+                results[f"cc_rounds_diam{chain_len}_1x"] = \
+                    st_["n_rounds"]
+            _lc.release_all()
+
+        # salted_join vs AQE skew (r8 verdict task #5), hot-key corpus
+        skew_s = skew_corpus(600_000 * scale).cache()
+        skew_s.count()
+        probe_skew(skew_s, f"{scale}x")
+        skew_s.unpersist()
+
         # the reference's core star-schema workload at this decade
         # (r7 judge task #6), under BOTH silver policies; smoke
         # shrinks the corpus — the assert is instrumentation
@@ -1103,6 +1373,12 @@ def main(smoke: bool = False, out_path: str | None = None,
         )
         return out.repartition(256)
 
+    def cc_x(frame):
+        probe_cc(frame, 600_000 * xs, f"{xs}x")
+
+    def skew_x(frame):
+        probe_skew(frame, f"{xs}x")
+
     def zorder_x(frame):
         """Z-order rewrite at 8·xs files (r6 judge ask #1): rewrite
         wall + kept-file fraction on BOTH columns at the third
@@ -1160,6 +1436,9 @@ def main(smoke: bool = False, out_path: str | None = None,
          (stream_hh_zipf_x,)),
         (lambda: replicate_emb(xs),
          (("pq_adc", pq_adc),), False, ()),
+        # r9: connected components + skew join at the third decade
+        (lambda: cc_edges(600_000 * xs), (), False, (cc_x,)),
+        (lambda: skew_corpus(600_000 * xs), (), False, (skew_x,)),
     ):
         frame = make().cache()
         try:
@@ -1183,6 +1462,19 @@ def main(smoke: bool = False, out_path: str | None = None,
         )
         lifecycle.release_all()
         flush_partial(results)
+
+    # incremental-dedup history-growth decades (r9): one fixed batch
+    # against three decades of fingerprint history, both join modes —
+    # independent of the cached group frames, so it runs standalone
+    for hist, tag in (((6_000, "1x"), (12_000, f"{xs}x")) if smoke
+                      else ((60_000, "1x"), (600_000, "10x"),
+                            (6_000_000, f"{xs}x"))):
+        try:
+            probe_incdedup(hist, tag)
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            results[f"probe_error_incdedup_{tag}"] = (
+                f"{type(e).__name__}: {e}"[:300])
+    flush_partial(results)
 
     # the star build at the third decade — its input is generated,
     # not a cached frame, so it runs outside the group loop.  TABLE
@@ -1257,7 +1549,25 @@ def main(smoke: bool = False, out_path: str | None = None,
                     "star_table_fact_rows_2x",
                     "span_dedup_families_1x", "span_dedup_join_1x",
                     "span_dedup_families_2x", "span_dedup_join_2x",
-                    "jaccard_zipf_npairs_1x", "jaccard_zipf_npairs_2x"):
+                    "jaccard_zipf_npairs_1x", "jaccard_zipf_npairs_2x",
+                    # r9 instrumentation: connected components (rounds
+                    # law + per-round storage), skew-join triple with
+                    # the straggler column, incremental-dedup decades
+                    "dedup_families_1x",
+                    "dedup_families_1x_shuffle_write_mb",
+                    "dedup_families_2x", "cc_rounds_1x",
+                    "cc_rounds_2x", "cc_peak_storage_mb_1x",
+                    "cc_rounds_diam5_1x", "cc_rounds_diam40_1x",
+                    "cc_rounds_diam400_1x",
+                    "skew_plain_1x", "skew_aqe_1x", "skew_salted_1x",
+                    "skew_plain_1x_maxtask_s",
+                    "skew_salted_1x_maxtask_s",
+                    "skew_plain_1x_shuffle_write_mb",
+                    "skew_plain_2x", "skew_salted_2x",
+                    "incdedup_broadcast_1x", "incdedup_shuffle_1x",
+                    "incdedup_broadcast_1x_shuffle_write_mb",
+                    "incdedup_broadcast_1x_swrec",
+                    "incdedup_broadcast_2x", "incdedup_shuffle_2x"):
             assert key in results, f"smoke: missing instrumentation {key}"
     else:
         # stream_hh (all four corpus×pre_count variants) and
@@ -1265,7 +1575,11 @@ def main(smoke: bool = False, out_path: str | None = None,
         # multi-output build, not a noop-sink frame) but carry the
         # same wall+byte keys, so they join the ratio computation
         extra = ("stream_hh", "stream_hh_pre", "stream_hh_zipf",
-                 "stream_hh_zipf_pre", "star_build", "star_table")
+                 "stream_hh_zipf_pre", "star_build", "star_table",
+                 # r9 standalone probes — same wall+byte key shapes
+                 "dedup_families", "skew_plain", "skew_aqe",
+                 "skew_salted", "incdedup_broadcast",
+                 "incdedup_shuffle")
         for name in SHAPE_NAMES + extra:
             results[f"{name}_scaling_ratio"] = round(
                 results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
@@ -1396,6 +1710,17 @@ TABLE_LABELS = [
                    "write + re-scan — the bounded-memory 100 TB "
                    "form; the only policy that completes the third "
                    "decade)"),
+    ("dedup_families", "connected components + family resolve "
+                       "(chain-40 corpus, pointer jumping)"),
+    ("skew_plain", "hot-key join (30% one key), plain SMJ, AQE skew "
+                   "OFF — the straggler baseline"),
+    ("skew_aqe", "…same join, AQE skew-join splitting ON"),
+    ("skew_salted", "…salted_join(16 buckets), AQE skew OFF"),
+    ("incdedup_broadcast", "incremental dedup batch vs history "
+                           "(broadcast history gate — flat-shuffle "
+                           "law)"),
+    ("incdedup_shuffle", "…same batch, legacy SMJ anti-join (bytes "
+                         "grow with history)"),
     # zorder/bloom/stream-hh state columns are wall/count
     # instrumentation without per-shape byte fields — they are quoted
     # in SCALE.md prose with their artifact keys, not table rows

@@ -100,3 +100,36 @@ def test_dedup_families_from_srp_pairs(spark):
     # every paired vertex shares a family with its partner
     for p in pairs.collect():
         assert by_id[p["id_a"]]["family_id"] == by_id[p["id_b"]]["family_id"]
+
+
+def test_cc_stats_rounds_law_and_hook(spark):
+    """r9: stats_out records the executed round count (including the
+    convergence-proof round) and it tracks ~log2(diameter)+1 on a
+    chain — the law the scale probe quotes; on_round fires once per
+    round with 1-based indices."""
+    def chain(n):
+        return (spark.range(n - 1)
+                .selectExpr("id AS id_a", "id + 1 AS id_b"))
+
+    seen = []
+    stats = {}
+    connected_components(chain(40), stats_out=stats,
+                         on_round=lambda r: seen.append(r))
+    r40 = stats["n_rounds"]
+    assert seen == list(range(1, r40 + 1))
+    # min-label + pointer jumping halves distances: a 39-hop chain
+    # needs ~log2 rounds, not 39 — the whole point of the jump step
+    assert 4 <= r40 <= 9
+
+    stats5 = {}
+    connected_components(chain(5), stats_out=stats5)
+    assert stats5["n_rounds"] < r40
+
+    # dedup_families passes stats through
+    stats_f = {}
+    fams = dedup_families(
+        spark.range(40).selectExpr("id AS doc_id"),
+        chain(40).selectExpr("id_a", "id_b"),
+        "doc_id", stats_out=stats_f)
+    assert fams.where("family_id = 0").count() == 40
+    assert stats_f["n_rounds"] == r40

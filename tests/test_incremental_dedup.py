@@ -189,3 +189,65 @@ def test_checkpoint_reset_after_partial_commit_needs_repair(
         "text", "doc_id", app_id="appB")
     assert _ids(spark, out) == [1, 2, 4]
     assert st.read(spark, hashes).count() == 3
+
+
+def test_history_join_modes_agree_and_broadcast_is_exchange_free(
+        spark, tmp_path):
+    """r9 (verdict task #3): the default broadcast history gate must
+    (a) return exactly the shuffle form's rows and (b) never exchange
+    the history side — its plan carries no SortMergeJoin and no
+    shuffle of the history scan; the only hash exchanges allowed are
+    batch-sized (the in-batch window)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+        fresh_against_history,
+    )
+
+    # sizable history (200k digests) + small batch with known overlap
+    seen = spark.range(200_000).select(
+        F.md5(F.col("id").cast("string")).alias("content_md5"))
+    batch = spark.range(190_000, 190_100).union(
+        spark.range(1_000_000, 1_000_050)).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("content_md5"))
+
+    bc = fresh_against_history(batch, seen, "broadcast")
+    sh = fresh_against_history(batch, seen, "shuffle")
+    got_bc = sorted(r["doc_id"] for r in bc.collect())
+    got_sh = sorted(r["doc_id"] for r in sh.collect())
+    assert got_bc == got_sh == list(range(1_000_000, 1_000_050))
+
+    phys = bc._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in phys
+    # both joins are broadcast-built; batch has no window here, so NO
+    # hash exchange at all — the history never moves
+    assert "Exchange hashpartitioning" not in phys
+    # both joins broadcast-built (AQE's toString prints final+initial
+    # sections, so an exact node count is not stable — the SMJ/
+    # exchange absences above are the load-bearing assertions)
+    assert "BroadcastHashJoin" in phys
+
+    with pytest.raises(ValueError, match="unknown history_join"):
+        fresh_against_history(batch, seen, "bogus")
+
+
+def test_batch_body_mode_equality_end_to_end(spark, tmp_path):
+    """Same batches through both history_join modes land identical
+    corpora and fingerprint sets (separate table pairs)."""
+    outs = {}
+    for mode in ("broadcast", "shuffle"):
+        out = str(tmp_path / f"corpus_{mode}")
+        hashes = str(tmp_path / f"hashes_{mode}")
+        init_incremental_dedup(spark, out, hashes,
+                               _docs(spark, [(0, "x")]))
+        for bid, rows in ((0, [(1, "aa"), (2, "aa"), (3, "bb")]),
+                          (1, [(4, "bb"), (5, "cc")])):
+            incremental_exact_dedup_batch(
+                spark, out, hashes, _docs(spark, rows), bid,
+                "text", "doc_id", history_join=mode)
+        outs[mode] = (_ids(spark, out),
+                      sorted(r["content_md5"] for r in
+                             st.read(spark, hashes).collect()))
+    assert outs["broadcast"] == outs["shuffle"]
+    assert outs["broadcast"][0] == [1, 3, 5]

@@ -1,0 +1,103 @@
+"""Frame-level NLP forms (r9, STARATTR_r09): add_language_detect /
+add_lexicon_sentiment must return values bit-identical to the inline
+expression dicts, and their staged evidence Project must SURVIVE
+optimization (CollapseProject would re-inline the hit sums into the
+CaseWhen conditions, resurrecting the conditional-CSE re-execution
+the frame forms exist to kill — measured 140.7 → 52.8 CPU-s on the
+language block at 6 M rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_morrocan_banks_spark.nlp.features import (
+    add_review_features,
+)
+from data_warehouse_morrocan_banks_spark.nlp.language import (
+    add_language_detect,
+    language_detect_cols,
+)
+from data_warehouse_morrocan_banks_spark.nlp.sentiment import (
+    add_lexicon_sentiment,
+    lexicon_sentiment_cols,
+)
+
+ROWS = [
+    (1, "service excellent et accueil rapide je recommande"),
+    (2, "attente trop longue service mauvais je deconseille"),
+    (3, ""),                       # empty → empty_text / no evidence
+    (4, None),                     # NULL text
+    (5, "ok"),                     # < 3 chars → unknown / 0.0
+    (6, "employé coût déçu"),      # accented
+    (7, "جيد ممتاز"),              # arabic indicators, no french
+    (8, "   le   "),               # padded: strip-first word count
+]
+
+
+def _frame(spark):
+    return spark.createDataFrame(ROWS, "id int, text string")
+
+
+def _collect(df, cols):
+    return sorted(
+        tuple(repr(r[c]) for c in ("id", *cols)) for r in df.collect()
+    )
+
+
+def test_add_language_detect_matches_inline(spark):
+    df = _frame(spark)
+    lang = language_detect_cols("text")
+    inline = (df.withColumn("detected_language", lang["detected_language"])
+              .withColumn("language_confidence",
+                          lang["language_confidence"]))
+    framed = add_language_detect(df, "text")
+    cols = ["detected_language", "language_confidence"]
+    assert _collect(framed, cols) == _collect(inline, cols)
+    assert framed.columns == inline.columns   # staged cols dropped
+
+
+def test_add_lexicon_sentiment_matches_inline(spark):
+    df = _frame(spark)
+    sent = lexicon_sentiment_cols("text")
+    inline = df
+    for c in ("sentiment_score", "sentiment_label",
+              "sentiment_confidence"):
+        inline = inline.withColumn(c, sent[c])
+    framed = add_lexicon_sentiment(df, "text")
+    cols = ["sentiment_score", "sentiment_label", "sentiment_confidence"]
+    assert _collect(framed, cols) == _collect(inline, cols)
+    assert framed.columns == inline.columns
+
+
+def test_staged_evidence_survives_collapse_project(spark):
+    """The staged aliases must appear in the PHYSICAL plan — if
+    CollapseProject merged the assembly Project into the evidence
+    Project, the aliases would vanish and every hit sum would be back
+    inside conditionally-evaluated CaseWhen positions."""
+    df = _frame(spark)
+    phys_lang = (add_language_detect(df, "text")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "__lang_fr" in phys_lang and "__lang_nw" in phys_lang
+    phys_sent = (add_lexicon_sentiment(df, "text")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "__sent_pos" in phys_sent
+    phys_feat = (
+        add_review_features(
+            df.withColumn("rating", F.lit(4))
+            .withColumn("review_time",
+                        F.lit("2024-01-02").cast("timestamp")))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "__wc" in phys_feat
+    assert "word_count" in phys_feat
+
+
+def test_add_review_features_drops_staging_column(spark):
+    df = (_frame(spark).withColumn("rating", F.lit(3))
+          .withColumn("review_time",
+                      F.lit("2024-06-01 10:00:00").cast("timestamp")))
+    out = add_review_features(df)
+    assert "__wc" not in out.columns
+    row = {r["id"]: r for r in out.collect()}
+    assert row[1]["word_count"] == 7
+    assert row[8]["word_count"] == 1   # strip-first: '   le   ' → 1
+    assert row[3]["word_count"] == 0
