@@ -1209,9 +1209,14 @@ def main(smoke: bool = False, out_path: str | None = None,
 
         # connected components / dedup_families (r8 verdict task #2):
         # rounds + bytes at this decade, plus the rounds-vs-diameter
-        # series once (fixed 120k vertices, chain lengths spanning
-        # two orders — the ~log2(diameter)+1 law)
-        probe_cc(cc_edges(600_000 * scale), 600_000 * scale,
+        # series once (fixed vertex count, chain lengths spanning two
+        # orders — the ~log2(diameter)+1 law).  Corpora are
+        # range-generated (sf-independent), so smoke shrinks them
+        # explicitly to stay inside the pytest smoke budget; the
+        # rounds law is diameter-driven, not size-driven, so the
+        # smoke assertion loses nothing.
+        cc_base = 60_000 if smoke else 600_000
+        probe_cc(cc_edges(cc_base * scale), cc_base * scale,
                  f"{scale}x")
         if scale == 1:
             from data_warehouse_morrocan_banks_spark.operators import (
@@ -1222,14 +1227,15 @@ def main(smoke: bool = False, out_path: str | None = None,
             )
             for chain_len in (5, 40, 400):
                 st_ = {}
-                connected_components(cc_edges(120_000, chain_len),
-                                     stats_out=st_)
+                connected_components(
+                    cc_edges(12_000 if smoke else 120_000, chain_len),
+                    stats_out=st_)
                 results[f"cc_rounds_diam{chain_len}_1x"] = \
                     st_["n_rounds"]
             _lc.release_all()
 
         # salted_join vs AQE skew (r8 verdict task #5), hot-key corpus
-        skew_s = skew_corpus(600_000 * scale).cache()
+        skew_s = skew_corpus(cc_base * scale).cache()
         skew_s.count()
         probe_skew(skew_s, f"{scale}x")
         skew_s.unpersist()
@@ -1374,7 +1380,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         return out.repartition(256)
 
     def cc_x(frame):
-        probe_cc(frame, 600_000 * xs, f"{xs}x")
+        probe_cc(frame, (60_000 if smoke else 600_000) * xs, f"{xs}x")
 
     def skew_x(frame):
         probe_skew(frame, f"{xs}x")
@@ -1437,8 +1443,12 @@ def main(smoke: bool = False, out_path: str | None = None,
         (lambda: replicate_emb(xs),
          (("pq_adc", pq_adc),), False, ()),
         # r9: connected components + skew join at the third decade
-        (lambda: cc_edges(600_000 * xs), (), False, (cc_x,)),
-        (lambda: skew_corpus(600_000 * xs), (), False, (skew_x,)),
+        # (smoke shrinks the range-generated corpora — see per-scale
+        # note)
+        (lambda: cc_edges((60_000 if smoke else 600_000) * xs),
+         (), False, (cc_x,)),
+        (lambda: skew_corpus((60_000 if smoke else 600_000) * xs),
+         (), False, (skew_x,)),
     ):
         frame = make().cache()
         try:
