@@ -271,7 +271,8 @@ def dedup_exact_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20,
                          stats_out: dict | None = None,
-                         on_round=None) -> DataFrame:
+                         on_round=None,
+                         rows_hint: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list — the family
     resolver that turns near-duplicate PAIRS (jaccard / simhash /
     cosine) into dedup DECISIONS (one representative per family).
@@ -315,6 +316,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     each round's checkpoint + convergence probe — probe
     instrumentation (e.g. sampling executor storage to show the
     two-generation lifecycle holds per round), never control flow.
+
+    Checkpoints use the SERIALIZED MEMORY_AND_DISK level (r9): the
+    deserialized default unrolls each partition as an InternalRow
+    object array — at 60 M vertices on the session's 32 shuffle
+    partitions that is 32 concurrent multi-hundred-MB object
+    unrolls, the measured heap OOM of the first 100x probe run.
+    ``rows_hint`` (approximate vertex count, the dedup_keep_first
+    convention) additionally sizes the WHOLE loop's exchange grain:
+    sym/labels/round frames repartition to ``max(shuffle
+    partitions, rows_hint // 250_000)`` and the session's
+    ``spark.sql.shuffle.partitions`` is set to the same value for
+    the duration of the loop (saved and restored in a finally — the
+    per-round join/groupBy exchanges plan at the session value, and
+    AQE can only coalesce DOWN from it, so a 32-partition session
+    floor forces 1.9 M-row sort buffers at 60 M vertices: measured
+    422 GB of summed sort spill before this sizing, the
+    sized_for_key_agg lesson applied to an iterative loop).  Without
+    the hint the session grain is used as-is (fine to ~10 M vertices
+    on this box).
     """
     from .lifecycle import (
         begin,
@@ -323,69 +343,111 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         tracked_local_checkpoint,
     )
 
+    from pyspark import StorageLevel
+
     begin("connected_components")
-    sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    lvl = StorageLevel.MEMORY_AND_DISK          # serialized in Spark 4
+    n_parts = None
+    saved_confs: dict[str, str | None] = {}
+    if rows_hint is not None:
+        saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        n_parts = max(int(saved_shuffle), int(rows_hint) // 250_000)
+        # scope the loop's exchange grain (docstring): join/groupBy
+        # exchanges plan at the session shuffle-partition value, and
+        # AQE then COALESCES them toward its 64 MB advisory — on
+        # 16 B (vertex, component) UnsafeRows that is ~4 M rows per
+        # task, whose 64 MB sort-pointer arrays under 32 concurrent
+        # tasks were the residual heap pressure after the serialized
+        # checkpoints (GCLocker 8388610-word allocations, second
+        # probe attempt).  Pin BOTH knobs for the loop: partitions up
+        # to the 250 k-row grain, advisory down to ~16 MB (~1 M
+        # slim rows) so the coalesced grain stays bounded.  Restored
+        # in the finally; the returned labels frame is checkpointed,
+        # so nothing lazy escapes the scope.
+        for k, v in (("spark.sql.shuffle.partitions", str(n_parts)),
+                     ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                      "16m")):
+            saved_confs[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
 
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
-        .distinct()
-    )
-    # undirected: keep both directions so one join propagates each way
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym, sym_ids = tracked_local_checkpoint(sym, eager=True)
-
-    labels, prev_ids = tracked_local_checkpoint(
-        sym.select(F.col("s").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex")),
-        eager=True,
-    )
-    n_rounds = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["d"] == labels["vertex"], "inner")
-            .groupBy(F.col("s").alias("vertex"))
-            .agg(F.min("component").alias("nbr_component"))
+    try:
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+            .distinct()
         )
-        hopped = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+        # undirected: keep both directions so one join propagates each way
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        if n_parts:
+            sym = sym.repartition(n_parts, F.col("s"))
+        sym, sym_ids = tracked_local_checkpoint(sym, eager=True,
+                                                storage_level=lvl)
+
+        labels0 = (
+            sym.select(F.col("s").alias("vertex"))
+            .distinct()
+            .withColumn("component", F.col("vertex"))
+        )
+        if n_parts:
+            labels0 = labels0.repartition(n_parts, F.col("vertex"))
+        labels, prev_ids = tracked_local_checkpoint(labels0, eager=True,
+                                                    storage_level=lvl)
+        n_rounds = 0
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["d"] == labels["vertex"], "inner")
+                .groupBy(F.col("s").alias("vertex"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-        )
-        # pointer jumping: component ← component's component.  Labels
-        # are always existing vertex ids, so the self-join hits.
-        x, y = hopped.alias("x"), hopped.alias("y")
-        jumped = x.join(
-            y, F.col("x.component") == F.col("y.vertex"), "left"
-        ).select(
-            F.col("x.vertex").alias("vertex"),
-            F.coalesce(F.col("y.component"), F.col("x.component"))
-            .alias("component"),
-        )
-        jumped, new_ids = tracked_local_checkpoint(jumped, eager=True)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "vertex", "inner")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # the convergence probe was the last reader of the previous
-        # round's labels — release its blocks before the next round
-        release_rdd_ids(jumped, prev_ids)
-        prev_ids = new_ids
-        labels = jumped
-        n_rounds += 1
-        if on_round is not None:
-            on_round(n_rounds)
-        if changed == 0:
-            break
+            hopped = (
+                labels.join(neighbor_min, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            # pointer jumping: component ← component's component.  Labels
+            # are always existing vertex ids, so the self-join hits.
+            x, y = hopped.alias("x"), hopped.alias("y")
+            jumped = x.join(
+                y, F.col("x.component") == F.col("y.vertex"), "left"
+            ).select(
+                F.col("x.vertex").alias("vertex"),
+                F.coalesce(F.col("y.component"), F.col("x.component"))
+                .alias("component"),
+            )
+            if n_parts:
+                jumped = jumped.repartition(n_parts, F.col("vertex"))
+            jumped, new_ids = tracked_local_checkpoint(jumped, eager=True,
+                                                       storage_level=lvl)
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "vertex", "inner")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            # the convergence probe was the last reader of the previous
+            # round's labels — release its blocks before the next round
+            release_rdd_ids(jumped, prev_ids)
+            prev_ids = new_ids
+            labels = jumped
+            n_rounds += 1
+            if on_round is not None:
+                on_round(n_rounds)
+            if changed == 0:
+                break
+    finally:
+        for k, v in saved_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     if stats_out is not None:
         stats_out["n_rounds"] = n_rounds
     release_rdd_ids(labels, sym_ids)
@@ -396,7 +458,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
                    src: str = "id_a", dst: str = "id_b",
                    stats_out: dict | None = None,
-                   on_round=None) -> DataFrame:
+                   on_round=None,
+                   rows_hint: int | None = None) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: every document
     joins its connected component (singletons keep their own id) and
     the minimum id per family is the canonical representative.
@@ -413,7 +476,7 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
     fails on missing checkpoint blocks.
     """
     comps = connected_components(pairs, src, dst, stats_out=stats_out,
-                                 on_round=on_round)
+                                 on_round=on_round, rows_hint=rows_hint)
     return (
         df.select(F.col(id_col))
         .join(comps, df[id_col] == comps["vertex"], "left")

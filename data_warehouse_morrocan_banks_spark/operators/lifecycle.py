@@ -166,17 +166,31 @@ def release_all() -> None:
         begin(key)
 
 
-def tracked_local_checkpoint(df: DataFrame, eager: bool = True
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True,
+                             storage_level=None
                              ) -> tuple[DataFrame, set[int]]:
     """``localCheckpoint`` + the exact RDD ids it pinned.
 
     Returns ``(checkpointed_df, new_rdd_ids)``; pass the ids to
     :func:`release_rdd_ids` once nothing reads the frame anymore.
     Only meaningful with ``eager=True`` (a lazy checkpoint pins its
-    blocks at first compute, outside this bracket)."""
+    blocks at first compute, outside this bracket).
+
+    ``storage_level`` overrides the checkpoint's block storage
+    (default: Spark's MEMORY_AND_DISK_DESER).  Iterative operators
+    checkpointing slim wide-row-count frames pass the SERIALIZED
+    ``StorageLevel.MEMORY_AND_DISK``: the deserialized default
+    unrolls partitions as InternalRow object arrays (~5x the
+    UnsafeRow bytes for a 2-long row), and 32 concurrent unrolls of
+    1.9 M-row partitions OOM'd the 8 GiB heap in the r9
+    connected-components 100x probe — serialized unrolls are byte
+    arrays, bounded and GC-quiet."""
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=eager)
+    if storage_level is None:
+        out = df.localCheckpoint(eager=eager)
+    else:
+        out = df.localCheckpoint(eager=eager, storageLevel=storage_level)
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     return out, after - before
 

@@ -81,6 +81,29 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     Only ``inner``/``left`` (big side preserved) are legal: under
     ``right``/``full`` every unmatched small-side row would surface
     once per salt value — ``salt_buckets``× duplication.
+
+    **Measured decision rule vs AQE (r9; SCALEPROBE_r09 ``skew_*``
+    rows: 30 %-of-rows hot key, 100 k-key dim, broadcast pinned
+    off).**  AQE's skew-join split engages only when a post-shuffle
+    partition exceeds ``max(skewedPartitionThresholdInBytes = 256 MB,
+    skewedPartitionFactor x median)`` — SLIM rows keep a hot key
+    under that long after it dominates wall clock.  At 60 M rows the
+    hot key is ~150 MB serialized, and AQE-skew-ON measured
+    indistinguishable from OFF (straggler task
+    ``skew_aqe_100x_maxtask_s`` = 13.4 s vs ``skew_plain`` 14.1 s —
+    the one hot task IS the join wall), while salting with 16
+    buckets cut the straggler to 7.7 s and the wall from ~12 to
+    7.8 s, paying +27 % shuffle (the dim ships once per salt value —
+    ``skew_salted_*_shuffle_write_mb`` 651 vs 511 MB) plus the dim
+    explode.  So: prefer the PLAIN join and let AQE split when the
+    hot key is byte-heavy (partitions past the 256 MB threshold —
+    AQE gets the same balance with no replication cost); reach for
+    this operator when the hot key is row-heavy but byte-light
+    (AQE's threshold math never fires — the measured case), or when
+    the skew lives under join types/plans AQE's rule skips.
+    Lowering ``spark.sql.adaptive.skewJoin.
+    skewedPartitionThresholdInBytes`` is the conf alternative, but
+    it is session-global where salting is per-join.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(

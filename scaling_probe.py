@@ -803,11 +803,31 @@ def main(smoke: bool = False, out_path: str | None = None,
             if mb is not None:
                 peak["mb"] = max(peak["mb"], mb)
 
+        # the FINAL family join (verts ⋈ comps) executes under the
+        # caller's conf, outside the operator's scoped loop grain —
+        # pin the same bounds here or AQE coalesces its exchanges to
+        # 64 MB ≈ 4 M slim rows per task (the residual GCLocker
+        # pressure after the operator-side fix)
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                      n_vertices // 250_000)
+        saved = {}
+        for k, v in (("spark.sql.shuffle.partitions", str(n_parts)),
+                     ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                      "16m")):
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
         before = completed_stages(spark)
         t0 = time.perf_counter()
-        dedup_families(verts, edges, "id", stats_out=stats,
-                       on_round=_sample) \
-            .write.format("noop").mode("overwrite").save()
+        try:
+            dedup_families(verts, edges, "id", stats_out=stats,
+                           on_round=_sample, rows_hint=n_vertices) \
+                .write.format("noop").mode("overwrite").save()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         results[f"dedup_families_{tag}"] = round(
             time.perf_counter() - t0, 2)
         d = stage_delta(before, completed_stages(spark))
@@ -1379,9 +1399,6 @@ def main(smoke: bool = False, out_path: str | None = None,
         )
         return out.repartition(256)
 
-    def cc_x(frame):
-        probe_cc(frame, (60_000 if smoke else 600_000) * xs, f"{xs}x")
-
     def skew_x(frame):
         probe_skew(frame, f"{xs}x")
 
@@ -1442,11 +1459,13 @@ def main(smoke: bool = False, out_path: str | None = None,
          (stream_hh_zipf_x,)),
         (lambda: replicate_emb(xs),
          (("pq_adc", pq_adc),), False, ()),
-        # r9: connected components + skew join at the third decade
-        # (smoke shrinks the range-generated corpora — see per-scale
-        # note)
-        (lambda: cc_edges((60_000 if smoke else 600_000) * xs),
-         (), False, (cc_x,)),
+        # r9: skew join at the third decade (smoke shrinks the
+        # range-generated corpus — see per-scale note).  Connected
+        # components runs OUTSIDE this loop: its edges are cheap
+        # range arithmetic consumed once into the operator's own
+        # serialized sym checkpoint — the group loop's .cache() of a
+        # 58 M-row frame was pure storage pressure on top of the
+        # checkpoint generations (run-A OOM contributor).
         (lambda: skew_corpus((60_000 if smoke else 600_000) * xs),
          (), False, (skew_x,)),
     ):
@@ -1473,19 +1492,6 @@ def main(smoke: bool = False, out_path: str | None = None,
         lifecycle.release_all()
         flush_partial(results)
 
-    # incremental-dedup history-growth decades (r9): one fixed batch
-    # against three decades of fingerprint history, both join modes —
-    # independent of the cached group frames, so it runs standalone
-    for hist, tag in (((6_000, "1x"), (12_000, f"{xs}x")) if smoke
-                      else ((60_000, "1x"), (600_000, "10x"),
-                            (6_000_000, f"{xs}x"))):
-        try:
-            probe_incdedup(hist, tag)
-        except Exception as e:  # noqa: BLE001 — record, keep probing
-            results[f"probe_error_incdedup_{tag}"] = (
-                f"{type(e).__name__}: {e}"[:300])
-    flush_partial(results)
-
     # the star build at the third decade — its input is generated,
     # not a cached frame, so it runs outside the group loop.  TABLE
     # mode only: the cache-mode silver persist OOMs the 8 GiB
@@ -1504,6 +1510,37 @@ def main(smoke: bool = False, out_path: str | None = None,
         results[f"probe_error_star_table_{xs}x"] = (
             f"{type(e).__name__}: {e}"[:300])
     flush_partial(results)
+
+    # connected components at the third decade — standalone, edges
+    # UNCACHED (see the group-list note); serialized checkpoints +
+    # rows_hint partition sizing inside the operator bound the peak.
+    # Runs AFTER the star build (r9 run-B lesson): the star shape is
+    # the cross-round CPU comparator, and executing it last — after
+    # the three new heavy blocks — inflated its 100x CPU +32% from
+    # end-of-run JVM state (8,964 in-run vs 6,801 fresh-process,
+    # identical bytes/rows); the new blocks have no prior-round
+    # baseline to distort, so they absorb the tail slot
+    cc_n_x = (60_000 if smoke else 600_000) * xs
+    try:
+        probe_cc(cc_edges(cc_n_x), cc_n_x, f"{xs}x")
+    except Exception as e:  # noqa: BLE001 — record, keep probing
+        results[f"probe_error_cc_{xs}x"] = (
+            f"{type(e).__name__}: {e}"[:300])
+    flush_partial(results)
+
+    # incremental-dedup history-growth decades (r9): one fixed batch
+    # against three decades of fingerprint history, both join modes —
+    # independent of the cached group frames, so it runs standalone
+    for hist, tag in (((6_000, "1x"), (12_000, f"{xs}x")) if smoke
+                      else ((60_000, "1x"), (600_000, "10x"),
+                            (6_000_000, f"{xs}x"))):
+        try:
+            probe_incdedup(hist, tag)
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            results[f"probe_error_incdedup_{tag}"] = (
+                f"{type(e).__name__}: {e}"[:300])
+    flush_partial(results)
+
 
     if smoke:
         # the assertion IS the product here: every shape must have run
@@ -1651,8 +1688,16 @@ def merge_min_walls(results: dict, prev_path: str) -> dict:
         and "batches" not in k
         # r8 count keys: join-decision inputs and output-law pairs —
         # deterministic per plan, never wall-merged ("npairs", not
-        # "pairs": jaccard_pairs_1x IS a mergeable wall)
-        and "families" not in k and "npairs" not in k
+        # "pairs": jaccard_pairs_1x IS a mergeable wall; and
+        # "span_dedup_families", not "families" — r9's
+        # dedup_families_* keys are WALLS of the components shape,
+        # and the broad r8 pattern silently excluded them from the
+        # first r9 merge)
+        and "span_dedup_families" not in k and "npairs" not in k
+        # r9 measurement keys that are not walls: round counts and
+        # sampled peak storage (deterministic/plan-descriptive —
+        # newest run wins, like bytes)
+        and not k.startswith("cc_rounds") and "storage" not in k
         # r8: fact row counts and CPU seconds are not walls — counts
         # are deterministic; CPU is kept from the newest run so the
         # artifact's cross-round column always describes the code it
