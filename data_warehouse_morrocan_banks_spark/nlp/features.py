@@ -74,7 +74,11 @@ def add_review_features(df: DataFrame, text_col: str = "text",
         body = pattern[4:] if pattern.startswith("(?i)") else pattern
         tokens = body.split("|")
         lowered = F.lower(F.col(text_col))
-        if all(not (set(t) & meta) for t in tokens):
+        # the gate also requires pre-lowered tokens: the rlike
+        # contract matches case-insensitively via (?i), while the
+        # fast path probes lower(text) — an uppercase literal would
+        # silently never match (review-caught r9)
+        if all(t == t.lower() and not (set(t) & meta) for t in tokens):
             out = out.withColumn(flag, any_keyword_flag(lowered, tokens))
         else:  # pragma: no cover — current patterns are all literal
             out = out.withColumn(flag, keyword_flag(lowered, pattern))

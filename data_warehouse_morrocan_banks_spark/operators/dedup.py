@@ -44,6 +44,20 @@ def _dup_broadcast_cap_bytes(spark) -> int:
     conservative than what the planner itself would broadcast)."""
     jvm = spark.sparkContext._jvm
     heap = int(jvm.java.lang.Runtime.getRuntime().maxMemory())
+    # on a cluster the relation must ALSO fit every executor, and
+    # executors are routinely smaller than the driver — size against
+    # the smallest heap it lands in (review-caught r9: the driver-only
+    # form would happily broadcast a ~1 GB relation into 4 GB
+    # executors).  local mode has no spark.executor.memory and the one
+    # JVM heap is the answer.
+    try:
+        exec_mem = spark.conf.get("spark.executor.memory", None)
+        if exec_mem:
+            heap = min(heap, int(
+                jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+                    exec_mem)))
+    except Exception:  # noqa: BLE001 — unparsable: keep driver heap
+        pass
     try:
         thresh = int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")))
@@ -172,17 +186,42 @@ def dedup_keep_first(df: DataFrame, keys: list[str],
         .select(*[F.col(k).alias(f"__dk{i}") for i, k in enumerate(keys)]),
     )
     # one decision job measures count AND estimated broadcast bytes
-    # (UnsafeRow-ish: 16 B/row + 8 B/field + var-width payload for
-    # string/binary keys; fixed-width values live inside their 8 B
-    # field word) — the byte estimate is what the self-sized cap
-    # compares against, replacing the retired static key-count guess
-    from pyspark.sql.types import BinaryType, StringType
+    # (UnsafeRow-ish: 16 B/row + 8 B/field + var-width payload; truly
+    # fixed-width values live inside their 8 B field word) — the byte
+    # estimate is what the self-sized cap compares against, replacing
+    # the retired static key-count guess.  Schema lookup is
+    # case-insensitive (Spark's analyzer is; StructType.__getitem__
+    # is not — review-caught r9), and any type that is NOT known
+    # fixed-width (string, binary, but also decimal/array/struct
+    # keys) measures its payload via octet_length of the value —
+    # cast to string for non-string types, a conservative proxy
+    # rather than a flat 8 B undercount.
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
 
+    _FIXED = (BooleanType, ByteType, ShortType, IntegerType, LongType,
+              FloatType, DoubleType, DateType, TimestampType)
+    types_by_lower = {f.name.lower(): f.dataType for f in df.schema.fields}
     width: Column = F.lit(16 + 8 * len(keys))
     for i, k in enumerate(keys):
-        if isinstance(df.schema[k].dataType, (StringType, BinaryType)):
-            width = width + F.coalesce(
-                F.octet_length(F.col(f"__dk{i}")), F.lit(0))
+        ktype = types_by_lower.get(k.lower())
+        if ktype is None or isinstance(ktype, _FIXED):
+            continue
+        payload = (F.col(f"__dk{i}")
+                   if isinstance(ktype, (StringType, BinaryType))
+                   else F.col(f"__dk{i}").cast("string"))
+        width = width + F.coalesce(F.octet_length(payload), F.lit(0))
     dec = dup_keys.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(width), F.lit(0)).alias("b"),
