@@ -37,8 +37,9 @@ def add_review_features(df: DataFrame, text_col: str = "text",
     CaseWhen conditions are exempt from codegen subexpression
     elimination, so the inline form re-tokenized the document per
     ladder probe (the conditional-CSE class measured in
-    nlp/language.add_language_detect; the feature block was +1,818
-    CPU-s of the 60 M-row silver build pre-fix, STARATTR_r09).
+    nlp/language.add_language_detect; the feature block was +1,433
+    CPU-s over the dedup base of the 60 M-row silver build pre-fix,
+    +835 post, STARATTR_r09_pre/post).
     CollapseProject keeps the split (non-cheap alias, multiply
     referenced); output values and column order are unchanged."""
     df = df.withColumn("__wc", word_count(text_col))

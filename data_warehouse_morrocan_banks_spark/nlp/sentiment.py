@@ -106,8 +106,9 @@ def add_lexicon_sentiment(df, text_col: str = "text",
     pos/neg hit counts in their own Project, then assembles
     score/label/confidence from cheap column references — the same
     conditional-CSE fix as :func:`..nlp.language.add_language_detect`
-    (measured there; the sentiment block was +888 CPU-s of the 60 M-row
-    silver build, STARATTR_r09).  Values bit-identical to the inline
+    (measured there; the sentiment block was +503 CPU-s over the dedup
+    base of the 60 M-row silver build pre-fix, +89 post,
+    STARATTR_r09_pre/post).  Values bit-identical to the inline
     form — both assemble via ``_sentiment_exprs``."""
     lowered = F.lower(F.col(text_col))
     staged = df.select(

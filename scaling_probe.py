@@ -1647,15 +1647,20 @@ def main(smoke: bool = False, out_path: str | None = None,
                  "skew_salted", "incdedup_broadcast",
                  "incdedup_shuffle")
         for name in SHAPE_NAMES + extra:
-            results[f"{name}_scaling_ratio"] = round(
-                results[f"{name}_10x"] / max(results[f"{name}_1x"], 1e-9), 1
-            )
+            # extra shapes run inside try/except probe_error_* blocks —
+            # a swallowed failure must not KeyError the run's tail here
+            r1 = results.get(f"{name}_1x")
+            r10 = results.get(f"{name}_10x")
+            if r1 is None or r10 is None:
+                continue
+            results[f"{name}_scaling_ratio"] = round(r10 / max(r1, 1e-9), 1)
             w1 = results.get(f"{name}_1x_shuffle_write_mb")
             w10 = results.get(f"{name}_10x_shuffle_write_mb")
             if w1 is not None and w10 is not None and w1 > 0:
                 results[f"{name}_shuffle_write_ratio"] = round(w10 / w1, 1)
         for name in extra:
-            if f"{name}_{xs}x" not in results:
+            if (f"{name}_{xs}x" not in results
+                    or f"{name}_1x" not in results):
                 continue
             results[f"{name}_scaling_ratio_{xs}x"] = round(
                 results[f"{name}_{xs}x"]
