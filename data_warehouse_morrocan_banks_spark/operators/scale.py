@@ -70,8 +70,67 @@ def sized_for_key_agg(df: DataFrame, keys: list[str],
     return slim.repartition(n, *[F.col(k) for k in keys])
 
 
+def _resolve_salt_buckets(big: DataFrame, key: str, skew_factor: float,
+                          row_bytes_hint: int | None,
+                          max_buckets: int) -> dict:
+    """Measured plain/aqe/salted decision for
+    ``salted_join(salt_buckets="auto")`` — see its docstring for the
+    rule.  Two bounded jobs on the slim non-null key projection: a
+    count (parquet-stats cheap) and the exact hottest key via the MG
+    sketch (shuffle carries candidates only)."""
+    spark = big.sparkSession
+    slim = big.select(key).where(F.col(key).isNotNull())
+    n_rows = slim.count()
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    avg_task_rows = max(1, n_rows // shuffle_p)
+    top, _certified = heavy_hitters_cert(slim, key, 1)
+    rows = top.collect()
+    top_count = int(rows[0]["n_occurrences"]) if rows else 0
+    out = {"salt_plan": "plain", "top_key_count": top_count,
+           "n_big_rows": n_rows, "avg_task_rows": avg_task_rows,
+           "salt_buckets": None}
+    if top_count <= skew_factor * avg_task_rows:
+        return out
+    if (row_bytes_hint is not None
+            and _aqe_skew_would_split(spark,
+                                      top_count * row_bytes_hint)):
+        out["salt_plan"] = "aqe"
+        return out
+    import math as _math
+
+    need = max(2, _math.ceil(top_count / avg_task_rows))
+    buckets = min(max_buckets, 2 ** _math.ceil(_math.log2(need)))
+    out.update(salt_plan="salted", salt_buckets=buckets)
+    return out
+
+
+def _aqe_skew_would_split(spark, est_bytes: int) -> bool:
+    """Whether AQE's skew-join split would engage on a hot key of
+    ``est_bytes`` post-shuffle: both AQE and its skew join enabled,
+    and the estimate past ``skewedPartitionThresholdInBytes`` (the
+    necessary condition; the factor-x-median clause can only make
+    AQE MORE likely to split above it)."""
+    try:
+        enabled = (
+            spark.conf.get("spark.sql.adaptive.enabled") == "true"
+            and spark.conf.get(
+                "spark.sql.adaptive.skewJoin.enabled") == "true")
+        jvm = spark.sparkContext._jvm
+        thresh = int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes")))
+    except Exception:  # noqa: BLE001 — conf unreadable: assume no AQE
+        return False
+    return enabled and est_bytes > thresh
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+                salt_buckets: int | str = 16, how: str = "inner",
+                skew_factor: float = 5.0,
+                row_bytes_hint: int | None = None,
+                max_buckets: int = 64,
+                plan_out: dict | None = None) -> DataFrame:
     """Skew-resistant equi-join: salt the big side, explode the small.
 
     big gains a uniform ``__salt`` per row; small is replicated once
@@ -104,12 +163,58 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     Lowering ``spark.sql.adaptive.skewJoin.
     skewedPartitionThresholdInBytes`` is the conf alternative, but
     it is session-global where salting is per-join.
+
+    **``salt_buckets="auto"`` (r10)** applies that decision rule
+    MEASURED instead of manual: a bounded decision job finds the big
+    side's hottest key exactly (:func:`heavy_hitters_cert` k=1 on the
+    slim key projection — the MG sketch's shuffle carries candidates,
+    never one row per distinct key) plus the total row count, then
+
+    - **plain** when ``top_count <= skew_factor x avg_task_rows``
+      (``n_rows / shuffle partitions``; the default factor 5 mirrors
+      AQE's ``skewedPartitionFactor`` semantics — no key dominates,
+      salting would pay replication for nothing; the uniform-corpus
+      case);
+    - **plain ("aqe" decision)** when a ``row_bytes_hint`` says the
+      hot key's post-shuffle bytes
+      (``top_count x row_bytes_hint``) already exceed the session's
+      AQE skew threshold AND AQE skew join is enabled — the byte-heavy
+      regime where the r9 probe shows AQE gets the same balance with
+      no replication cost.  Opt-in via the hint: measuring the wide
+      row's bytes would cost a full-width scan the decision job
+      deliberately avoids, and WITHOUT the hint the slim-row
+      assumption (the measured case where AQE never fires) stands;
+    - **salted** otherwise, with the bucket count DERIVED, not fixed
+      (the banding-scheme rule, CLAUDE.md): the next power of two of
+      ``top_count / avg_task_rows`` — just enough buckets to cut the
+      hot key back to ~average task size — clamped to
+      ``[2, max_buckets]``.  On the r9 probe corpus (30 % hot key,
+      32 shuffle partitions) this derives 16, the bucket count the
+      probe measured halving the straggler.
+
+    The decision makes the call EAGER (runs the count + sketch jobs
+    at plan-build time — the ``dedup_keep_first`` convention), costs
+    two slim-column passes, and is recorded in ``plan_out``
+    (``salt_plan``: ``"plain"`` / ``"aqe"`` / ``"salted"``, plus
+    ``top_key_count`` / ``n_big_rows`` / ``avg_task_rows`` /
+    ``salt_buckets``) per the measured-decision convention.  NULL
+    keys never count as hot (equi-join drops them anyway).
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' only, got {how!r}: "
             "right/full would emit unmatched small-side rows once per salt"
         )
+    if salt_buckets == "auto":
+        decision = _resolve_salt_buckets(
+            big, key, skew_factor, row_bytes_hint, max_buckets)
+        if plan_out is not None:
+            plan_out.update(decision)
+        if decision["salt_plan"] != "salted":
+            return big.join(small, key, how)
+        salt_buckets = decision["salt_buckets"]
+    elif plan_out is not None:
+        plan_out.update(salt_plan="salted", salt_buckets=salt_buckets)
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

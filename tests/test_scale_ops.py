@@ -733,3 +733,92 @@ def test_heavy_hitters_candidate_bound(spark):
     out = heavy_hitters(df, "k", k=1, m=32).collect()
     assert out[0]["k"] == "hot" and out[0]["n_occurrences"] == 3000
     assert 3000 * 33 > n  # the bound that certifies it
+
+
+def _skewed_frame(spark, n=100_000, hot_share=0.3):
+    """Mini r9 skew probe corpus: hot_share of rows on key 0, the
+    rest uniform over 1000 cold keys (deterministic, no rand)."""
+    hot = int(n * hot_share)
+    return spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise((F.col("id") % 1000) + 1).alias("k"),
+        F.col("id").alias("payload"))
+
+
+def test_salted_join_auto_picks_salted_on_hot_key(spark):
+    """r10 (r9 verdict task #7): salt_buckets='auto' applies the
+    measured r9 decision rule — on the 30%-hot-key corpus it picks
+    the salted plan with a DERIVED bucket count (next pow2 of
+    top_count/avg_task_rows = 16 at 32 shuffle partitions, the count
+    the probe measured halving the straggler), and the result equals
+    the plain join."""
+    big = _skewed_frame(spark)
+    dim = spark.range(1001).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val"))
+    plan: dict = {}
+    # the decision reads the SESSION's shuffle partitions (the test
+    # conftest pins 8); scope 32 so the derivation matches the probe
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        auto = salted_join(big, dim, "k", salt_buckets="auto",
+                           plan_out=plan)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert plan["salt_plan"] == "salted", plan
+    assert plan["top_key_count"] == 30_000
+    assert plan["n_big_rows"] == 100_000
+    # 30k / (100k/32 = 3125) = 9.6 -> next pow2 = 16
+    assert plan["salt_buckets"] == 16
+    phys = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in phys  # the salted form actually planned
+    plain = big.join(dim, "k", "inner")
+    assert auto.groupBy("k").count().orderBy("k").collect() == \
+        plain.groupBy("k").count().orderBy("k").collect()
+
+
+def test_salted_join_auto_picks_plain_on_uniform(spark):
+    """Uniform corpus: no key passes skew_factor x avg task rows —
+    auto returns the PLAIN join (no __salt column, no replication)."""
+    big = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("payload"))
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val"))
+    plan: dict = {}
+    auto = salted_join(big, dim, "k", salt_buckets="auto",
+                       plan_out=plan)
+    assert plan["salt_plan"] == "plain"
+    assert plan["salt_buckets"] is None
+    assert plan["top_key_count"] == 100  # exactly uniform
+    phys = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in phys
+    assert auto.count() == 100_000
+
+
+def test_salted_join_auto_defers_to_aqe_when_byte_heavy(spark):
+    """With a row_bytes_hint that puts the hot key past AQE's skew
+    threshold (and AQE skew join enabled in the session), auto defers
+    to the plain join and records 'aqe' — the measured no-replication
+    regime."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    big = _skewed_frame(spark)
+    dim = spark.range(1001).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val"))
+    plan: dict = {}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # 30k hot rows x 20kB/row = 600MB > the 256MB default threshold
+        auto = salted_join(big, dim, "k", salt_buckets="auto",
+                           row_bytes_hint=20_000, plan_out=plan)
+        assert plan["salt_plan"] == "aqe"
+        phys = auto._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" not in phys
+        # same hint under a tiny estimate still salts
+        plan2: dict = {}
+        salted_join(big, dim, "k", salt_buckets="auto",
+                    row_bytes_hint=8, plan_out=plan2)
+        assert plan2["salt_plan"] == "salted"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
