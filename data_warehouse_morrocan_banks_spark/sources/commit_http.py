@@ -83,14 +83,34 @@ class HttpCommitBackend(CommitBackend):
       first attempt deleted it; delete is idempotent)."""
 
     def __init__(self, base_url: str, timeout_s: float = 10.0,
-                 retries: int = 3, backoff_s: float = 0.05):
+                 retries: int = 3, backoff_s: float = 0.05,
+                 signer=None):
         self._base = base_url.rstrip("/")
         self._timeout = float(timeout_s)
         self._retries = max(1, int(retries))
         self._backoff = float(backoff_s)
+        self._signer = signer
 
     def _url(self, key: str) -> str:
         return f"{self._base}/{urllib.parse.quote(key, safe='')}"
+
+    def _sign(self, req: urllib.request.Request,
+              payload: bytes = b"") -> urllib.request.Request:
+        """Attach SigV4 auth headers when a ``signer``
+        (:class:`~.sigv4.SigV4Signer`) was configured.  The request's
+        OWN headers (``If-None-Match``, ``Content-Type``) are signed
+        too, so the conditional-PUT precondition cannot be stripped
+        in flight without breaking the signature.  Called inside each
+        retry attempt: every attempt re-signs with a fresh
+        ``x-amz-date`` (a replayed/stale date is the server's to
+        reject; re-signing per attempt is the SDK behavior)."""
+        if self._signer is not None:
+            for k, v in self._signer.sign(
+                    req.get_method(), req.full_url,
+                    headers=dict(req.header_items()),
+                    payload=payload).items():
+                req.add_header(k, v)
+        return req
 
     def _retrying(self, make_request):
         """Bounded-retry loop for IDEMPOTENT requests: retries 5xx
@@ -117,8 +137,8 @@ class HttpCommitBackend(CommitBackend):
                                     "delimiter": "/"})
 
         def go():
-            req = urllib.request.Request(f"{self._base}/?{q}",
-                                         method="GET")
+            req = self._sign(urllib.request.Request(
+                f"{self._base}/?{q}", method="GET"))
             with urllib.request.urlopen(req, timeout=self._timeout) as r:
                 return json.loads(r.read().decode("utf-8"))
 
@@ -126,7 +146,8 @@ class HttpCommitBackend(CommitBackend):
 
     def read_text(self, p: str) -> str:
         def go():
-            req = urllib.request.Request(self._url(p), method="GET")
+            req = self._sign(
+                urllib.request.Request(self._url(p), method="GET"))
             with urllib.request.urlopen(req, timeout=self._timeout) as r:
                 return r.read().decode("utf-8")
 
@@ -141,10 +162,10 @@ class HttpCommitBackend(CommitBackend):
         data = content.encode("utf-8")
 
         def put_once():
-            req = urllib.request.Request(
+            req = self._sign(urllib.request.Request(
                 self._url(p), data=data, method="PUT",
                 headers={"If-None-Match": "*",
-                         "Content-Type": "application/json"})
+                         "Content-Type": "application/json"}), data)
             with urllib.request.urlopen(req, timeout=self._timeout):
                 return
 
@@ -184,7 +205,8 @@ class HttpCommitBackend(CommitBackend):
             if attempt:
                 time.sleep(self._backoff * (2 ** (attempt - 1)))
             try:
-                req = urllib.request.Request(self._url(p), method="DELETE")
+                req = self._sign(urllib.request.Request(
+                    self._url(p), method="DELETE"))
                 with urllib.request.urlopen(req, timeout=self._timeout):
                     return
             except urllib.error.HTTPError as e:
@@ -208,6 +230,29 @@ class _Handler(BaseHTTPRequestHandler):
 
     def log_message(self, *a):  # silence per-request stderr noise
         pass
+
+    def _check_auth(self, body: bytes = b"") -> bool:
+        """When the server requires signing, verify the request's
+        SigV4 signature (sources/sigv4.verify — recomputed from the
+        request AS RECEIVED); 403 and False on any failure.  Runs
+        BEFORE fault injection: an unauthenticated request never
+        consumes an armed fault."""
+        srv = self.server
+        with srv.lock:
+            auth = srv.auth
+        if auth is None:
+            return True
+        from .sigv4 import SigV4VerifyError, verify
+
+        try:
+            verify(self.command, self.path, dict(self.headers.items()),
+                   body, *auth)
+            return True
+        except SigV4VerifyError:
+            self.send_response(403)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return False
 
     # --- fault injection (deterministic, counter-based) ---
     def _take_fault(self, kind: str) -> bool:
@@ -266,6 +311,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         self._maybe_delay()
+        if not self._check_auth():
+            return
         if self._flaky_500():
             return
         parsed = urllib.parse.urlparse(self.path)
@@ -311,6 +358,8 @@ class _Handler(BaseHTTPRequestHandler):
         key = self._key()
         n = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(n)
+        if not self._check_auth(body):
+            return
         if self._flaky_500():
             return
         srv = self.server
@@ -340,6 +389,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         self._maybe_delay()
+        if not self._check_auth():
+            return
         if self._flaky_500():
             return
         key = self._key()
@@ -414,11 +465,25 @@ class LocalObjectStoreServer:
         with self._httpd.lock:
             self._httpd.faults = {}
 
+    def require_signing(self, access_key: str, secret_key: str,
+                        region: str = "us-east-1",
+                        service: str = "s3") -> None:
+        """Reject (403) every request whose SigV4 signature does not
+        verify against these credentials — the emulator-side half of
+        the auth seam (sources/sigv4).  A real store additionally
+        enforces clock skew on x-amz-date; the double does not (the
+        client's injectable clock is the test lever there)."""
+        assert self._httpd is not None
+        with self._httpd.lock:
+            self._httpd.auth = (access_key, secret_key, region,
+                                service)
+
     def start(self) -> "LocalObjectStoreServer":
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self._httpd.store = {}
         self._httpd.lock = threading.Lock()
         self._httpd.faults = {}
+        self._httpd.auth = None
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()

@@ -1,0 +1,228 @@
+"""AWS Signature Version 4 request signing (pure stdlib) — the auth
+seam for :class:`~.commit_http.HttpCommitBackend` (r9 verdict task
+#6: the HTTP conditional-PUT backend had the full fault story but no
+real auth; the signing computation is pure — canonical request →
+string-to-sign → HMAC key chain — and testable against the published
+AWS example vectors plus the in-process emulator, no live endpoint
+needed).
+
+Implements the publicly documented SigV4 header-based scheme
+(docs.aws.amazon.com "Signature Version 4 signing process" and the
+S3 "Authenticating Requests: Using the Authorization Header"
+examples):
+
+1. **Canonical request**: ``METHOD \\n URI \\n query \\n headers \\n
+   signed-header-names \\n payload-hash``.  S3 specifics honored:
+   the URI is used AS SENT, single-encoded (S3 is the one service
+   where you do NOT double-encode or normalize paths); the payload
+   hash is carried in ``x-amz-content-sha256`` (required by S3 on
+   every request); query params sort by name then value, RFC 3986
+   percent-encoding (unreserved ``-_.~`` only).
+2. **String to sign**: ``AWS4-HMAC-SHA256 \\n timestamp \\n scope \\n
+   sha256(canonical request)`` with scope
+   ``date/region/service/aws4_request``.
+3. **Signing key**: the four-step HMAC chain
+   ``HMAC(HMAC(HMAC(HMAC("AWS4"+secret, date), region), service),
+   "aws4_request")``.
+
+Verification lives next to signing (:func:`verify`) so the
+:class:`~.commit_http.LocalObjectStoreServer` emulator can validate
+every request server-side — the suite then proves both directions
+against each other AND against the fixed AWS vectors (a same-bug-on-
+both-sides implementation error cannot survive the vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import time
+import urllib.parse
+from typing import Callable, Mapping
+
+ALGORITHM = "AWS4-HMAC-SHA256"
+UNSIGNED_PAYLOAD = "UNSIGNED-PAYLOAD"
+_RFC3986_SAFE = "-_.~"
+
+
+def _sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def derive_signing_key(secret_key: str, date: str, region: str,
+                       service: str) -> bytes:
+    """The four-step HMAC chain; exercised end-to-end by the four
+    published S3 example signatures pinned in tests/test_sigv4.py
+    (every one routes through this derivation)."""
+    k = _hmac(b"AWS4" + secret_key.encode("utf-8"), date)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    return _hmac(k, "aws4_request")
+
+
+def canonical_query(query: str) -> str:
+    """Sorted, RFC 3986 re-encoded canonical query string.  Params
+    sort by encoded name then encoded value; a bare ``?lifecycle``
+    keeps its empty value (``lifecycle=``, the documented S3
+    example)."""
+    pairs = urllib.parse.parse_qsl(query, keep_blank_values=True)
+    enc = [(urllib.parse.quote(k, safe=_RFC3986_SAFE),
+            urllib.parse.quote(v, safe=_RFC3986_SAFE))
+           for k, v in pairs]
+    return "&".join(f"{k}={v}" for k, v in sorted(enc))
+
+
+def _canonical_headers(headers: Mapping[str, str]
+                       ) -> tuple[str, str]:
+    """(canonical header block, signed-header names).  Lowercased
+    names, trimmed values with internal runs of spaces collapsed
+    (the documented canonicalization), sorted by name."""
+    items = sorted((k.lower(), " ".join(str(v).split()))
+                   for k, v in headers.items())
+    block = "".join(f"{k}:{v}\n" for k, v in items)
+    return block, ";".join(k for k, _ in items)
+
+
+def canonical_request(method: str, uri: str, query: str,
+                      headers: Mapping[str, str],
+                      payload_hash: str) -> tuple[str, str]:
+    """Returns ``(canonical request, signed headers)``.  ``uri`` must
+    be the path AS IT WILL BE SENT (single-encoded; S3 rule),
+    ``headers`` exactly the set being signed."""
+    block, signed = _canonical_headers(headers)
+    req = "\n".join([method.upper(), uri or "/",
+                     canonical_query(query), block, signed,
+                     payload_hash])
+    return req, signed
+
+
+def string_to_sign(amz_date: str, scope: str, canon_req: str) -> str:
+    return "\n".join([ALGORITHM, amz_date, scope,
+                      _sha256_hex(canon_req.encode("utf-8"))])
+
+
+def sign_canonical(secret_key: str, amz_date: str, region: str,
+                   service: str, canon_req: str) -> str:
+    """Signature hex for a prepared canonical request."""
+    date = amz_date[:8]
+    scope = f"{date}/{region}/{service}/aws4_request"
+    key = derive_signing_key(secret_key, date, region, service)
+    return hmac.new(key,
+                    string_to_sign(amz_date, scope,
+                                   canon_req).encode("utf-8"),
+                    hashlib.sha256).hexdigest()
+
+
+class SigV4Signer:
+    """Per-request signer: ``sign(method, url, headers, payload)``
+    returns the headers to ATTACH (``x-amz-date``,
+    ``x-amz-content-sha256``, ``Authorization``, and the session
+    token when present) — the caller sends its own headers plus
+    these.
+
+    The signed header set is ``host`` (from the URL, port included
+    exactly as the HTTP client will send it) + both x-amz headers +
+    every caller header passed in — signing everything sent keeps
+    the server's recomputation honest.  ``clock`` injects time for
+    deterministic tests (defaults to ``time.gmtime``)."""
+
+    def __init__(self, access_key: str, secret_key: str,
+                 region: str = "us-east-1", service: str = "s3",
+                 session_token: str | None = None,
+                 clock: Callable[[], time.struct_time] = time.gmtime):
+        self.access_key = access_key
+        self._secret = secret_key
+        self.region = region
+        self.service = service
+        self._token = session_token
+        self._clock = clock
+
+    def sign(self, method: str, url: str,
+             headers: Mapping[str, str] | None = None,
+             payload: bytes = b"") -> dict[str, str]:
+        parsed = urllib.parse.urlsplit(url)
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", self._clock())
+        payload_hash = _sha256_hex(payload)
+        to_sign = {"host": parsed.netloc, "x-amz-date": amz_date,
+                   "x-amz-content-sha256": payload_hash}
+        if self._token:
+            to_sign["x-amz-security-token"] = self._token
+        if headers:
+            to_sign.update({k.lower(): v for k, v in headers.items()})
+        canon, signed = canonical_request(
+            method, parsed.path, parsed.query, to_sign, payload_hash)
+        sig = sign_canonical(self._secret, amz_date, self.region,
+                             self.service, canon)
+        scope = (f"{amz_date[:8]}/{self.region}/{self.service}"
+                 "/aws4_request")
+        out = {
+            "x-amz-date": amz_date,
+            "x-amz-content-sha256": payload_hash,
+            "Authorization": (
+                f"{ALGORITHM} Credential={self.access_key}/{scope}, "
+                f"SignedHeaders={signed}, Signature={sig}"),
+        }
+        if self._token:
+            out["x-amz-security-token"] = self._token
+        return out
+
+
+class SigV4VerifyError(Exception):
+    """Verification failure, with the reason in ``str(e)``."""
+
+
+def verify(method: str, path_and_query: str,
+           headers: Mapping[str, str], payload: bytes,
+           access_key: str, secret_key: str, region: str,
+           service: str = "s3") -> None:
+    """Server-side verification: recompute the signature from the
+    request AS RECEIVED and the configured credentials; raises
+    :class:`SigV4VerifyError` on any mismatch.  Used by the
+    emulator's ``require_signing`` mode — a real store additionally
+    enforces ±15 min clock skew on ``x-amz-date``, which a test
+    double with an injectable-clock client deliberately does not.
+    """
+    hdrs = {k.lower(): v for k, v in headers.items()}
+    auth = hdrs.get("authorization", "")
+    if not auth.startswith(ALGORITHM + " "):
+        raise SigV4VerifyError("missing/undecodable Authorization")
+    fields = {}
+    for part in auth[len(ALGORITHM) + 1:].split(","):
+        k, _, v = part.strip().partition("=")
+        fields[k] = v
+    try:
+        cred = fields["Credential"]
+        signed_names = fields["SignedHeaders"].split(";")
+        got_sig = fields["Signature"]
+    except KeyError as e:
+        raise SigV4VerifyError(f"Authorization missing {e}") from None
+    ak, date, req_region, req_service, term = (
+        cred.split("/") + [None] * 5)[:5]
+    if ak != access_key:
+        raise SigV4VerifyError("unknown access key")
+    if (req_region, req_service, term) != (region, service,
+                                           "aws4_request"):
+        raise SigV4VerifyError("credential scope mismatch")
+    amz_date = hdrs.get("x-amz-date", "")
+    if amz_date[:8] != date:
+        raise SigV4VerifyError("x-amz-date/scope date mismatch")
+    payload_hash = hdrs.get("x-amz-content-sha256", "")
+    if (payload_hash != UNSIGNED_PAYLOAD
+            and payload_hash != _sha256_hex(payload)):
+        raise SigV4VerifyError("payload hash mismatch")
+    try:
+        to_sign = {n: hdrs[n] for n in signed_names}
+    except KeyError as e:
+        raise SigV4VerifyError(
+            f"signed header {e} absent from request") from None
+    parsed = urllib.parse.urlsplit(path_and_query)
+    canon, _ = canonical_request(method, parsed.path, parsed.query,
+                                 to_sign, payload_hash)
+    want = sign_canonical(secret_key, amz_date, region, service,
+                          canon)
+    if not hmac.compare_digest(want, got_sig):
+        raise SigV4VerifyError("signature mismatch")

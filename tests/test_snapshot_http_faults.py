@@ -41,8 +41,21 @@ def server():
         srv.stop()
 
 
-@pytest.fixture()
-def backend(server):
+@pytest.fixture(params=["unsigned", "signed"])
+def backend(server, request):
+    """Every fault scenario runs twice: plain, and under SigV4 with
+    the emulator VALIDATING each request (r9 verdict task #6 — the
+    retry/read-back resolution logic must survive composition with
+    per-attempt re-signing)."""
+    if request.param == "signed":
+        from data_warehouse_morrocan_banks_spark.sources.sigv4 import (
+            SigV4Signer,
+        )
+
+        server.require_signing("AKTEST", "secret123", "eu-west-3")
+        return HttpCommitBackend(
+            server.url, timeout_s=5.0, retries=3, backoff_s=0.01,
+            signer=SigV4Signer("AKTEST", "secret123", "eu-west-3"))
     return HttpCommitBackend(server.url, timeout_s=5.0, retries=3,
                              backoff_s=0.01)
 
