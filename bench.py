@@ -146,22 +146,42 @@ def main() -> None:
     from data_warehouse_morrocan_banks_spark.plans.fingerprint import (
         plan_fingerprint,
     )
+    # Per-query EXECUTOR CPU beside the wall (r9 verdict task #1):
+    # fingerprints prove *same work*, CPU proves *same cost* — wall
+    # on this box swings ±30 % with identical plans, and the r9 +33 %
+    # q_text_quality could only be adjudicated by fingerprint
+    # identity.  Same UI-REST stage-delta instrumentation as the
+    # scaling probe (plans/stage_metrics); min across reps, the same
+    # aggregate as wall.  None (not 0.0) when the UI endpoint is
+    # unavailable — a fabricated zero would read as "free query".
+    from data_warehouse_morrocan_banks_spark.plans.stage_metrics import (
+        completed_stages,
+        stage_delta,
+    )
 
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float | None] = {}
     fingerprints: dict[str, str] = {}
     for name in names:
         best = float("inf")
+        best_cpu = None
         fps = set()
         for rep in range(5):
+            before = completed_stages(spark)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            d = stage_delta(before, completed_stages(spark))
+            if d is not None:
+                best_cpu = d["cpu_s"] if best_cpu is None \
+                    else min(best_cpu, d["cpu_s"])
             # fingerprint OUTSIDE the timed window, on first and last
             # rep: two agreeing builds = stable within this process
             if rep in (0, 4):
                 fps.add(plan_fingerprint(qs[name](spark, sf_dir)))
         timings[name] = round(best, 3)
+        cpu_s[name] = best_cpu
         fingerprints[name] = fps.pop() if len(fps) == 1 else "unstable"
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
@@ -175,6 +195,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # executor CPU seconds per query (min across reps) — the
+        # noise-immune cross-round column; null = UI REST unavailable
+        "queries_cpu_s": cpu_s,
+        "cpu_total_s": (
+            round(sum(v for v in cpu_s.values() if v is not None), 2)
+            if any(v is not None for v in cpu_s.values()) else None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Provenance: cross-round deltas are only attributable when the
         # measurement itself is stamped (r2→r3 changed count()→noop-sink

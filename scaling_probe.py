@@ -27,11 +27,16 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
+from data_warehouse_morrocan_banks_spark.plans.stage_metrics import (  # noqa: E402,E501
+    completed_stages,
+    executors_storage_mb,
+    max_task_runtime_s,
+    stage_delta,
+)
+from pyspark.sql import functions as F  # noqa: E402
 
 
 _REVIEW_BANKS = ("Attijariwafa Bank", "Banque Populaire",
@@ -151,63 +156,10 @@ def replicate_cross(df, n, key_cols):
     return out.drop("__copy").repartition(256)
 
 
-def completed_stages(spark):
-    """Completed-stage metrics from the UI REST API, keyed by
-    (stageId, attemptId).  Returns None (probe degrades to wall-only)
-    if the UI is disabled or the endpoint shape drifts."""
-    try:
-        sc = spark.sparkContext
-        url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
-               f"/stages?status=complete")
-        with urllib.request.urlopen(url, timeout=10) as r:
-            return {(s["stageId"], s["attemptId"]): s for s in json.load(r)}
-    except Exception:
-        return None
-
-
-def executors_storage_mb(spark):
-    """Total block-manager storage memory in use (UI REST /executors
-    memoryUsed sum), MB; None when the UI is unavailable.  Sampled
-    per connected-components round to evidence the two-generation
-    lifecycle (storage must stay ~flat across rounds, not grow one
-    checkpoint per round)."""
-    try:
-        sc = spark.sparkContext
-        url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
-               f"/executors")
-        with urllib.request.urlopen(url, timeout=10) as r:
-            return sum(e.get("memoryUsed", 0) for e in json.load(r)) \
-                / (1024.0 * 1024.0)
-    except Exception:
-        return None
-
-
-def max_task_runtime_s(spark, before, after):
-    """Max single-task executorRunTime (seconds) across the stages
-    completed between two snapshots — the straggler column for the
-    skew-join probe (stage sums hide the one hot task; the per-task
-    max IS the skew evidence)."""
-    if before is None or after is None:
-        return None
-    sc = spark.sparkContext
-    mx, sampled = 0.0, False
-    for sid, att in set(after) - set(before):
-        try:
-            url = (f"{sc.uiWebUrl}/api/v1/applications/"
-                   f"{sc.applicationId}/stages/{sid}/{att}/taskSummary"
-                   f"?quantiles=1.0")
-            with urllib.request.urlopen(url, timeout=10) as r:
-                s = json.load(r)
-            mx = max(mx, float(s["executorRunTime"][0]) / 1000.0)
-            sampled = True
-        except Exception:
-            continue
-    # None, not 0.0, when nothing was sampled: a fabricated 0.0 in
-    # the committed *_maxtask_s column would read as "no straggler" —
-    # the exact opposite of a dead instrumentation endpoint
-    # (review-caught r9); degrade like stage_delta instead.
-    return round(mx, 2) if sampled else None
-
+# completed_stages / executors_storage_mb / max_task_runtime_s /
+# stage_delta moved to the package (plans/stage_metrics) in r10 so
+# bench.py shares the same instrumentation for its per-query
+# executor-CPU column; imported above.
 
 import contextlib
 
@@ -229,31 +181,6 @@ def pinned_confs(spark, confs: dict):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-
-
-def stage_delta(before, after):
-    """Metric sums over the stages completed between two
-    :func:`completed_stages` snapshots; None when the UI REST
-    instrumentation is unavailable.  ``cpu_s`` is executor CPU time
-    (task threads, from the stage metrics) — the cross-round
-    comparison column (r7 judge ask #3): external box noise inflates
-    WALL by minutes while leaving CPU nearly untouched, so same-CPU/
-    different-wall reads as box state, different-CPU as a real code
-    or plan regression."""
-    if before is None or after is None:
-        return None
-    new = [v for k, v in after.items() if k not in before]
-    mb = 1024.0 * 1024.0
-    return {
-        "sr": round(sum(s["shuffleReadBytes"] for s in new) / mb, 1),
-        "sw": round(sum(s["shuffleWriteBytes"] for s in new) / mb, 1),
-        "swrec": int(sum(s["shuffleWriteRecords"] for s in new)),
-        "spill": round(sum(s["memoryBytesSpilled"] + s["diskBytesSpilled"]
-                           for s in new) / mb, 1),
-        "spill_disk": round(sum(s["diskBytesSpilled"]
-                                for s in new) / mb, 1),
-        "cpu_s": round(sum(s["executorCpuTime"] for s in new) / 1e9, 2),
-    }
 
 
 def main(smoke: bool = False, out_path: str | None = None,
