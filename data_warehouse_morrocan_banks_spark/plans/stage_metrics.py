@@ -49,6 +49,25 @@ def executors_storage_mb(spark):
         return None
 
 
+def executors_disk_mb(spark):
+    """Total block-manager DISK in use (UI REST /executors diskUsed
+    sum), MB; None when unavailable.  This is STORAGE overflow —
+    MEMORY_AND_DISK checkpoint blocks evicted to disk — which the
+    stage metrics' ``diskBytesSpilled`` (EXECUTION sort/agg spill)
+    does not count; sampling both per round is what attributes a
+    loop's disk traffic to checkpoint pressure vs sort pressure
+    (r9 verdict task #3)."""
+    try:
+        sc = spark.sparkContext
+        url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+               f"/executors")
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return sum(e.get("diskUsed", 0) for e in json.load(r)) \
+                / (1024.0 * 1024.0)
+    except Exception:
+        return None
+
+
 def max_task_runtime_s(spark, before, after):
     """Max single-task executorRunTime (seconds) across the stages
     completed between two snapshots — the straggler column for the

@@ -129,6 +129,115 @@ def resolve_history_join(batch_hashes: DataFrame,
 LAST_HISTORY_GATE: dict[str, dict] = {}
 
 
+def pruned_history_files(hashes_path: str,
+                         batch_hashes: list[str]) -> dict:
+    """Manifest-level file pruning of the fingerprint table against a
+    batch's POINT SET (r9 verdict task #2 / SCALE.md open item #2:
+    the broadcast gate made the per-batch EXCHANGE flat in history,
+    but the map-side digest SCAN stayed linear — the fix is layout):
+    once the history is range-compacted on ``content_md5``
+    (:func:`compact_history_sorted`), each file's footer [min, max]
+    covers a disjoint digest range, and a file can be skipped unless
+    some batch hash lands inside it (one ``bisect`` per file against
+    the sorted batch — driver-local, no Spark job).
+
+    The scan-cost law this buys: files read per batch is bounded by
+    ``min(n_files, n_batch_hashes)`` REGARDLESS of history size —
+    md5 digests are uniform, so once history outgrows
+    ``batch x file_rows`` the scan cost caps at the batch's own
+    cardinality while the naive read keeps growing linearly (the
+    probed ``incdedup_pruned_*`` decade rows).  Files without stats
+    (fresh un-compacted appends) are always kept — stats are an
+    optimization, never a correctness filter (snapshot_table
+    convention).
+
+    Returns ``{"files": [...], "files_total": n, "bytes": b,
+    "bytes_total": bt, "version": v}`` — byte sums are driver-local
+    ``getsize`` (the manifest stores column stats, not sizes; at
+    cluster scale a size column in the manifest would replace the
+    stat calls, same plan)."""
+    import bisect
+    import os as _os
+
+    from ..sources.snapshot_table import _resolve_manifest
+
+    v, m = _resolve_manifest(hashes_path, None)
+    pts = sorted(set(batch_hashes))
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get("content_md5")
+        if isinstance(s, (list, tuple)) and len(s) == 2 \
+                and isinstance(s[0], str) and isinstance(s[1], str):
+            i = bisect.bisect_left(pts, s[0])
+            if i >= len(pts) or pts[i] > s[1]:
+                continue  # no batch hash can live in this file
+        keep.append(f)
+
+    def _sz(fs):
+        total = 0
+        for f in fs:
+            try:
+                total += _os.path.getsize(_os.path.join(hashes_path, f))
+            except OSError:
+                pass
+        return total
+
+    return {"files": keep, "files_total": len(m["files"]),
+            "bytes": _sz(keep), "bytes_total": _sz(m["files"]),
+            "version": v}
+
+
+def read_history_pruned(spark: SparkSession, hashes_path: str,
+                        batch_hashes: list[str],
+                        plan_out: dict | None = None) -> DataFrame:
+    """The fingerprint table restricted to files that MAY contain any
+    batch hash (:func:`pruned_history_files`).  Correctness does not
+    depend on the pruning: the result is a SUPERSET of every history
+    row matching a batch hash, and the anti-join ignores non-matching
+    rows — so ``fresh_against_history(batch, pruned, ...)`` equals
+    the full-scan form exactly (mode-equality pinned in
+    tests/test_incremental_dedup.py)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from ..sources.snapshot_table import _read_manifest
+
+    info = pruned_history_files(hashes_path, batch_hashes)
+    if plan_out is not None:
+        plan_out.update(
+            history_files_read=len(info["files"]),
+            history_files_total=info["files_total"],
+            history_bytes_read=info["bytes"],
+            history_bytes_total=info["bytes_total"])
+    m = _read_manifest(hashes_path, info["version"])
+    schema = StructType.fromJson(_json.loads(m["schema"]))
+    if not info["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[_os.path.join(hashes_path, f) for f in info["files"]])
+
+
+def compact_history_sorted(spark: SparkSession, hashes_path: str,
+                           file_rows: int = 500_000) -> int:
+    """Range-compact the fingerprint table SORTED on ``content_md5``
+    into ~``file_rows``-row files (``snapshot_table.compact(sort_by=
+    ...)`` — repartitionByRange gives disjoint per-file digest
+    ranges, which is exactly what :func:`pruned_history_files` needs;
+    a single-file compact would defeat pruning).  O(history) per
+    invocation — run it every Nth batch (``compact_every`` +
+    ``history_read="pruned"`` wires it into the batch body) or as a
+    separate maintenance job, the LSM amortization trade."""
+    from ..sources.snapshot_table import compact, read
+
+    n = read(spark, hashes_path).count()
+    target = max(1, -(-n // max(1, int(file_rows))))
+    return compact(spark, hashes_path, target_partitions=target,
+                   sort_by=["content_md5"])
+
+
 def fresh_against_history(in_batch: DataFrame, seen: DataFrame,
                           history_join: str = "auto",
                           broadcast_cap_bytes: int | None = None,
@@ -176,7 +285,10 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
                                   batch_id: int, text_col: str,
                                   id_col: str, app_id: str = "default",
                                   compact_every: int | None = None,
-                                  history_join: str = "auto") -> None:
+                                  history_join: str = "auto",
+                                  history_read: str = "full",
+                                  history_file_rows: int = 500_000
+                                  ) -> None:
     """foreachBatch body — use as::
 
         stream.writeStream.foreachBatch(
@@ -216,6 +328,20 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     duplicate overcount errs toward shuffle) and records the decision
     in ``LAST_HISTORY_GATE[out_path]``.  Pass an explicit mode to
     skip the per-batch decision job.
+
+    ``history_read="pruned"`` (r10) bounds the residual history SCAN
+    with the digest-sorted layout: the batch's hashes are collected
+    driver-side (bounded by the trigger — the same boundedness the
+    broadcast gate relies on; one map-only job on the slim column),
+    manifest footer stats skip every history file whose digest range
+    contains no batch hash (:func:`pruned_history_files`), and the
+    periodic compact keeps the layout range-sorted
+    (:func:`compact_history_sorted`, ~``history_file_rows`` rows per
+    file).  Scan keys land in ``LAST_HISTORY_GATE[out_path]``
+    (``history_files_read`` / ``history_bytes_read`` vs ``*_total``).
+    The default stays ``"full"``: below ~``n_batch x file_rows``
+    history rows the pruning cannot drop anything and the collect is
+    pure overhead.
     """
     hashed = batch_df.withColumn("content_md5", content_hash(text_col))
     # keep-first within the batch (lowest id — deterministic under
@@ -226,16 +352,27 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     in_batch = dedup_keep_first(hashed, ["content_md5"],
                                 [F.col(id_col).asc()],
                                 dup_broadcast_max=0)
+    gate: dict = {}
     if history_join == "auto":
         # resolve from the PRE-window batch: the decision count stays
         # map-only (no keep-first window recompute on the stream's
         # critical path) and overestimates duplicates — erring toward
         # shuffle, the safe direction (resolve_history_join docstring)
-        gate: dict = {}
         history_join = resolve_history_join(
             hashed.select("content_md5"), plan_out=gate)
         LAST_HISTORY_GATE[out_path] = gate
-    seen = read(spark, hashes_path).select("content_md5")
+    if history_read == "pruned":
+        batch_hashes = [r[0] for r in
+                        hashed.select("content_md5").collect()]
+        seen = read_history_pruned(spark, hashes_path, batch_hashes,
+                                   plan_out=gate)
+        LAST_HISTORY_GATE[out_path] = gate
+    elif history_read == "full":
+        seen = read(spark, hashes_path).select("content_md5")
+    else:
+        raise ValueError(
+            f"unknown history_read: {history_read!r} "
+            "(expected 'full' or 'pruned')")
     fresh = fresh_against_history(in_batch, seen, history_join)
     # stage once: both appends and the document/fingerprint split must
     # see the SAME rows, and recomputing the anti-join between the two
@@ -260,7 +397,13 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
         from ..sources.snapshot_table import compact
 
         compact(spark, out_path)
-        compact(spark, hashes_path)
+        if history_read == "pruned":
+            # keep the digest-sorted layout pruning depends on — a
+            # single-file compact would defeat it
+            compact_history_sorted(spark, hashes_path,
+                                   file_rows=history_file_rows)
+        else:
+            compact(spark, hashes_path)
 
 
 def repair_fingerprints(spark: SparkSession, out_path: str,

@@ -334,3 +334,85 @@ def test_batch_body_auto_gate_records_decision(spark, tmp_path):
                   st.read(spark, hashes).collect()) == sorted(
         st.read(spark, out).select(
             inc.content_hash("text").alias("h")).toPandas()["h"])
+
+
+def test_pruned_history_files_skips_disjoint_ranges(spark, tmp_path):
+    """After a sorted compact, per-file digest ranges are disjoint and
+    a batch whose hashes fall in few ranges reads few files; files
+    without stats (fresh appends) are always kept — stats are never a
+    correctness filter."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+        compact_history_sorted,
+        pruned_history_files,
+        read_history_pruned,
+    )
+
+    hashes = str(tmp_path / "hashes")
+    all_hashes = spark.range(4000).select(
+        F.md5(F.col("id").cast("string")).alias("content_md5"))
+    st.create(spark, hashes, all_hashes)
+    # sorted layout: 8 files of ~500 rows, disjoint md5 ranges
+    compact_history_sorted(spark, hashes, file_rows=500)
+
+    # probe with 3 known-present hashes -> at most 3 files read
+    probes = [r[0] for r in all_hashes.limit(3).collect()]
+    info = pruned_history_files(hashes, probes)
+    assert info["files_total"] == 8
+    assert 1 <= len(info["files"]) <= 3
+    assert 0 < info["bytes"] < info["bytes_total"]
+
+    # the pruned read still finds every probed hash (superset law)
+    got = read_history_pruned(spark, hashes, probes)
+    found = {r[0] for r in got.collect()}
+    assert set(probes) <= found
+
+    # an absent hash outside every range prunes to zero files
+    info0 = pruned_history_files(hashes, ["zzzzzzzz"])
+    assert info0["files"] == []
+
+    # a fresh append (no sorted layout for the new file yet) is KEPT
+    st.append(spark, hashes, spark.createDataFrame(
+        [("zzzzzzzz",)], "content_md5 STRING"))
+    info1 = pruned_history_files(hashes, ["zzzzzzzz"])
+    assert len(info1["files"]) >= 1  # stats may cover it; never lost
+    got1 = {r[0] for r in read_history_pruned(
+        spark, hashes, ["zzzzzzzz"]).collect()}
+    assert "zzzzzzzz" in got1
+
+
+def test_batch_body_pruned_mode_equality_and_scan_keys(spark, tmp_path):
+    """history_read='pruned' lands the identical corpus/fingerprints
+    as 'full' (pruning is a superset read; the anti-join ignores
+    non-matching rows) and records the scan evidence in
+    LAST_HISTORY_GATE."""
+    from data_warehouse_morrocan_banks_spark.streaming import (
+        incremental_dedup as inc,
+    )
+
+    outs = {}
+    for mode in ("full", "pruned"):
+        out = str(tmp_path / f"corpus_{mode}")
+        hashes = str(tmp_path / f"hashes_{mode}")
+        init_incremental_dedup(spark, out, hashes,
+                               _docs(spark, [(0, "x")]))
+        for bid, rows in ((0, [(1, "aa"), (2, "aa"), (3, "bb")]),
+                          (1, [(4, "bb"), (5, "cc")]),
+                          (2, [(6, "cc"), (7, "dd")])):
+            incremental_exact_dedup_batch(
+                spark, out, hashes, _docs(spark, rows), bid,
+                "text", "doc_id", history_read=mode,
+                compact_every=2, history_file_rows=2)
+        outs[mode] = (_ids(spark, out),
+                      sorted(r["content_md5"] for r in
+                             st.read(spark, hashes).collect()))
+        if mode == "pruned":
+            gate = inc.LAST_HISTORY_GATE[out]
+            assert gate["history_files_total"] >= 1
+            assert gate["history_files_read"] <= \
+                gate["history_files_total"]
+            assert gate["history_bytes_read"] <= \
+                gate["history_bytes_total"]
+    assert outs["full"] == outs["pruned"]
+    assert outs["full"][0] == [1, 3, 5, 7]

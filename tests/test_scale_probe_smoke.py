@@ -108,3 +108,39 @@ def test_merge_min_walls_is_wall_only(tmp_path):
     assert m["rows_1x"] == 5
     assert m["global_rank_scaling_ratio_100x"] == 20.0
     assert m["merged_min_keys"] == ["global_rank_100x", "q1_agg_1x"]
+
+
+def test_scaling_probe_per_family_smoke(tmp_path):
+    """--per-family (r9 verdict task #4): one fresh process+JVM per
+    probe family removes the tail-slot JVM-state bias class (run B
+    measured +32% CPU on the star shape purely from end-of-run JVM
+    state).  The wrapper must merge the disjoint child artifacts,
+    record the per-family process boundaries, and assert the SAME
+    cross-family smoke contract as a single-process run — so family
+    gating can never silently drop a probe block."""
+    out = tmp_path / "scaleprobe_families.json"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scaling_probe.py"),
+         "--per-family", "--smoke", "--out", str(out)],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rec = json.loads(out.read_text())
+    assert rec["provenance_mode"] == "fresh-process-per-family"
+    assert not rec.get("partial")
+    fams = rec["family_processes"]
+    assert sorted(fams) == ["cc", "incdedup", "shapes", "skew", "star"]
+    # every family produced keys, keys are disjoint, and the union
+    # carries each family's signature instrumentation
+    assert all(len(v) > 0 for v in fams.values()), {
+        k: len(v) for k, v in fams.items()}
+    for fam, key in (("star", "star_table_1x"),
+                     ("cc", "cc_rounds_1x"),
+                     ("skew", "skew_salted_1x"),
+                     ("incdedup", "incdedup_pruned_1x_files_read"),
+                     ("shapes", "q1_agg_1x_cpu_s")):
+        assert key in fams[fam], (fam, key)
+        assert key in rec
+    for fam in fams:
+        assert f"family_wall_{fam}_s" in rec
