@@ -311,7 +311,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20,
                          stats_out: dict | None = None,
                          on_round=None,
-                         rows_hint: int | None = None) -> DataFrame:
+                         rows_hint: int | None = None,
+                         rows_per_task: int = 250_000) -> DataFrame:
     """Connected components over an undirected edge list — the family
     resolver that turns near-duplicate PAIRS (jaccard / simhash /
     cosine) into dedup DECISIONS (one representative per family).
@@ -373,7 +374,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     422 GB of summed sort spill before this sizing, the
     sized_for_key_agg lesson applied to an iterative loop).  Without
     the hint the session grain is used as-is (fine to ~10 M vertices
-    on this box).
+    on this box).  ``rows_per_task`` tunes the loop grain from the
+    250 k convention — the r10 per-round attribution measured the
+    7.5 GB execution spill at 100x concentrated in round 1 (the
+    corpus-wide distincts + first joins) with ~800 MB/round steady
+    state, and the probe's fine-grain variant
+    (``dedup_families_fine_100x``, 125 k rows/task) is the measured
+    comparison for whether finer sorts are worth 2x the tasks.
     """
     from .lifecycle import (
         begin,
@@ -392,7 +399,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     saved_confs: dict[str, str | None] = {}
     if rows_hint is not None:
         saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        n_parts = max(int(saved_shuffle), int(rows_hint) // 250_000)
+        n_parts = max(int(saved_shuffle),
+                      int(rows_hint) // int(rows_per_task))
         # scope the loop's exchange grain (docstring): join/groupBy
         # exchanges plan at the session shuffle-partition value, and
         # AQE then COALESCES them toward its 64 MB advisory — on
@@ -498,7 +506,8 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
                    src: str = "id_a", dst: str = "id_b",
                    stats_out: dict | None = None,
                    on_round=None,
-                   rows_hint: int | None = None) -> DataFrame:
+                   rows_hint: int | None = None,
+                   rows_per_task: int = 250_000) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: every document
     joins its connected component (singletons keep their own id) and
     the minimum id per family is the canonical representative.
@@ -515,7 +524,8 @@ def dedup_families(df: DataFrame, pairs: DataFrame, id_col: str,
     fails on missing checkpoint blocks.
     """
     comps = connected_components(pairs, src, dst, stats_out=stats_out,
-                                 on_round=on_round, rows_hint=rows_hint)
+                                 on_round=on_round, rows_hint=rows_hint,
+                                 rows_per_task=rows_per_task)
     return (
         df.select(F.col(id_col))
         .join(comps, df[id_col] == comps["vertex"], "left")

@@ -263,6 +263,7 @@ def assert_smoke_instrumentation(results: dict) -> None:
                 # r10: per-round attribution series + disk gauge
                 "cc_peak_disk_mb_1x", "cc_1x_round1_storage_mb",
                 "cc_1x_round1_cpu_s", "cc_1x_round1_spill_disk_mb",
+                "dedup_families_fine_2x", "cc_rounds_fine_2x",
                 "cc_rounds_diam5_1x", "cc_rounds_diam40_1x",
                 "cc_rounds_diam400_1x",
                 "skew_plain_1x", "skew_aqe_1x", "skew_salted_1x",
@@ -838,7 +839,7 @@ def main(smoke: bool = False, out_path: str | None = None,
                     (F.col("id") + 1).alias("id_b"))
         )
 
-    def probe_cc(edges, n_vertices, tag):
+    def probe_cc(edges, n_vertices, tag, rows_per_task=250_000):
         """dedup_families (connected_components + family join-back)
         wall/bytes/CPU + the executed round count + peak storage
         sampled per round (the lifecycle two-generation claim,
@@ -887,7 +888,7 @@ def main(smoke: bool = False, out_path: str | None = None,
         # 64 MB ≈ 4 M slim rows per task (the residual GCLocker
         # pressure after the operator-side fix)
         n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                      n_vertices // 250_000)
+                      n_vertices // rows_per_task)
         before = completed_stages(spark)
         snap["prev"] = before
         t0 = time.perf_counter()
@@ -895,7 +896,8 @@ def main(smoke: bool = False, out_path: str | None = None,
                 "spark.sql.shuffle.partitions": str(n_parts),
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"}):
             dedup_families(verts, edges, "id", stats_out=stats,
-                           on_round=_sample, rows_hint=n_vertices) \
+                           on_round=_sample, rows_hint=n_vertices,
+                           rows_per_task=rows_per_task) \
                 .write.format("noop").mode("overwrite").save()
         results[f"dedup_families_{tag}"] = round(
             time.perf_counter() - t0, 2)
@@ -1665,6 +1667,19 @@ def main(smoke: bool = False, out_path: str | None = None,
         except Exception as e:  # noqa: BLE001 — record, keep probing
             results[f"probe_error_cc_{xs}x"] = (
                 f"{type(e).__name__}: {e}"[:300])
+        flush_partial(results)
+        # r10 (verdict task #3): the fine-grain trim experiment —
+        # the per-round attribution put the third-decade execution
+        # spill in round 1 (corpus distincts + first joins) with
+        # ~800 MB/round steady state; 125 k rows/task halves every
+        # sort buffer for 2x the tasks.  Same corpus, distinct keys
+        # (dedup_families_fine_*) so --merge-min never crosses plans.
+        try:
+            probe_cc(cc_edges(cc_n_x), cc_n_x, f"fine_{xs}x",
+                     rows_per_task=125_000)
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            results[f"probe_error_cc_fine_{xs}x"] = (
+                f"{type(e).__name__}: {e}"[:300])
     flush_partial(results)
 
     # incremental-dedup history-growth decades (r9): one fixed batch
@@ -1928,6 +1943,9 @@ TABLE_LABELS = [
                            "law)"),
     ("incdedup_shuffle", "…same batch, legacy SMJ anti-join (bytes "
                          "grow with history)"),
+    ("incdedup_pruned", "…200-doc trickle batch vs digest-sorted "
+                        "history (manifest-stats pruned scan — "
+                        "files read cap at batch cardinality)"),
     # zorder/bloom/stream-hh state columns are wall/count
     # instrumentation without per-shape byte fields — they are quoted
     # in SCALE.md prose with their artifact keys, not table rows
