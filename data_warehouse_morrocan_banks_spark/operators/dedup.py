@@ -375,12 +375,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sized_for_key_agg lesson applied to an iterative loop).  Without
     the hint the session grain is used as-is (fine to ~10 M vertices
     on this box).  ``rows_per_task`` tunes the loop grain from the
-    250 k convention — the r10 per-round attribution measured the
-    7.5 GB execution spill at 100x concentrated in round 1 (the
-    corpus-wide distincts + first joins) with ~800 MB/round steady
-    state, and the probe's fine-grain variant
-    (``dedup_families_fine_100x``, 125 k rows/task) is the measured
-    comparison for whether finer sorts are worth 2x the tasks.
+    250 k convention — measured dead end (r10, do not retry): the
+    per-round attribution put the third decade's 7.2-7.5 GB
+    execution spill in round 1 (corpus-wide distincts + first
+    joins, ~3.4 GB) with ~800 MB/round steady state, and the
+    125 k fine-grain variant made every round WORSE, not better —
+    ~4.7 GB/round steady spill (6x), wall 497 vs 398-485 s, CPU
+    +5-7 % (SCALEPROBE_r10 ``dedup_families_fine_100x_*`` vs
+    ``dedup_families_100x_*``); halving the task grain doubles the
+    sort/shuffle instances while per-slot execution memory is fixed
+    by CONCURRENCY (32), not partition count, so the extra
+    partitions only add spill cycles.  250 k stands.
     """
     from .lifecycle import (
         begin,

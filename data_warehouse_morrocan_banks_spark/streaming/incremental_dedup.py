@@ -32,8 +32,10 @@ table on every micro-batch (SortMergeJoin exchanges both sides; the
 planner cannot broadcast the history side because it grows without
 bound, and LEFT ANTI can only build the RIGHT side), so per-batch
 shuffle cost grows linearly with corpus history — the probed
-``incdedup_shuffle_*`` decade rows show exactly that.  The default
-``history_join="broadcast"`` inverts the build side in two steps:
+``incdedup_shuffle_*`` decade rows show exactly that.  The
+``history_join="broadcast"`` mode (what the r10 ``"auto"`` default
+picks whenever the batch fits the session cap) inverts the build
+side in two steps:
 
 1. ``matched = history LEFT SEMI broadcast(batch hashes)`` — the
    history is SCANNED (one slim column-pruned parquet column) but
