@@ -1,12 +1,23 @@
 #!/usr/bin/env python
 """Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE COMPACT JSON line: {"metric", "value", "unit", "sf",
+"cpu_total_s", "work_changed", "full_artifact"}.
 
 value = total wall seconds across the headline set (lower is better).
 A warmup action spins the JVM/codegen first so we measure the engine,
 not cluster startup — the same discipline you'd use profiling a real
 cluster job.
+
+The printed line is deliberately SMALL (r10 verdict task #1): the
+driver captures only a 2000-char stdout tail, and r10's full line
+(~3.4 kB once the CPU column landed) overflowed it — BENCH_r10.json
+committed with ``parsed: null`` and the round's headline walls exist
+nowhere machine-readable.  The FULL artifact (per-query walls, CPU,
+fingerprints, methodology) is written to ``BENCH_FULL_r{N}.json`` in
+the repo dir (committed per round); the printed line names it under
+``full_artifact`` and :func:`find_fingerprint_baseline` globs the
+sidecars alongside the driver-wrapped files.
 """
 
 from __future__ import annotations
@@ -55,30 +66,58 @@ WORK_CHANGED_NOTES: dict[str, str] = {}
 
 
 def find_fingerprint_baseline(repo_dir: str) -> tuple[str, dict] | None:
-    """Latest committed BENCH_r*.json that carries fingerprints."""
+    """Latest committed bench artifact that carries fingerprints.
+
+    Globs BOTH the driver-wrapped ``BENCH_r{N}.json`` files and the
+    ``BENCH_FULL_r{N}.json`` sidecars bench writes itself (r10 task
+    #1: the driver file can land with ``parsed: null`` when the
+    printed line outgrew its 2000-char capture — the sidecar is the
+    durable copy).  Same round number → the FULL sidecar wins; a
+    driver file whose ``parsed`` is null (or missing fingerprints) is
+    skipped rather than treated as "no baseline"."""
     import glob
     import re
 
     best = None
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
+    for p in (glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+              + glob.glob(os.path.join(repo_dir, "BENCH_FULL_r*.json"))):
+        m = re.search(r"BENCH(_FULL)?_r(\d+)\.json$", p)
         if not m:
             continue
+        is_full = bool(m.group(1))
         try:
             with open(p) as fh:
                 art = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
         # The driver wraps bench's JSON line under "parsed"; accept
-        # both the wrapped artifact and bench's own raw output.
+        # the wrapped artifact, the FULL sidecar, and raw output.
         if isinstance(art.get("parsed"), dict):
             art = art["parsed"]
         fps = art.get("fingerprints")
         if isinstance(fps, dict) and fps:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, os.path.basename(p), fps)
+            n = int(m.group(2))
+            # rank: round number, then sidecar-over-driver
+            rank = (n, 1 if is_full else 0)
+            if best is None or rank > best[0]:
+                best = (rank, os.path.basename(p), fps)
     return (best[1], best[2]) if best else None
+
+
+def _next_round_tag(repo_dir: str) -> str:
+    """Sidecar tag: ``$SPARK_GRAFT_BENCH_TAG`` if set (in-round runs
+    use e.g. ``r11_precheck``), else ``r{max committed driver round
+    + 1}`` — the round currently being measured."""
+    import glob
+    import re
+
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        return tag
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return f"r{(max(rounds) + 1) if rounds else 1:02d}"
 
 
 def compute_work_changed(current: dict[str, str],
@@ -154,8 +193,15 @@ def main() -> None:
     # scaling probe (plans/stage_metrics); min across reps, the same
     # aggregate as wall.  None (not 0.0) when the UI endpoint is
     # unavailable — a fabricated zero would read as "free query".
+    # Snapshots are SETTLED (ADVICE r10): the UI status store is fed
+    # by the async listener bus, so an immediate post-action snapshot
+    # can miss just-completed stages — min-across-reps then latches
+    # the undercount into queries_cpu_s.  settled_completed_stages
+    # re-polls until two consecutive snapshots agree; a rep whose
+    # delta covers ZERO stages is discarded outright (its CPU is a
+    # guaranteed undercount — the noop write always runs ≥1 stage).
     from data_warehouse_morrocan_banks_spark.plans.stage_metrics import (
-        completed_stages,
+        settled_completed_stages,
         stage_delta,
     )
 
@@ -166,20 +212,26 @@ def main() -> None:
         best = float("inf")
         best_cpu = None
         fps = set()
+        before = settled_completed_stages(spark)
         for rep in range(5):
-            before = completed_stages(spark)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-            d = stage_delta(before, completed_stages(spark))
-            if d is not None:
+            after = settled_completed_stages(spark)
+            d = stage_delta(before, after)
+            before = after  # settled end state = next rep's baseline
+            if d is not None and d["n_stages"] > 0:
                 best_cpu = d["cpu_s"] if best_cpu is None \
                     else min(best_cpu, d["cpu_s"])
             # fingerprint OUTSIDE the timed window, on first and last
             # rep: two agreeing builds = stable within this process
             if rep in (0, 4):
                 fps.add(plan_fingerprint(qs[name](spark, sf_dir)))
+                # the fingerprint build may run tiny jobs (AQE plan
+                # materialization) — re-settle so they never leak
+                # into the next rep's delta
+                before = settled_completed_stages(spark)
         timings[name] = round(best, 3)
         cpu_s[name] = best_cpu
         fingerprints[name] = fps.pop() if len(fps) == 1 else "unstable"
@@ -190,17 +242,29 @@ def main() -> None:
         fingerprints, baseline[1] if baseline else None)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    covered = sum(1 for v in cpu_s.values() if v is not None)
+    # cpu_total_s only when EVERY query has a CPU reading (ADVICE
+    # r10: a partial sum from a mid-run UI outage looks complete and
+    # poisons cross-round comparisons); cpu_covered_queries makes
+    # partial coverage visible either way.
+    cpu_total = (round(sum(v for v in cpu_s.values()
+                           if v is not None), 2)
+                 if covered == len(names) and names else None)
+    tag = _next_round_tag(repo_dir)
+    sidecar = f"BENCH_FULL_{tag}.json"
+
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # executor CPU seconds per query (min across reps) — the
-        # noise-immune cross-round column; null = UI REST unavailable
+        # executor CPU seconds per query (min across settled reps) —
+        # the noise-immune cross-round column; null = UI unavailable
+        # or every rep's delta was empty (listener-bus misses are
+        # discarded, never latched)
         "queries_cpu_s": cpu_s,
-        "cpu_total_s": (
-            round(sum(v for v in cpu_s.values() if v is not None), 2)
-            if any(v is not None for v in cpu_s.values()) else None),
+        "cpu_total_s": cpu_total,
+        "cpu_covered_queries": covered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Provenance: cross-round deltas are only attributable when the
         # measurement itself is stamped (r2→r3 changed count()→noop-sink
@@ -211,10 +275,11 @@ def main() -> None:
             "warmup": "data-read",
             "samples": 5,
             "aggregate": "min",
+            "cpu_snapshots": "settled",
         },
         # queries whose registered plan does different WORK than last
         # round — COMPUTED as the normalized-executedPlan fingerprint
-        # diff against the previous committed BENCH_r*.json carrying
+        # diff against the previous committed bench artifact carrying
         # fingerprints (r7 judge ask #2); their wall deltas are
         # capability changes, not regressions.  `changed: null` means
         # no fingerprint baseline existed yet (the transition round).
@@ -224,7 +289,35 @@ def main() -> None:
         "work_changed_notes": WORK_CHANGED_NOTES,
         # per-query plan fingerprints — next round's baseline
         "fingerprints": fingerprints,
-    }))
+    }
+    with open(os.path.join(repo_dir, sidecar), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # The PRINTED line stays well under the driver's 2000-char stdout
+    # capture (r10 landed parsed:null at ~3.4 kB); per-query detail
+    # lives in the sidecar named here.
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "cpu_total_s": cpu_total,
+        "cpu_covered_queries": covered,
+        "n_queries": len(names),
+        "work_changed": work_changed,
+        "work_changed_baseline": full["work_changed_baseline"],
+        "full_artifact": sidecar,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # headroom: a mass fingerprint flip could
+        # bloat the diff lists — degrade them to counts, never let
+        # the line outgrow the capture window again
+        compact["work_changed"] = {
+            k: (len(v) if isinstance(v, list) else v)
+            for k, v in work_changed.items()}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -32,6 +32,33 @@ def completed_stages(spark):
         return None
 
 
+def settled_completed_stages(spark, attempts: int = 20,
+                             pause_s: float = 0.05):
+    """:func:`completed_stages`, but SETTLED: the UI status store is
+    fed by Spark's async listener bus, so a snapshot taken immediately
+    after an action can miss just-completed stages — the missed CPU
+    bleeds into the next delta and a min-across-reps latches the
+    undercount (ADVICE r10 on bench.py's queries_cpu_s).  Re-poll
+    until two consecutive snapshots agree on the key set (or attempts
+    run out — listener buses quiesce in well under a second when
+    idle); returns the settled snapshot, or ``None`` when the UI is
+    unavailable."""
+    import time as _time
+
+    prev = completed_stages(spark)
+    if prev is None:
+        return None
+    for _ in range(attempts):
+        _time.sleep(pause_s)
+        cur = completed_stages(spark)
+        if cur is None:
+            return prev
+        if set(cur) == set(prev):
+            return cur
+        prev = cur
+    return prev
+
+
 def executors_storage_mb(spark):
     """Total block-manager storage memory in use (UI REST /executors
     memoryUsed sum), MB; None when the UI is unavailable.  Sampled
@@ -109,6 +136,10 @@ def stage_delta(before, after):
     new = [v for k, v in after.items() if k not in before]
     mb = 1024.0 * 1024.0
     return {
+        # stages covered by this delta — a 0 here means the listener
+        # bus had not flushed when `after` was snapped and the rep's
+        # CPU reading is an undercount (callers discard it)
+        "n_stages": len(new),
         "sr": round(sum(s["shuffleReadBytes"] for s in new) / mb, 1),
         "sw": round(sum(s["shuffleWriteBytes"] for s in new) / mb, 1),
         "swrec": int(sum(s["shuffleWriteRecords"] for s in new)),

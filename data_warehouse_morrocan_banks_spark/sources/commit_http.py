@@ -310,9 +310,12 @@ class _Handler(BaseHTTPRequestHandler):
             pass
 
     def do_GET(self):
-        self._maybe_delay()
+        # auth BEFORE fault injection (matches _check_auth's contract:
+        # an unauthenticated request never consumes an armed fault —
+        # ADVICE r10 caught delay ordered before auth here)
         if not self._check_auth():
             return
+        self._maybe_delay()
         if self._flaky_500():
             return
         parsed = urllib.parse.urlparse(self.path)
@@ -354,12 +357,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(blob)
 
     def do_PUT(self):
-        self._maybe_delay()
+        # the body read is unavoidable before auth (the signature
+        # covers the payload hash), but the armed delay fault still
+        # fires only AFTER auth passes
         key = self._key()
         n = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(n)
         if not self._check_auth(body):
             return
+        self._maybe_delay()
         if self._flaky_500():
             return
         srv = self.server
@@ -388,9 +394,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_DELETE(self):
-        self._maybe_delay()
         if not self._check_auth():
             return
+        self._maybe_delay()
         if self._flaky_500():
             return
         key = self._key()

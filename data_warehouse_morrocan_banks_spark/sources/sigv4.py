@@ -147,12 +147,17 @@ class SigV4Signer:
         parsed = urllib.parse.urlsplit(url)
         amz_date = time.strftime("%Y%m%dT%H%M%SZ", self._clock())
         payload_hash = _sha256_hex(payload)
-        to_sign = {"host": parsed.netloc, "x-amz-date": amz_date,
-                   "x-amz-content-sha256": payload_hash}
+        # Caller headers first, computed entries LAST so they win: a
+        # caller passing its own host/x-amz-date/x-amz-content-sha256
+        # would otherwise sign the caller's value while the returned
+        # attach-headers carry the computed one — a guaranteed
+        # signature mismatch (ADVICE r10).
+        to_sign = ({k.lower(): v for k, v in headers.items()}
+                   if headers else {})
+        to_sign.update({"host": parsed.netloc, "x-amz-date": amz_date,
+                        "x-amz-content-sha256": payload_hash})
         if self._token:
             to_sign["x-amz-security-token"] = self._token
-        if headers:
-            to_sign.update({k.lower(): v for k, v in headers.items()})
         canon, signed = canonical_request(
             method, parsed.path, parsed.query, to_sign, payload_hash)
         sig = sign_canonical(self._secret, amz_date, self.region,

@@ -103,3 +103,39 @@ def test_find_fingerprint_baseline_latest_round(tmp_path):
 def test_find_fingerprint_baseline_none(tmp_path):
     (tmp_path / "BENCH_r07.json").write_text(json.dumps({"value": 1.0}))
     assert bench.find_fingerprint_baseline(str(tmp_path)) is None
+
+def test_find_fingerprint_baseline_sidecar_and_null_parsed(tmp_path):
+    """r10 verdict task #1: a driver file with ``parsed: null`` (the
+    2000-char-capture overflow) is skipped; the BENCH_FULL sidecar of
+    the same round is preferred over the driver file; the newest
+    round still wins overall."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"fingerprints": {"q_a": "r9"}}}))
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": None, "tail": "…truncated…"}))
+    name, fps = bench.find_fingerprint_baseline(str(tmp_path))
+    assert name == "BENCH_r09.json" and fps == {"q_a": "r9"}
+
+    # sidecar for r10 restores the newer baseline
+    (tmp_path / "BENCH_FULL_r10.json").write_text(
+        json.dumps({"fingerprints": {"q_a": "r10"}}))
+    name, fps = bench.find_fingerprint_baseline(str(tmp_path))
+    assert name == "BENCH_FULL_r10.json" and fps == {"q_a": "r10"}
+
+    # same round in both forms → the FULL sidecar wins
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"fingerprints": {"q_a": "drv"}}}))
+    (tmp_path / "BENCH_FULL_r11.json").write_text(
+        json.dumps({"fingerprints": {"q_a": "full"}}))
+    name, fps = bench.find_fingerprint_baseline(str(tmp_path))
+    assert name == "BENCH_FULL_r11.json" and fps == {"q_a": "full"}
+
+
+def test_next_round_tag(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_TAG", raising=False)
+    assert bench._next_round_tag(str(tmp_path)) == "r01"
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    assert bench._next_round_tag(str(tmp_path)) == "r11"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TAG", "r11_precheck")
+    assert bench._next_round_tag(str(tmp_path)) == "r11_precheck"

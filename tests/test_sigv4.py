@@ -181,3 +181,52 @@ def test_signed_backend_against_validating_emulator():
             assert ei.value.code == 403
     finally:
         srv.stop()
+
+
+def test_reserved_header_collision_computed_wins():
+    """A caller passing host / x-amz-date / x-amz-content-sha256 must
+    not poison the signature: the signer's computed values win both
+    in the signed canonical request AND the returned attach-headers,
+    so sending exactly (caller headers | returned headers) verifies
+    (ADVICE r10: update() previously let the caller's value be signed
+    while the attach-headers carried the computed one)."""
+    s = SigV4Signer(AK, SK, clock=_fixed_clock)
+    url = f"https://{HOST}/test.txt"
+    caller = {"Host": "evil.example.com",
+              "x-amz-date": "19990101T000000Z",
+              "X-Amz-Content-Sha256": "deadbeef",
+              "Range": "bytes=0-9"}
+    out = s.sign("GET", url, caller)
+    # attach-headers carry the computed values
+    assert out["x-amz-date"] == AMZ_DATE
+    assert out["x-amz-content-sha256"] == EMPTY_SHA
+    # and the signature is the one computed over the computed values:
+    # identical to signing without the colliding caller headers
+    clean = s.sign("GET", url, {"Range": "bytes=0-9"})
+    assert out["Authorization"] == clean["Authorization"]
+    # round-trip: what the HTTP client would actually send verifies
+    sent = {"Range": "bytes=0-9", "Host": HOST}
+    sent.update(out)
+    verify("GET", "/test.txt", sent, b"", AK, SK, "us-east-1")
+
+
+def test_unauthenticated_request_consumes_no_fault():
+    """Auth runs BEFORE fault injection on every verb: a 403-rejected
+    request must leave an armed delay fault for the next authorized
+    request (ADVICE r10: GET/DELETE ordered the delay first)."""
+    srv = LocalObjectStoreServer().start()
+    try:
+        srv.require_signing("AKTEST", "secret123", "eu-west-3")
+        srv.inject("delay", times=1, seconds=0.0)
+        unsigned = HttpCommitBackend(srv.url)
+        for op in (lambda: unsigned.read_text("t/x"),
+                   lambda: unsigned.delete("t/x"),
+                   lambda: unsigned.create_exclusive("t/x", "v")):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                op()
+            assert ei.value.code == 403
+            with srv._httpd.lock:
+                assert srv._httpd.faults.get("delay") == 1, \
+                    "unauthenticated request consumed the armed fault"
+    finally:
+        srv.stop()
