@@ -65,6 +65,19 @@ from pyspark.sql.window import Window
 from ..functions.text import whitespace_tokens
 from ..numerics import round_det
 from . import lifecycle
+from .scale import sized_for_key_agg
+
+
+# ~250k keys per final hash-map task — the grain measured to zero
+# spill at 60 M keys (STARATTR_r08_post); module-level so tests can
+# inject a tiny grain to pin the sized branch at test corpus size
+# (the injected-cap pattern, see incremental_dedup's broadcast gate)
+_POSTINGS_ROWS_PER_TASK = 250_000
+
+# Observability for the self-sizing gate in bm25_topk: the last
+# call's decision (sdl, floor, measured matched count, engaged?) —
+# the LAST_HISTORY_GATE pattern
+LAST_POSTINGS_GATE: dict = {}
 
 
 def _idf(n_docs: int, df_count: int) -> float:
@@ -207,11 +220,39 @@ def bm25_topk(
     # only matched tokens reach the (doc, term) shuffle
     vocab_df = spark.createDataFrame([(t,) for t in vocab],
                                      "t string")
-    postings = (
+    occurrences = (
         base.select(
             doc_id, F.size("__dt").alias("__dl"),
             F.explode("__dt").alias("t"))
         .join(F.broadcast(vocab_df), "t", "left_semi")
+    )
+    # Key-grain exchange self-sizing (CLAUDE.md convention; r10
+    # verdict "what's wrong" #2): both groupBys below have group
+    # count ~ matched-occurrence count, so the session's shuffle
+    # floor puts millions of keys per final hash map at corpus scale
+    # — SCALEPROBE_r10 measured 8,181 MB memory-spill / 757 MB disk
+    # at 100x (bm25_topk_100x_spill_mb).  The GATE is free (sdl is
+    # already collected): only when full-vocab coverage could exceed
+    # the ~250k-keys-per-task grain do we pay one extra MAP-ONLY
+    # count of the matched occurrences (scan + tokenize + broadcast
+    # probe, no shuffle, no agg state) and size both key-grain
+    # exchanges from the measured count.  At bench/oracle scale
+    # (sf0.1 ≈ 270k corpus tokens ≪ the 8M-token gate) the plan is
+    # untouched — fingerprint-stable by construction.
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_matched = None
+    if int(sdl) > floor * _POSTINGS_ROWS_PER_TASK:
+        n_matched = occurrences.count()
+    LAST_POSTINGS_GATE.clear()
+    LAST_POSTINGS_GATE.update({
+        "sdl": int(sdl), "floor": floor, "n_matched": n_matched,
+        "sized": bool(n_matched)})
+    if n_matched:
+        occurrences = sized_for_key_agg(
+            occurrences, [doc_id, "__dl", "t"], rows_hint=n_matched,
+            rows_per_task=_POSTINGS_ROWS_PER_TASK)
+    postings = (
+        occurrences
         .groupBy(doc_id, "__dl", "t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
@@ -231,7 +272,7 @@ def bm25_topk(
         [(r["t"], _idf(n_docs, int(r["__df"]))) for r in idf_rows],
         "t string, __idf double")
 
-    scored = (
+    candidates = (
         postings.join(F.broadcast(qterms), "t")
         .join(F.broadcast(idf_df), "t")
         .withColumn(
@@ -239,6 +280,18 @@ def bm25_topk(
             F.col("__idf") * _tf_term_score(
                 F.col("__tf").cast("double"),
                 F.col("__dl").cast("double"), avgdl, k1, b))
+    )
+    if n_matched:
+        # the (query, doc) grain is the same key-grain class —
+        # candidate rows ≤ matched occurrences × queries-per-term, so
+        # the measured matched count is the sizing hint here too (a
+        # direct repartition, not sized_for_key_agg: the frame
+        # carries the __s payload the slim-projection helper drops)
+        candidates = candidates.repartition(
+            max(floor, n_matched // _POSTINGS_ROWS_PER_TASK),
+            query_id, doc_id)
+    scored = (
+        candidates
         .groupBy(query_id, doc_id)
         # float sum over matched terms would be aggregation-order-
         # dependent: per-term scores round to the 1e-6 grain and sum

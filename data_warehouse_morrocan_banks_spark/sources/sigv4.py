@@ -176,6 +176,54 @@ class SigV4Signer:
         return out
 
 
+    def presign(self, method: str, url: str, expires_s: int = 3600,
+                headers: Mapping[str, str] | None = None,
+                payload_hash: str = UNSIGNED_PAYLOAD) -> str:
+        """Presigned URL (query-parameter auth) per the public AWS
+        doc "Authenticating Requests: Using Query Parameters" — the
+        r10 verdict task #6 form: auth travels IN the URL, so the
+        holder needs no credentials (hand-off links, curl smoke
+        tests, redirect-following clients that drop headers).
+
+        The scheme's documented differences from header auth: the
+        ``X-Amz-*`` auth params join the CANONICAL QUERY (everything
+        except ``X-Amz-Signature``, which is appended last), only
+        ``host`` (+ caller extras) is a signed header, and S3
+        presigned requests use the literal ``UNSIGNED-PAYLOAD``
+        payload hash — the body cannot be known at signing time.
+        Pinned to the published S3 example vector in
+        tests/test_sigv4.py."""
+        parsed = urllib.parse.urlsplit(url)
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", self._clock())
+        scope = (f"{amz_date[:8]}/{self.region}/{self.service}"
+                 "/aws4_request")
+        to_sign = ({k.lower(): v for k, v in headers.items()}
+                   if headers else {})
+        to_sign["host"] = parsed.netloc
+        _, signed = _canonical_headers(to_sign)
+        params = [
+            ("X-Amz-Algorithm", ALGORITHM),
+            ("X-Amz-Credential", f"{self.access_key}/{scope}"),
+            ("X-Amz-Date", amz_date),
+            ("X-Amz-Expires", str(int(expires_s))),
+            ("X-Amz-SignedHeaders", signed),
+        ]
+        if self._token:
+            params.append(("X-Amz-Security-Token", self._token))
+        qs = parsed.query
+        for k, v in params:
+            piece = (f"{urllib.parse.quote(k, safe=_RFC3986_SAFE)}="
+                     f"{urllib.parse.quote(v, safe=_RFC3986_SAFE)}")
+            qs = f"{qs}&{piece}" if qs else piece
+        canon, _ = canonical_request(method, parsed.path, qs,
+                                     to_sign, payload_hash)
+        sig = sign_canonical(self._secret, amz_date, self.region,
+                             self.service, canon)
+        return urllib.parse.urlunsplit(
+            (parsed.scheme, parsed.netloc, parsed.path,
+             f"{qs}&X-Amz-Signature={sig}", parsed.fragment))
+
+
 class SigV4VerifyError(Exception):
     """Verification failure, with the reason in ``str(e)``."""
 
@@ -227,6 +275,74 @@ def verify(method: str, path_and_query: str,
     parsed = urllib.parse.urlsplit(path_and_query)
     canon, _ = canonical_request(method, parsed.path, parsed.query,
                                  to_sign, payload_hash)
+    want = sign_canonical(secret_key, amz_date, region, service,
+                          canon)
+    if not hmac.compare_digest(want, got_sig):
+        raise SigV4VerifyError("signature mismatch")
+
+
+def verify_presigned(method: str, path_and_query: str,
+                     headers: Mapping[str, str],
+                     access_key: str, secret_key: str, region: str,
+                     service: str = "s3",
+                     now: time.struct_time | None = None) -> None:
+    """Server-side verification of a presigned (query-auth) request:
+    recompute the signature from the URL AS RECEIVED minus its
+    ``X-Amz-Signature`` param; raises :class:`SigV4VerifyError` on
+    any mismatch.  When ``now`` is given, enforce
+    ``X-Amz-Date + X-Amz-Expires`` (the documented expiry check —
+    injectable so the emulator tests pin expiry deterministically;
+    ``None`` skips it, the same injectable-clock trade as
+    :func:`verify`'s skew check)."""
+    import calendar
+
+    parsed = urllib.parse.urlsplit(path_and_query)
+    q = dict(urllib.parse.parse_qsl(parsed.query,
+                                    keep_blank_values=True))
+    if q.get("X-Amz-Algorithm") != ALGORITHM:
+        raise SigV4VerifyError("missing/unknown X-Amz-Algorithm")
+    try:
+        cred = q["X-Amz-Credential"]
+        signed_names = q["X-Amz-SignedHeaders"].split(";")
+        got_sig = q["X-Amz-Signature"]
+        amz_date = q["X-Amz-Date"]
+        expires = int(q["X-Amz-Expires"])
+    except (KeyError, ValueError) as e:
+        raise SigV4VerifyError(f"presigned query missing {e}") from None
+    ak, date, req_region, req_service, term = (
+        cred.split("/") + [None] * 5)[:5]
+    if ak != access_key:
+        raise SigV4VerifyError("unknown access key")
+    if (req_region, req_service, term) != (region, service,
+                                           "aws4_request"):
+        raise SigV4VerifyError("credential scope mismatch")
+    if amz_date[:8] != date:
+        raise SigV4VerifyError("X-Amz-Date/scope date mismatch")
+    if now is not None:
+        try:
+            t0 = calendar.timegm(
+                time.strptime(amz_date, "%Y%m%dT%H%M%SZ"))
+        except ValueError:
+            raise SigV4VerifyError("undecodable X-Amz-Date") from None
+        if calendar.timegm(now) > t0 + expires:
+            raise SigV4VerifyError("presigned URL expired")
+    hdrs = {k.lower(): v for k, v in headers.items()}
+    try:
+        to_sign = {n: hdrs[n] for n in signed_names}
+    except KeyError as e:
+        raise SigV4VerifyError(
+            f"signed header {e} absent from request") from None
+    # canonical query = the query AS SENT minus the signature param
+    # (order-insensitive — canonical_query re-sorts either way)
+    kept = [(k, v) for k, v in urllib.parse.parse_qsl(
+        parsed.query, keep_blank_values=True)
+        if k != "X-Amz-Signature"]
+    qs = "&".join(
+        f"{urllib.parse.quote(k, safe=_RFC3986_SAFE)}="
+        f"{urllib.parse.quote(v, safe=_RFC3986_SAFE)}"
+        for k, v in kept)
+    canon, _ = canonical_request(method, parsed.path, qs, to_sign,
+                                 UNSIGNED_PAYLOAD)
     want = sign_canonical(secret_key, amz_date, region, service,
                           canon)
     if not hmac.compare_digest(want, got_sig):

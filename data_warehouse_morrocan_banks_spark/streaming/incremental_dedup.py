@@ -288,7 +288,7 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
                                   id_col: str, app_id: str = "default",
                                   compact_every: int | None = None,
                                   history_join: str = "auto",
-                                  history_read: str = "full",
+                                  history_read: str = "auto",
                                   history_file_rows: int = 500_000
                                   ) -> None:
     """foreachBatch body — use as::
@@ -341,9 +341,22 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     (:func:`compact_history_sorted`, ~``history_file_rows`` rows per
     file).  Scan keys land in ``LAST_HISTORY_GATE[out_path]``
     (``history_files_read`` / ``history_bytes_read`` vs ``*_total``).
-    The default stays ``"full"``: below ~``n_batch x file_rows``
-    history rows the pruning cannot drop anything and the collect is
-    pure overhead.
+
+    ``history_read="auto"`` (default, r11 — mirrors the r10
+    ``history_join="auto"`` gate per the r10 verdict task #4): engage
+    pruned mode exactly when the measured scan law says it can drop
+    something — ``history_files > n_batch`` (uniform digests touch
+    ≤ min(n_files, n_batch) files, so with fewer files than batch
+    hashes every file is expected hit and the collect is pure
+    overhead; SCALEPROBE_r10 ``incdedup_pruned_*``: 30/30 files read
+    at the first decade, 199/3,000 at the third).  The file count is
+    one driver-local manifest read (no Spark job); the batch
+    cardinality reuses the ``history_join="auto"`` decision job's
+    count when that gate ran, else one map-only count.  The decision
+    lands in ``LAST_HISTORY_GATE[out_path]["history_read"]``.  Auto
+    (and pruned) route the ``compact_every`` maintenance through
+    :func:`compact_history_sorted` so the layout pruning depends on
+    maintains itself.
     """
     hashed = batch_df.withColumn("content_md5", content_hash(text_col))
     # keep-first within the batch (lowest id — deterministic under
@@ -363,6 +376,31 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
         history_join = resolve_history_join(
             hashed.select("content_md5"), plan_out=gate)
         LAST_HISTORY_GATE[out_path] = gate
+    requested_read = history_read
+    if history_read == "auto":
+        # pruned wins iff the file count exceeds the batch cardinality
+        # (see docstring) — n_batch reuses the join gate's decision
+        # count when it ran (the PRE-window overcount errs toward
+        # "full", the no-extra-work direction), else one map-only
+        # count; the file count is a driver-local manifest read
+        from ..sources.snapshot_table import _resolve_manifest
+
+        n_batch = gate.get("n_batch_hashes")
+        if n_batch is None:
+            n_batch = hashed.select("content_md5").count()
+        try:
+            _, manifest = _resolve_manifest(hashes_path, None)
+            n_files = len(manifest["files"])
+        except (OSError, KeyError, ValueError):
+            n_files = 0  # unreadable manifest: the full read will
+            # surface the real error with its own diagnostics
+        history_read = "pruned" if n_files > n_batch else "full"
+        gate.update(history_read=history_read,
+                    history_files=n_files, n_batch_hashes=n_batch)
+        LAST_HISTORY_GATE[out_path] = gate
+    else:
+        gate.update(history_read=history_read)
+        LAST_HISTORY_GATE[out_path] = gate
     if history_read == "pruned":
         batch_hashes = [r[0] for r in
                         hashed.select("content_md5").collect()]
@@ -374,7 +412,7 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     else:
         raise ValueError(
             f"unknown history_read: {history_read!r} "
-            "(expected 'full' or 'pruned')")
+            "(expected 'full', 'pruned' or 'auto')")
     fresh = fresh_against_history(in_batch, seen, history_join)
     # stage once: both appends and the document/fingerprint split must
     # see the SAME rows, and recomputing the anti-join between the two
@@ -399,9 +437,13 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
         from ..sources.snapshot_table import compact
 
         compact(spark, out_path)
-        if history_read == "pruned":
+        if requested_read in ("pruned", "auto"):
             # keep the digest-sorted layout pruning depends on — a
-            # single-file compact would defeat it
+            # single-file compact would defeat it.  Under "auto" the
+            # sorted form runs even on a batch that resolved "full":
+            # sorting costs the same exchange as a plain compact and
+            # keeps pruning engageable the moment history outgrows
+            # the batch size
             compact_history_sorted(spark, hashes_path,
                                    file_rows=history_file_rows)
         else:

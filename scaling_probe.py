@@ -31,11 +31,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_warehouse_morrocan_banks_spark.plans.stage_metrics import (  # noqa: E402,E501
-    completed_stages,
     executors_disk_mb,
     executors_storage_mb,
     max_task_runtime_s,
     stage_delta,
+)
+# SETTLED snapshots probe-wide (ADVICE r10, shared fix with bench.py):
+# the UI status store is fed by the async listener bus, so an
+# immediate post-action snapshot can miss just-completed stages —
+# the missed CPU bleeds into the NEXT shape's delta, and any
+# min-of-reps latches the undercount.  The alias keeps every probe
+# call site on the settled form.
+from data_warehouse_morrocan_banks_spark.plans.stage_metrics import (  # noqa: E402,E501
+    settled_completed_stages as completed_stages,
 )
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -280,7 +288,12 @@ def assert_smoke_instrumentation(results: dict) -> None:
                 "incdedup_pruned_1x_files_total",
                 "incdedup_pruned_1x_scan_mb",
                 "incdedup_pruned_1x_scan_total_mb",
-                "incdedup_pruned_2x"):
+                "incdedup_pruned_2x",
+                # r11: reps provenance on third-decade CPU, the
+                # global_rank bucket-count trade, bm25's sizing gate
+                "global_rank_2x_cpu_reps", "global_rank_b2000_2x",
+                "global_rank_b2000_2x_spill_mb",
+                "bm25_gate_sized_2x"):
         assert key in results, f"smoke: missing instrumentation {key}"
 
 
@@ -1429,12 +1442,31 @@ def main(smoke: bool = False, out_path: str | None = None,
             results[f"minhash_plan_{tag}"] = f"r={r_},b={b_}"
 
     def run_100x(name, fn, frame):
-        before = completed_stages(spark)
-        t0 = time.perf_counter()
-        fn(frame).write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
+        # reps=2 min-CPU at the third decade (r10 verdict task #3):
+        # single-rep 100x CPU swung ±20-40 % across fresh processes
+        # with identical plans (minhash 896→1,214; hh 493→292 in
+        # SCALEPROBE_r10) — CPU kills external-load noise, not JVM/GC
+        # scatter.  Wall and CPU take the in-process min across reps
+        # (plus --merge-min across runs for walls); bytes/spill come
+        # from the last rep — deterministic per plan, and rep 2's
+        # steady state avoids charging first-run codegen artifacts.
+        # Smoke stays reps=1 (coverage, not measurement).
+        reps = 1 if smoke else 2
+        wall = float("inf")
+        cpu = None
+        d = None
+        for _ in range(reps):
+            before = completed_stages(spark)
+            t0 = time.perf_counter()
+            fn(frame).write.format("noop").mode("overwrite").save()
+            wall = min(wall, time.perf_counter() - t0)
+            dd = stage_delta(before, completed_stages(spark))
+            if dd is not None:
+                d = dd
+                cpu = dd["cpu_s"] if cpu is None \
+                    else min(cpu, dd["cpu_s"])
         results[f"{name}_{xs}x"] = round(wall, 2)
-        d = stage_delta(before, completed_stages(spark))
+        results[f"{name}_{xs}x_cpu_reps"] = reps
         if d is not None:
             results[f"{name}_{xs}x_shuffle_write_mb"] = d["sw"]
             # the summed spill metric is dominated by the MEMORY
@@ -1443,10 +1475,7 @@ def main(smoke: bool = False, out_path: str | None = None,
             # the split so a big summed value can be attributed
             results[f"{name}_{xs}x_spill_mb"] = d["spill"]
             results[f"{name}_{xs}x_spill_disk_mb"] = d["spill_disk"]
-            # reps=1 here, so CPU carries first-run codegen — still
-            # the cross-round column (codegen CPU is code-determined,
-            # not box-state-determined)
-            results[f"{name}_{xs}x_cpu_s"] = d["cpu_s"]
+            results[f"{name}_{xs}x_cpu_s"] = cpu
         if not smoke:
             results[f"{name}_scaling_ratio_{xs}x"] = round(
                 results[f"{name}_{xs}x"]
@@ -1478,6 +1507,49 @@ def main(smoke: bool = False, out_path: str | None = None,
         probe_stream_hh(frame, f"zipf_{xs}x", n_files=8 * xs)
         probe_stream_hh(frame, f"zipf_pre_{xs}x", n_files=8 * xs,
                         pre_count=True)
+
+    def grank_b2000_x(frame):
+        """global_rank bucket-count trade at the third decade (r10
+        verdict task #7): the default self-sized B (~250k rows/task)
+        measured 7.1 GB execution sort spill at 60 M rows — inherent
+        to sorting 250k-row buckets in 32 concurrent 8 GiB-heap
+        slots, per the cc half-grain lesson (per-slot memory is set
+        by CONCURRENCY).  B=2000 shrinks each window sort to ~30k
+        rows: this records whether the spill actually vanishes and
+        what the O(B) boundary job + 2000-task scheduling costs in
+        exchange — the quotable trade, beside global_rank_{xs}x."""
+        from data_warehouse_morrocan_banks_spark.operators.windows import (
+            global_rank,
+        )
+        before = completed_stages(spark)
+        t0 = time.perf_counter()
+        global_rank(frame, ["l_extendedprice"], kind="rank",
+                    num_partitions=2000).write.format("noop").mode(
+                        "overwrite").save()
+        results[f"global_rank_b2000_{xs}x"] = round(
+            time.perf_counter() - t0, 2)
+        d = stage_delta(before, completed_stages(spark))
+        if d is not None:
+            results[f"global_rank_b2000_{xs}x_spill_mb"] = d["spill"]
+            results[f"global_rank_b2000_{xs}x_spill_disk_mb"] = \
+                d["spill_disk"]
+            results[f"global_rank_b2000_{xs}x_shuffle_write_mb"] = \
+                d["sw"]
+            results[f"global_rank_b2000_{xs}x_cpu_s"] = d["cpu_s"]
+
+    def bm25_gate_x(frame):
+        """bm25_topk's key-grain self-sizing decision at this decade
+        (r10 verdict task #2): sized? and the measured matched count
+        — quotable beside bm25_topk_{xs}x_spill_mb so the artifact
+        shows WHICH branch produced the spill number."""
+        from data_warehouse_morrocan_banks_spark.operators import (
+            retrieval,
+        )
+        gate = dict(retrieval.LAST_POSTINGS_GATE)
+        results[f"bm25_gate_sized_{xs}x"] = bool(gate.get("sized"))
+        if gate.get("n_matched") is not None:
+            results[f"bm25_gate_matched_rows_{xs}x"] = \
+                int(gate["n_matched"])
 
     def span_counts_x(frame):
         """span_dedup output law at the third decade (r7 judge task
@@ -1570,10 +1642,11 @@ def main(smoke: bool = False, out_path: str | None = None,
     if fam("shapes"):
         for make, shapes_x, record_rows, hooks in (
             (lambda: replicate_cross(li, xs, ["l_orderkey"]),
-             (("q1_agg", q1), ("global_rank", grank)), True, ()),
+             (("q1_agg", q1), ("global_rank", grank)), True,
+             (grank_b2000_x,)),
             (lambda: replicate_cross(docs, xs, ["doc_id"]),
              (("pack_streaming", pack), ("bm25_topk", bm25)), False,
-             (zorder_x,)),
+             (bm25_gate_x, zorder_x)),
             # token-namespaced docs: span_dedup's third decade (r7 #7) —
             # cross-copy grams must not collide or the output law
             # measures the replication, not the operator

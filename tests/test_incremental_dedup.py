@@ -392,7 +392,7 @@ def test_batch_body_pruned_mode_equality_and_scan_keys(spark, tmp_path):
     )
 
     outs = {}
-    for mode in ("full", "pruned"):
+    for mode in ("full", "pruned", "auto"):
         out = str(tmp_path / f"corpus_{mode}")
         hashes = str(tmp_path / f"hashes_{mode}")
         init_incremental_dedup(spark, out, hashes,
@@ -414,5 +414,65 @@ def test_batch_body_pruned_mode_equality_and_scan_keys(spark, tmp_path):
                 gate["history_files_total"]
             assert gate["history_bytes_read"] <= \
                 gate["history_bytes_total"]
-    assert outs["full"] == outs["pruned"]
+    assert outs["full"] == outs["pruned"] == outs["auto"]
     assert outs["full"][0] == [1, 3, 5, 7]
+
+
+def test_history_read_auto_gate_picks_both_branches(spark, tmp_path):
+    """r10 verdict task #4: history_read='auto' engages pruned mode
+    exactly when the manifest's file count exceeds the batch
+    cardinality (the measured scan law's regime boundary), records
+    the decision in LAST_HISTORY_GATE, and keeps the digest-sorted
+    compaction wired so the layout maintains itself."""
+    from data_warehouse_morrocan_banks_spark.streaming import (
+        incremental_dedup as inc,
+    )
+
+    out = str(tmp_path / "corpus")
+    hashes = str(tmp_path / "hashes")
+    init_incremental_dedup(spark, out, hashes,
+                           _docs(spark, [(0, "x")]))
+
+    # FULL branch: a 6-row batch against a 1-file history — files
+    # (1) ≤ batch (6), pruning can't drop anything, no collect runs
+    incremental_exact_dedup_batch(
+        spark, out, hashes,
+        _docs(spark, [(i, f"t{i}") for i in range(1, 7)]), 0,
+        "text", "doc_id")
+    gate = inc.LAST_HISTORY_GATE[out]
+    assert gate["history_read"] == "full"
+    assert gate["history_files"] <= gate["n_batch_hashes"]
+    assert "history_files_read" not in gate  # pruned scan never ran
+
+    # grow the file count: sorted-compact into 1-row files (7 hashes
+    # → ≥7 files), then a 1-row batch — files > batch engages pruned
+    from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+        compact_history_sorted,
+    )
+
+    n_files = compact_history_sorted(spark, hashes, file_rows=1)
+    assert n_files > 1
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(10, "t3")]), 1,
+        "text", "doc_id")
+    gate = inc.LAST_HISTORY_GATE[out]
+    assert gate["history_read"] == "pruned"
+    assert gate["history_files"] > gate["n_batch_hashes"]
+    # scan evidence recorded, and the pruned read dropped files
+    assert gate["history_files_read"] < gate["history_files_total"]
+    # correctness: t3 is a cross-batch dup, only the fresh rows land
+    assert _ids(spark, out) == [1, 2, 3, 4, 5, 6]
+
+    # auto + compact_every routes maintenance through the SORTED
+    # compaction (the layout stays range-partitioned on content_md5)
+    incremental_exact_dedup_batch(
+        spark, out, hashes, _docs(spark, [(11, "t11")]), 2,
+        "text", "doc_id", compact_every=2, history_file_rows=2)
+    from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+        pruned_history_files,
+    )
+    # after sorted compaction a disjoint-range probe prunes files:
+    # a sentinel digest below every real md5 range touches nothing
+    info = pruned_history_files(hashes, ["0" * 32])
+    assert info["files_total"] >= 2
+    assert len(info["files"]) < info["files_total"]

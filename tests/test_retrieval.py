@@ -284,3 +284,43 @@ def test_bm25_prefers_rarer_terms(spark):
     got = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
         docs, "doc_id", "text", ["alpha", "omega"]).collect()}
     assert got["probe_rare"] > got["probe_common"]
+
+
+def test_bm25_topk_postings_gate_both_branches(spark, monkeypatch):
+    """Key-grain self-sizing gate (r10 verdict weak item): the
+    (doc, term) and (query, doc) exchanges size themselves from a
+    measured matched-occurrence count when the corpus token total
+    says the session floor could spill.  Both branches pinned via an
+    injected grain (the incremental_dedup injected-cap pattern);
+    results must be identical either way."""
+    from data_warehouse_morrocan_banks_spark.operators import retrieval
+
+    docs = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    qs = [("q1", "spark query"), ("q2", "table")]
+    queries = spark.createDataFrame(
+        qs, "query_id string, query_text string")
+
+    # default grain: test corpus (~30 tokens) stays far under
+    # floor*grain — gate must NOT engage, no count job, no resize
+    base = sorted(map(tuple, bm25_topk(docs, queries, k=3).collect()))
+    gate = dict(retrieval.LAST_POSTINGS_GATE)
+    assert gate["sized"] is False and gate["n_matched"] is None
+    assert gate["sdl"] > 0
+
+    # injected grain of 1 (every matched occurrence its own key)
+    # forces sdl > floor*1 — gate engages, one matched-occurrence
+    # count is measured, both exchanges sized
+    monkeypatch.setattr(retrieval, "_POSTINGS_ROWS_PER_TASK", 1,
+                        raising=True)
+    out = bm25_topk(docs, queries, k=3)
+    sized = sorted(map(tuple, out.collect()))
+    gate = dict(retrieval.LAST_POSTINGS_GATE)
+    assert gate["sized"] is True
+    assert gate["n_matched"] and gate["n_matched"] > 0
+    assert sized == base == _brute_topk(_CORPUS, qs, 3)
+    # the sized exchange is in the executed plan: an explicit
+    # hashpartitioning at a width above the session floor appears
+    # when matched count exceeds it (here matched < floor, so the
+    # repartition clamps AT the floor — assert the node exists)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan
