@@ -1873,7 +1873,11 @@ def merge_min_walls(results: dict, prev_path: str) -> dict:
         # artifact's cross-round column always describes the code it
         # ships with (cpu keys end _cpu_s, caught by the suffix rule,
         # listed here for the greppable record)
-        and "fact_rows" not in k and not k.endswith("_cpu_s"))
+        and "fact_rows" not in k and not k.endswith("_cpu_s")
+        # r11: gate-decision keys (bm25_gate_sized_* is a BOOL —
+        # bool is int in Python and would min-merge; matched_rows is
+        # a deterministic count) and the reps provenance field
+        and "gate" not in k and "cpu_reps" not in k)
     for k, v in prev.items():
         if wall_key(k) and isinstance(v, (int, float)) \
                 and isinstance(merged.get(k), (int, float)) and v < merged[k]:
