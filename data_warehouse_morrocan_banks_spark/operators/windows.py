@@ -42,14 +42,25 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
 
 # global_rank's self-sizing (num_partitions=None): bucket count =
 # rows / _TARGET_ROWS_PER_BUCKET (bounded below by shuffle.partitions,
-# above by the quantile grid's resolution).  250k rows sort in-memory
-# in one window task comfortably; the probe's 100x point (60 M rows)
-# spilled 5.6-7.4 GB at the old default B=32 (1.9 M rows/task) and
-# sizes to B=240 under this rule.
-_TARGET_ROWS_PER_BUCKET = 250_000
-# self-sizing covers _BOUNDARY_GRID × 250k = 256 M rows — beyond
-# that pass num_partitions explicitly
-_BOUNDARY_GRID = 1024
+# above by the quantile grid's resolution).  The grain is SORT grain,
+# not hash-agg grain, and it is measured (r11, SCALEPROBE_r11
+# global_rank_100x vs global_rank_b2000_100x at 60 M rows): the old
+# 250k-row buckets (B=240) spilled 7.2 GB memory / 356 MB disk in the
+# window sorts, while 30k-row buckets (B=2000) spilled ZERO with wall
+# 92.2 s vs 104.0 s and CPU 525 vs 492 s (+7 % CPU for the O(B)
+# boundary grid + 2000-task scheduling — the measured trade, taken).
+# Small frames are untouched: below floor×30k rows B clamps to the
+# session floor, so the 1×/10⁵-row plans (and every bench query) are
+# unchanged; the 1× explicit-B=2000 overhead (3.67 s vs 1.95 s,
+# SCALEPROBE_r10 global_rank_b2000_1x) is exactly what the
+# rows-derived grain avoids.  (The earlier history: the pre-r6
+# default B=32 put 1.9 M rows/task and spilled 5.6-7.4 GB.)
+_TARGET_ROWS_PER_BUCKET = 30_000
+# self-sizing covers _BOUNDARY_GRID × 30k = 61 M rows at the
+# measured grain — beyond that buckets grow past 30k rows toward the
+# r10 250k-grain regime (first spill measured at 250k); pass
+# num_partitions explicitly past ~250 M rows
+_BOUNDARY_GRID = 2048
 # the boundary sketch sees only ~1/64 of the rows: percentile_approx's
 # PER-ROW cost grows with its accuracy parameter and turns the pass
 # super-linear on big frames (measured on an 18 M-row cached frame:
@@ -175,10 +186,13 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     ``num_partitions`` is the bucket count = the rank stage's
     parallelism (one window task per bucket).  Default (None):
     SELF-SIZED to rows-per-task — the same pass that collects the
-    quantile grid counts the rows, and B = rows/250k (bounded below
-    by shuffle.partitions, above by the 1024-point grid), so a
+    quantile grid counts the rows, and B = rows/30k (bounded below
+    by shuffle.partitions, above by the 2048-point grid; the 30k
+    SORT grain is measured — see _TARGET_ROWS_PER_BUCKET), so a
     large frame never lands millions of rows in one window sort
-    (self-sizing covers 256 M rows; beyond, pass num_partitions).
+    (the measured grain covers ~61 M rows; beyond, buckets grow
+    toward the 250k regime where spill first appeared — pass
+    num_partitions on larger frames).
     Per-row assignment cost is O(B) chained-when below 65 boundaries
     (codegen) and O(log B) vectorized searchsorted above.
     ``materialize=True`` (default) lifecycle-pins the bucketed frame
