@@ -242,7 +242,13 @@ class _Handler(BaseHTTPRequestHandler):
             auth = srv.auth
         if auth is None:
             return True
-        from .sigv4 import SigV4VerifyError, verify, verify_presigned
+        from .sigv4 import (
+            STREAMING_PAYLOAD,
+            SigV4VerifyError,
+            verify,
+            verify_chunked,
+            verify_presigned,
+        )
 
         try:
             if "X-Amz-Signature=" in (self.path.partition("?")[2]):
@@ -252,6 +258,14 @@ class _Handler(BaseHTTPRequestHandler):
                 # injectable-clock trade verify's docstring records)
                 verify_presigned(self.command, self.path,
                                  dict(self.headers.items()), *auth)
+            elif (self.headers.get("x-amz-content-sha256")
+                    == STREAMING_PAYLOAD):
+                # aws-chunked upload (r11): verify seed + chunk
+                # chain, hand the DECODED payload back to do_PUT so
+                # the store holds the object bytes, not the framing
+                self._decoded_body = verify_chunked(
+                    self.command, self.path,
+                    dict(self.headers.items()), body, *auth)
             else:
                 verify(self.command, self.path,
                        dict(self.headers.items()), body, *auth)
@@ -371,8 +385,13 @@ class _Handler(BaseHTTPRequestHandler):
         key = self._key()
         n = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(n)
+        self._decoded_body = None
         if not self._check_auth(body):
             return
+        if self._decoded_body is not None:
+            body = self._decoded_body  # aws-chunked: store object
+            # bytes, not the chunk framing (_check_auth verified the
+            # signature chain and decoded)
         self._maybe_delay()
         if self._flaky_500():
             return

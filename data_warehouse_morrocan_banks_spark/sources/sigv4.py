@@ -41,8 +41,12 @@ import urllib.parse
 from typing import Callable, Mapping
 
 ALGORITHM = "AWS4-HMAC-SHA256"
+CHUNK_ALGORITHM = "AWS4-HMAC-SHA256-PAYLOAD"
 UNSIGNED_PAYLOAD = "UNSIGNED-PAYLOAD"
+STREAMING_PAYLOAD = "STREAMING-AWS4-HMAC-SHA256-PAYLOAD"
 _RFC3986_SAFE = "-_.~"
+_EMPTY_SHA = ("e3b0c44298fc1c149afbf4c8996fb924"
+              "27ae41e4649b934ca495991b7852b855")
 
 
 def _sha256_hex(data: bytes) -> str:
@@ -224,6 +228,84 @@ class SigV4Signer:
              f"{qs}&X-Amz-Signature={sig}", parsed.fragment))
 
 
+    def sign_chunked(self, method: str, url: str, payload: bytes,
+                     headers: Mapping[str, str] | None = None,
+                     chunk_size: int = 65536
+                     ) -> tuple[dict[str, str], bytes]:
+        """Chunked (streaming) upload per the public AWS doc
+        "Transfer payload in multiple chunks" — the r10 verdict task
+        #6 form a real uploader uses for multi-GB objects so the
+        whole body never has to be hashed (or held) before the
+        request line goes out.
+
+        Returns ``(attach_headers, encoded_body)``: the seed request
+        signs with the literal ``STREAMING-AWS4-HMAC-SHA256-PAYLOAD``
+        payload hash plus ``content-encoding: aws-chunked`` and
+        ``x-amz-decoded-content-length`` in the signed set; each
+        chunk then carries ``hex(size);chunk-signature=<sig>`` where
+        the signature chains from the previous one via the documented
+        chunk string-to-sign (``AWS4-HMAC-SHA256-PAYLOAD``, empty-
+        string hash, chunk-data hash) — tampering with any chunk, or
+        reordering, breaks the chain.  The final 0-byte chunk closes
+        it.  Pinned to all four published example signatures (seed +
+        3 chunks) in tests/test_sigv4.py."""
+        parsed = urllib.parse.urlsplit(url)
+        amz_date = time.strftime("%Y%m%dT%H%M%SZ", self._clock())
+        date = amz_date[:8]
+        scope = f"{date}/{self.region}/{self.service}/aws4_request"
+        chunks = [payload[i:i + chunk_size]
+                  for i in range(0, len(payload), chunk_size)] or [b""]
+        if chunks[-1]:
+            chunks.append(b"")  # terminal 0-byte chunk
+        # encoded length: per chunk, len(hex(size)) + len(";chunk-
+        # signature=") + 64 + CRLF + data + CRLF
+        meta = ";chunk-signature="
+        total = sum(len(f"{len(c):x}") + len(meta) + 64 + 2 + len(c) + 2
+                    for c in chunks)
+        to_sign = ({k.lower(): v for k, v in headers.items()}
+                   if headers else {})
+        to_sign.update({
+            "host": parsed.netloc,
+            "x-amz-date": amz_date,
+            "x-amz-content-sha256": STREAMING_PAYLOAD,
+            "content-encoding": "aws-chunked",
+            "content-length": str(total),
+            "x-amz-decoded-content-length": str(len(payload)),
+        })
+        if self._token:
+            to_sign["x-amz-security-token"] = self._token
+        canon, signed = canonical_request(
+            method, parsed.path, parsed.query, to_sign,
+            STREAMING_PAYLOAD)
+        seed = sign_canonical(self._secret, amz_date, self.region,
+                              self.service, canon)
+        key = derive_signing_key(self._secret, date, self.region,
+                                 self.service)
+        out_headers = {
+            "x-amz-date": amz_date,
+            "x-amz-content-sha256": STREAMING_PAYLOAD,
+            "Content-Encoding": "aws-chunked",
+            "x-amz-decoded-content-length": str(len(payload)),
+            "Authorization": (
+                f"{ALGORITHM} Credential={self.access_key}/{scope}, "
+                f"SignedHeaders={signed}, Signature={seed}"),
+        }
+        if self._token:
+            out_headers["x-amz-security-token"] = self._token
+        body = bytearray()
+        prev = seed
+        for c in chunks:
+            sts = "\n".join([CHUNK_ALGORITHM, amz_date, scope, prev,
+                             _EMPTY_SHA, _sha256_hex(c)])
+            sig = hmac.new(key, sts.encode("utf-8"),
+                           hashlib.sha256).hexdigest()
+            body += (f"{len(c):x}{meta}{sig}\r\n").encode("ascii")
+            body += c + b"\r\n"
+            prev = sig
+        assert len(body) == total
+        return out_headers, bytes(body)
+
+
 class SigV4VerifyError(Exception):
     """Verification failure, with the reason in ``str(e)``."""
 
@@ -264,7 +346,11 @@ def verify(method: str, path_and_query: str,
     if amz_date[:8] != date:
         raise SigV4VerifyError("x-amz-date/scope date mismatch")
     payload_hash = hdrs.get("x-amz-content-sha256", "")
-    if (payload_hash != UNSIGNED_PAYLOAD
+    # the two literals defer payload integrity elsewhere: UNSIGNED
+    # by caller choice, STREAMING to the chunk-signature chain
+    # (verify_chunked validates it; a bare verify() of a streaming
+    # request checks headers/scope/seed only)
+    if (payload_hash not in (UNSIGNED_PAYLOAD, STREAMING_PAYLOAD)
             and payload_hash != _sha256_hex(payload)):
         raise SigV4VerifyError("payload hash mismatch")
     try:
@@ -279,6 +365,73 @@ def verify(method: str, path_and_query: str,
                           canon)
     if not hmac.compare_digest(want, got_sig):
         raise SigV4VerifyError("signature mismatch")
+
+
+def verify_chunked(method: str, path_and_query: str,
+                   headers: Mapping[str, str], body: bytes,
+                   access_key: str, secret_key: str, region: str,
+                   service: str = "s3") -> bytes:
+    """Server-side verification of an aws-chunked upload: verify the
+    seed Authorization (payload hash is the STREAMING literal), then
+    walk the chunk framing verifying each chunk signature against
+    the documented chain; returns the DECODED payload.  Raises
+    :class:`SigV4VerifyError` on a broken seed, a malformed frame, a
+    chain mismatch, or a decoded length that disagrees with the
+    signed ``x-amz-decoded-content-length``."""
+    hdrs = {k.lower(): v for k, v in headers.items()}
+    if hdrs.get("x-amz-content-sha256") != STREAMING_PAYLOAD:
+        raise SigV4VerifyError("not a streaming payload request")
+    # seed verification reuses verify() — the STREAMING literal short-
+    # circuits its payload-hash equality check by construction
+    verify(method, path_and_query, headers, b"", access_key,
+           secret_key, region, service)
+    auth = hdrs["authorization"]
+    seed = auth.rsplit("Signature=", 1)[1].strip()
+    amz_date = hdrs["x-amz-date"]
+    date = amz_date[:8]
+    scope = f"{date}/{region}/{service}/aws4_request"
+    key = derive_signing_key(secret_key, date, region, service)
+    try:
+        declared = int(hdrs["x-amz-decoded-content-length"])
+    except (KeyError, ValueError):
+        raise SigV4VerifyError(
+            "missing x-amz-decoded-content-length") from None
+    out = bytearray()
+    prev = seed
+    pos = 0
+    saw_final = False
+    while pos < len(body):
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise SigV4VerifyError("malformed chunk header")
+        head = body[pos:nl].decode("ascii", "replace")
+        size_hex, _, sigpart = head.partition(";chunk-signature=")
+        try:
+            size = int(size_hex, 16)
+        except ValueError:
+            raise SigV4VerifyError("malformed chunk size") from None
+        data = body[nl + 2:nl + 2 + size]
+        if len(data) != size or body[nl + 2 + size:nl + 4 + size] != b"\r\n":
+            raise SigV4VerifyError("truncated chunk")
+        sts = "\n".join([CHUNK_ALGORITHM, amz_date, scope, prev,
+                         _EMPTY_SHA, _sha256_hex(data)])
+        want = hmac.new(key, sts.encode("utf-8"),
+                        hashlib.sha256).hexdigest()
+        if not hmac.compare_digest(want, sigpart):
+            raise SigV4VerifyError("chunk signature mismatch")
+        out += data
+        prev = want
+        pos = nl + 4 + size
+        if size == 0:
+            saw_final = True
+            break
+    if not saw_final:
+        raise SigV4VerifyError("missing terminal chunk")
+    if pos != len(body):
+        raise SigV4VerifyError("trailing bytes after terminal chunk")
+    if len(out) != declared:
+        raise SigV4VerifyError("decoded length mismatch")
+    return bytes(out)
 
 
 def verify_presigned(method: str, path_and_query: str,
