@@ -151,8 +151,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # measurement JVM pinning default-ON for bench processes (r11
+    # verdict task #2: ±14-40 % same-fingerprint cross-process CPU
+    # scatter; fixed heap/GC/JIT/code-cache sizing removes the
+    # launch-ergonomics variance).  setdefault: an explicit
+    # SPARK_GRAFT_PIN_JVM=0 still runs unpinned for A/B.
+    os.environ.setdefault("SPARK_GRAFT_PIN_JVM", "1")
+
     from data_warehouse_morrocan_banks_spark import registry
-    from data_warehouse_morrocan_banks_spark.session import get_spark
+    from data_warehouse_morrocan_banks_spark.session import (
+        get_spark,
+        pinned_jvm_opts,
+    )
 
     spark = get_spark("dwmb-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -276,6 +286,11 @@ def main() -> None:
             "samples": 5,
             "aggregate": "min",
             "cpu_snapshots": "settled",
+            # r12: measurement-JVM pinning provenance — flags applied
+            # when this process launched the JVM (None = unpinned run)
+            "jvm_pinned": (pinned_jvm_opts()
+                           if os.environ.get("SPARK_GRAFT_PIN_JVM", "0")
+                           not in ("", "0") else None),
         },
         # queries whose registered plan does different WORK than last
         # round — COMPUTED as the normalized-executedPlan fingerprint

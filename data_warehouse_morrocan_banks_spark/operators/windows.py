@@ -56,11 +56,24 @@ def surrogate_key(df: DataFrame, key_name: str, order_by: list[Column] | None = 
 # rows-derived grain avoids.  (The earlier history: the pre-r6
 # default B=32 put 1.9 M rows/task and spilled 5.6-7.4 GB.)
 _TARGET_ROWS_PER_BUCKET = 30_000
-# self-sizing covers _BOUNDARY_GRID × 30k = 61 M rows at the
+# self-sizing covers _BOUNDARY_GRID × 30k ≈ 245 M rows at the
 # measured grain — beyond that buckets grow past 30k rows toward the
 # r10 250k-grain regime (first spill measured at 250k); pass
-# num_partitions explicitly past ~250 M rows
-_BOUNDARY_GRID = 2048
+# num_partitions explicitly past ~1 B rows.  r12 (r11 verdict task
+# #3): 2048 → 8192 — the old grid capped B at 2048 buckets, so past
+# 61 M rows buckets re-grew toward the spill regime.  The grid's
+# per-call cost is the percentile sketch EXTRACTION (one pass over
+# the ~10k-entry sketch per grid point, driver-side scale) plus the
+# probs literal, which is built as ONE array literal (``F.lit(probs)``,
+# a single py4j call) rather than 8191 ``F.lit`` round-trips —
+# measured: the 8192 grid's boundary pass costs the same as 2048's
+# at 1×/600k rows (SCALEPROBE_r12 global_rank_boundary_1x) and the
+# 120 M-row point runs zero-spill (global_rank_xl_*).  Sketch
+# accuracy stays 10_000: adjacent grid quantiles 1/8192 apart are
+# within the sketch's rank-error band, so neighbouring boundaries
+# can collide — that costs BALANCE only (an empty bucket), never
+# values, the same trade the docstring pins for boundary quality.
+_BOUNDARY_GRID = 8192
 # the boundary sketch sees only ~1/64 of the rows: percentile_approx's
 # PER-ROW cost grows with its accuracy parameter and turns the pass
 # super-linear on big frames (measured on an 18 M-row cached frame:
@@ -146,7 +159,8 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 ascending: bool | list[bool] = True,
                 num_partitions: int | None = None,
                 boundaries: list | None = None,
-                materialize: bool = True) -> DataFrame:
+                materialize: bool = True,
+                plan_out: dict | None = None) -> DataFrame:
     """Distributed global rank — the scale-safe form of
     ``RANK() OVER (ORDER BY …)`` with NO partition key, which Spark
     plans as a SINGLE-TASK sort of the entire input (the documented
@@ -190,9 +204,15 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     by shuffle.partitions, above by the 2048-point grid; the 30k
     SORT grain is measured — see _TARGET_ROWS_PER_BUCKET), so a
     large frame never lands millions of rows in one window sort
-    (the measured grain covers ~61 M rows; beyond, buckets grow
-    toward the 250k regime where spill first appeared — pass
-    num_partitions on larger frames).
+    (the measured grain covers ~245 M rows on the 8192-point grid —
+    r12, probed zero-spill at 120 M; beyond, buckets grow toward the
+    250k regime where spill first appeared — pass num_partitions on
+    larger frames).  ``plan_out`` (probe instrumentation, the
+    ``stats_out``/``plan_out`` house convention): receives
+    ``grid_n``, ``n_rows`` (None when explicit boundaries skip the
+    count), ``num_partitions`` and ``boundary_wall_s`` — the
+    boundary pass is a driver-blocking ``first()``, so the probe can
+    quote its real cost instead of re-running a lookalike job.
     Per-row assignment cost is O(B) chained-when below 65 boundaries
     (codegen) and O(log B) vectorized searchsorted above.
     ``materialize=True`` (default) lifecycle-pins the bucketed frame
@@ -238,13 +258,21 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 F.xxhash64(F.monotonically_increasing_id(), F.lit(42)),
                 F.lit(_BOUNDARY_SAMPLE_MOD)) == 0).alias("__gr_in"),
         )
+        # ONE array literal for the probs (F.lit on the list), not
+        # F.array over grid_n-1 F.lit columns: each F.lit is a py4j
+        # round-trip, and at the 8192 grid that form paid ~8k driver
+        # IPC calls per global_rank invocation before any job ran
+        import time as _time
+
+        _t0 = _time.perf_counter()
         row = samp.select(
             F.percentile_approx(
                 F.when(F.col("__gr_in"), F.col("__gr_lead")),
-                F.array(*[F.lit(p) for p in probs]),
+                F.lit(probs),
                 F.lit(10_000)).alias("b"),
             F.count(F.lit(1)).alias("n"),
         ).first()
+        _boundary_wall = _time.perf_counter() - _t0
         # drop NaN grid points too (a NaN-heavy lead column can push
         # NaN into high quantiles): NaN rows always bucket LAST asc by
         # the assignment rule, so a NaN boundary adds nothing and
@@ -252,8 +280,8 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         # test that partitions cleanly)
         grid = [] if row is None or row["b"] is None else \
             [b for b in row["b"] if b is not None and b == b]
+        n_rows = 0 if row is None else row["n"]
         if num_partitions is None:
-            n_rows = 0 if row is None else row["n"]
             num_partitions = min(
                 max(shuffle_parts,
                     -(-n_rows // _TARGET_ROWS_PER_BUCKET)),
@@ -262,11 +290,19 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
         else:
             boundaries = grid
         lead_expr = lead.cast("double")
+        if plan_out is not None:
+            plan_out.update(grid_n=grid_n, n_rows=int(n_rows),
+                            num_partitions=num_partitions,
+                            boundary_wall_s=round(_boundary_wall, 3))
     else:
         if num_partitions is None:
             num_partitions = shuffle_parts
         boundaries = sorted(boundaries)
         lead_expr = lead
+        if plan_out is not None:
+            plan_out.update(grid_n=None, n_rows=None,
+                            num_partitions=num_partitions,
+                            boundary_wall_s=0.0)
     # ascending bucket: #boundaries strictly below the key; NULL
     # compares to nothing → bucket 0 (asc, NULLS FIRST) and flips to
     # the last bucket under desc (NULLS LAST).  Form depends on

@@ -43,6 +43,42 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
+# JVM pinning for MEASUREMENT processes (r11 verdict task #2: the
+# cross-process 100× CPU scatter — unchanged shapes swung ±14-40 %
+# across fresh JVMs with identical plans/bytes).  Gated on
+# $SPARK_GRAFT_PIN_JVM (bench.py / scaling_probe.py default it ON;
+# engine sessions stay unpinned — these flags trade startup time for
+# run-to-run determinism, which only measurement cares about):
+# - -Xms = driver.memory + AlwaysPreTouch: heap starts at max and is
+#   pre-faulted, so GC ergonomic resizes and first-touch page faults
+#   can't differ between runs (Spark rejects -Xmx here; -Xms is
+#   allowed).
+# - fixed GC/JIT THREAD COUNTS: ergonomics size these from visible
+#   CPUs at launch; pinning removes the launch-state dependence.
+# - code cache at 512m, fully reserved: Spark whole-stage codegen
+#   fills the 240m default on long runs, and the resulting sweeps /
+#   re-JITs are a plausible same-plan CPU scatter source.
+# Deliberately NOT -XX:TieredStopAtLevel=1 (the verdict's other
+# suggestion): C1-only code inflates steady-state CPU severalfold on
+# codegen'd kernels, which would break the cross-round CPU column
+# against every prior round's numbers for a measurement-stability
+# experiment.
+PINNED_JVM_OPTS = (
+    "-Xms{heap} -XX:+AlwaysPreTouch "
+    "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 "
+    "-XX:CICompilerCount=4 "
+    "-XX:ReservedCodeCacheSize=512m -XX:InitialCodeCacheSize=512m"
+)
+
+
+def pinned_jvm_opts() -> str:
+    """The pin flag string actually applied (``-Xms`` tracks the
+    ``$SPARK_GRAFT_DRIVER_MEM`` heap so a smaller heap never gets an
+    ``-Xms`` above its ``-Xmx``); artifacts record this string as
+    provenance."""
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    return PINNED_JVM_OPTS.format(heap=heap)
+
 
 def get_spark(app_name: str = "dwmb-spark", master: str | None = None) -> SparkSession:
     """Build (or get) the engine SparkSession.
@@ -64,6 +100,12 @@ def get_spark(app_name: str = "dwmb-spark", master: str | None = None) -> SparkS
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
+    # measurement-process JVM pinning (see PINNED_JVM_OPTS) — only
+    # effective when THIS process launches the JVM; a getOrCreate
+    # against a live session keeps its own flags
+    if os.environ.get("SPARK_GRAFT_PIN_JVM", "0") not in ("", "0"):
+        builder = builder.config("spark.driver.extraJavaOptions",
+                                 pinned_jvm_opts())
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

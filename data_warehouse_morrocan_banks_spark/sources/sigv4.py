@@ -410,6 +410,15 @@ def verify_chunked(method: str, path_and_query: str,
             size = int(size_hex, 16)
         except ValueError:
             raise SigV4VerifyError("malformed chunk size") from None
+        # a corrupt header byte >0x7F decodes to U+FFFD above, and
+        # hmac.compare_digest raises TypeError on non-ASCII str —
+        # which would escape the SigV4VerifyError handler in
+        # commit_http._check_auth and reset the connection instead of
+        # returning 403 (r11 ADVICE).  A valid chunk signature is
+        # exactly 64 lowercase hex chars; reject anything else here.
+        if len(sigpart) != 64 or any(
+                c not in "0123456789abcdef" for c in sigpart):
+            raise SigV4VerifyError("malformed chunk signature")
         data = body[nl + 2:nl + 2 + size]
         if len(data) != size or body[nl + 2 + size:nl + 4 + size] != b"\r\n":
             raise SigV4VerifyError("truncated chunk")

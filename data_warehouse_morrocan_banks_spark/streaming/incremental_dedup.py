@@ -355,8 +355,8 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
     count when that gate ran, else one map-only count.  The decision
     lands in ``LAST_HISTORY_GATE[out_path]["history_read"]``.  Auto
     (and pruned) route the ``compact_every`` maintenance through
-    :func:`compact_history_sorted` so the layout pruning depends on
-    maintains itself.
+    :func:`compact_history_sorted` so the range-sorted layout the
+    pruning depends on maintains itself.
     """
     hashed = batch_df.withColumn("content_md5", content_hash(text_col))
     # keep-first within the batch (lowest id — deterministic under

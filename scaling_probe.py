@@ -293,7 +293,14 @@ def assert_smoke_instrumentation(results: dict) -> None:
                 # global_rank bucket-count trade, bm25's sizing gate
                 "global_rank_2x_cpu_reps", "global_rank_b2000_2x",
                 "global_rank_b2000_2x_spill_mb",
-                "bm25_gate_sized_2x"):
+                "bm25_gate_sized_2x",
+                # r12: the past-the-ceiling global_rank point (8192
+                # grid) with its boundary-cost and bucket-count
+                # provenance keys
+                "global_rank_xl_2x", "global_rank_xl_2x_rows",
+                "global_rank_xl_2x_buckets",
+                "global_rank_xl_2x_boundary_s",
+                "global_rank_xl_2x_spill_mb"):
         assert key in results, f"smoke: missing instrumentation {key}"
 
 
@@ -311,6 +318,9 @@ def main(smoke: bool = False, out_path: str | None = None,
         return family is None or family == name
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # measurement JVM pinning default-ON (r11 verdict task #2 — same
+    # rationale and flags as bench.py; explicit =0 runs unpinned)
+    os.environ.setdefault("SPARK_GRAFT_PIN_JVM", "1")
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -1181,7 +1191,11 @@ def main(smoke: bool = False, out_path: str | None = None,
                         # codegen/plan compilation CPU the steady state
                         # doesn't
                         dd = stage_delta(before, completed_stages(spark))
-                        if dd is not None:
+                        # zero-stage deltas are guaranteed undercounts
+                        # (the noop write always runs >=1 stage) — skip
+                        # the rep for BOTH the cpu min and the bytes
+                        # assignment, mirroring bench.py (r11 ADVICE)
+                        if dd is not None and dd["n_stages"] > 0:
                             d = dd
                             best_cpu = min(best_cpu, dd["cpu_s"])
                 finally:
@@ -1461,7 +1475,11 @@ def main(smoke: bool = False, out_path: str | None = None,
             fn(frame).write.format("noop").mode("overwrite").save()
             wall = min(wall, time.perf_counter() - t0)
             dd = stage_delta(before, completed_stages(spark))
-            if dd is not None:
+            # n_stages > 0 guard mirrors bench.py (r11 ADVICE): a
+            # zero-stage delta is a listener-bus miss — min-latching
+            # its cpu_s=0 would poison the cross-round CPU column and,
+            # were it the last rep, record zero bytes/spill too
+            if dd is not None and dd["n_stages"] > 0:
                 d = dd
                 cpu = dd["cpu_s"] if cpu is None \
                     else min(cpu, dd["cpu_s"])
@@ -1536,6 +1554,49 @@ def main(smoke: bool = False, out_path: str | None = None,
             results[f"global_rank_b2000_{xs}x_shuffle_write_mb"] = \
                 d["sw"]
             results[f"global_rank_b2000_{xs}x_cpu_s"] = d["cpu_s"]
+
+    def grank_xl_x(frame):
+        """global_rank past the r11 grain ceiling (r11 verdict task
+        #3): the 2048-point grid capped B at 2048 buckets, so past
+        61 M rows buckets re-grew toward the measured 250k-row spill
+        regime.  r12 widens the grid to 8192 (B covers ~245 M rows
+        at the 30k sort grain); this point runs the DEFAULT
+        self-sized path on a 2·xs frame (200x = 120 M rows, 2× the
+        old ceiling) and records wall/CPU (reps=2 min, run_100x
+        discipline), bytes/spill, the self-chosen bucket count, and
+        the real boundary-pass wall via the operator's plan_out hook
+        — the grid cost curve, not a lookalike job."""
+        from data_warehouse_morrocan_banks_spark.operators.windows import (
+            global_rank,
+        )
+        reps = 1 if smoke else 2
+        wall = float("inf")
+        cpu = None
+        d = None
+        plan: dict = {}
+        for _ in range(reps):
+            before = completed_stages(spark)
+            t0 = time.perf_counter()
+            global_rank(frame, ["l_extendedprice"], kind="rank",
+                        plan_out=plan).write.format("noop").mode(
+                            "overwrite").save()
+            wall = min(wall, time.perf_counter() - t0)
+            dd = stage_delta(before, completed_stages(spark))
+            if dd is not None and dd["n_stages"] > 0:
+                d = dd
+                cpu = dd["cpu_s"] if cpu is None \
+                    else min(cpu, dd["cpu_s"])
+        tag = f"global_rank_xl_{xs}x"
+        results[tag] = round(wall, 2)
+        results[f"{tag}_cpu_reps"] = reps
+        results[f"{tag}_rows"] = plan.get("n_rows")
+        results[f"{tag}_buckets"] = plan.get("num_partitions")
+        results[f"{tag}_boundary_s"] = plan.get("boundary_wall_s")
+        if d is not None:
+            results[f"{tag}_shuffle_write_mb"] = d["sw"]
+            results[f"{tag}_spill_mb"] = d["spill"]
+            results[f"{tag}_spill_disk_mb"] = d["spill_disk"]
+            results[f"{tag}_cpu_s"] = cpu
 
     def bm25_gate_x(frame):
         """bm25_topk's key-grain self-sizing decision at this decade
@@ -1663,6 +1724,11 @@ def main(smoke: bool = False, out_path: str | None = None,
              (stream_hh_zipf_x,)),
             (lambda: replicate_emb(xs),
              (("pq_adc", pq_adc),), False, ()),
+            # r12: global_rank at 2× the old grain ceiling (200x =
+            # 120 M rows) — LAST so the added frame never shifts the
+            # JVM state the existing shapes were measured under
+            (lambda: replicate_cross(li, 2 * xs, ["l_orderkey"]),
+             (), False, (grank_xl_x,)),
         ):
             frame = make().cache()
             try:
@@ -1812,6 +1878,15 @@ def main(smoke: bool = False, out_path: str | None = None,
                     wx / w1, 1)
     results["sf_dir"] = sf_dir
     results["smoke"] = smoke
+    # r12: pinned-JVM provenance (verdict task #2) — the flag string
+    # the session applied, or None for an unpinned A/B run
+    from data_warehouse_morrocan_banks_spark.session import (
+        pinned_jvm_opts,
+    )
+    results["jvm_pinned"] = (
+        pinned_jvm_opts()
+        if os.environ.get("SPARK_GRAFT_PIN_JVM", "0") not in ("", "0")
+        else None)
     if family is not None:
         results["family"] = family
     if merge_min:

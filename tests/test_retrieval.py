@@ -302,10 +302,12 @@ def test_bm25_topk_postings_gate_both_branches(spark, monkeypatch):
 
     # default grain: test corpus (~30 tokens) stays far under
     # floor*grain — gate must NOT engage, no count job, no resize
-    base = sorted(map(tuple, bm25_topk(docs, queries, k=3).collect()))
+    out_base = bm25_topk(docs, queries, k=3)
+    base = sorted(map(tuple, out_base.collect()))
     gate = dict(retrieval.LAST_POSTINGS_GATE)
     assert gate["sized"] is False and gate["n_matched"] is None
     assert gate["sdl"] > 0
+    plan_base = out_base._jdf.queryExecution().executedPlan().toString()
 
     # injected grain of 1 (every matched occurrence its own key)
     # forces sdl > floor*1 — gate engages, one matched-occurrence
@@ -318,9 +320,15 @@ def test_bm25_topk_postings_gate_both_branches(spark, monkeypatch):
     assert gate["sized"] is True
     assert gate["n_matched"] and gate["n_matched"] > 0
     assert sized == base == _brute_topk(_CORPUS, qs, 3)
-    # the sized exchange is in the executed plan: an explicit
-    # hashpartitioning at a width above the session floor appears
-    # when matched count exceeds it (here matched < floor, so the
-    # repartition clamps AT the floor — assert the node exists)
+    # the sized path replaces requirement-driven exchanges with
+    # EXPLICIT sized repartitions whose hash layout the downstream
+    # groupBys reuse (same exchange COUNT by design — the naive
+    # count compare and the old bare `"hashpartitioning" in plan`
+    # are both vacuous, r11 ADVICE); the discriminator is the
+    # shuffle ORIGIN: repartition(n, cols) prints REPARTITION_BY_NUM
+    # where a groupBy's own exchange prints ENSURE_REQUIREMENTS
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" in plan
+    plan_b = plan_base
+    assert plan.count("REPARTITION_BY_NUM") >= 2  # both gates sized
+    assert (plan.count("REPARTITION_BY_NUM")
+            > plan_b.count("REPARTITION_BY_NUM"))

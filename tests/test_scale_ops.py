@@ -322,6 +322,52 @@ def test_global_rank_equals_single_task_window(spark):
         global_rank(li, ["l_quantity"], ascending=[True, False])
 
 
+def test_global_rank_plan_out_and_self_sizing_grid(spark):
+    """r12: the plan_out instrumentation hook and the 8192-point
+    grid's self-sizing math.  Small frames clamp B at the session
+    shuffle floor (the r11 behavior is unchanged by the wider grid);
+    the recorded n_rows is the real row count; the boundary pass
+    wall is the measured driver-blocking first(); and the self-sized
+    B formula covers past the old 2048-bucket ceiling."""
+    from data_warehouse_morrocan_banks_spark.operators import windows
+    from data_warehouse_morrocan_banks_spark.operators.windows import (
+        global_rank,
+    )
+    from data_warehouse_morrocan_banks_spark.sources.readers import table
+
+    from .conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    plan: dict = {}
+    global_rank(li, ["l_quantity"], plan_out=plan).write.format(
+        "noop").mode("overwrite").save()
+    assert plan["n_rows"] == n
+    assert plan["grid_n"] == windows._BOUNDARY_GRID == 8192
+    # small frame: B clamps AT the floor — bench/1x plans unchanged
+    assert plan["num_partitions"] == max(
+        floor, -(-n // windows._TARGET_ROWS_PER_BUCKET))
+    assert plan["boundary_wall_s"] > 0
+
+    # the self-sizing formula itself covers past the old 2048
+    # ceiling: 120 M rows -> 4000 buckets (old grid clamped at 2048,
+    # re-growing buckets toward the measured 250k spill regain)
+    rows_120m = 120_000_000
+    b = min(max(floor, -(-rows_120m // windows._TARGET_ROWS_PER_BUCKET)),
+            windows._BOUNDARY_GRID)
+    assert b == 4000
+
+    # explicit-boundaries branch records the no-grid provenance
+    plan2: dict = {}
+    out = global_rank(li, ["l_quantity"], boundaries=[10.0, 30.0],
+                      plan_out=plan2)
+    out.write.format("noop").mode("overwrite").save()
+    assert plan2 == {"grid_n": None, "n_rows": None,
+                     "num_partitions": floor, "boundary_wall_s": 0.0}
+
+
 def test_global_rank_wide_bucket_searchsorted_path(spark):
     """num_partitions > 64 switches the bucket assignment to the
     np.searchsorted pandas UDF (O(log B) per row, vectorized — the

@@ -382,6 +382,21 @@ def test_chunked_verify_round_trip_and_rejections():
     with pytest.raises(SigV4VerifyError, match="signature"):
         verify_chunked("PUT", "/big%2Fobject.bin", sent, body,
                        AK, "WRONG", "eu-west-3")
+    # corrupt header byte >0x7F: decodes to U+FFFD, and
+    # hmac.compare_digest(str, str) raises TypeError on non-ASCII —
+    # must surface as SigV4VerifyError (403), never escape as a
+    # TypeError crash (r11 ADVICE)
+    hdr_end = body.find(b"\r\n")
+    garbled = bytearray(body)
+    garbled[hdr_end - 1] = 0xC3  # last hex char of chunk-signature
+    with pytest.raises(SigV4VerifyError, match="malformed chunk"):
+        verify_chunked("PUT", "/big%2Fobject.bin", sent,
+                       bytes(garbled), AK, SK, "eu-west-3")
+    # wrong-length signature part is malformed too, not a mismatch
+    short = body[:hdr_end - 2] + body[hdr_end:]
+    with pytest.raises(SigV4VerifyError, match="malformed chunk"):
+        verify_chunked("PUT", "/big%2Fobject.bin", sent,
+                       bytes(short), AK, SK, "eu-west-3")
 
 
 def test_chunked_put_against_validating_emulator():
