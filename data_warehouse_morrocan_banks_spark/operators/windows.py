@@ -62,13 +62,17 @@ _TARGET_ROWS_PER_BUCKET = 30_000
 # num_partitions explicitly past ~1 B rows.  r12 (r11 verdict task
 # #3): 2048 → 8192 — the old grid capped B at 2048 buckets, so past
 # 61 M rows buckets re-grew toward the spill regime.  The grid's
-# per-call cost is the percentile sketch EXTRACTION (one pass over
-# the ~10k-entry sketch per grid point, driver-side scale) plus the
-# probs literal, which is built as ONE array literal (``F.lit(probs)``,
-# a single py4j call) rather than 8191 ``F.lit`` round-trips —
-# measured: the 8192 grid's boundary pass costs the same as 2048's
-# at 1×/600k rows (SCALEPROBE_r12 global_rank_boundary_1x) and the
-# 120 M-row point runs zero-spill (global_rank_xl_*).  Sketch
+# per-call cost is the probs literal construction plus the sketch
+# extraction, and the literal form MATTERS: ``F.array(*[F.lit(p)...])``
+# paid one py4j round-trip per element (measured 2.9 s at 8191
+# elements), ``F.lit(list)`` is WORSE — PySpark recurses it into
+# exactly that per-element form plus a type check per item (measured
+# 5.2 s) — and ``F.lit(np.asarray(probs))`` ships the whole array
+# through ONE py4j call via the NumpyArrayConverter (measured 0.6 s
+# construct, 0.5 s for the full tiny-frame percentile job after it;
+# at the r11 grid of 2047 the old form cost ~0.7 s, so the 4× grid
+# is driver-cost-neutral).  The 120 M-row point runs zero-spill
+# (SCALEPROBE_r12 global_rank_xl_*).  Sketch
 # accuracy stays 10_000: adjacent grid quantiles 1/8192 apart are
 # within the sketch's rank-error band, so neighbouring boundaries
 # can collide — that costs BALANCE only (an empty bucket), never
@@ -258,17 +262,20 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
                 F.xxhash64(F.monotonically_increasing_id(), F.lit(42)),
                 F.lit(_BOUNDARY_SAMPLE_MOD)) == 0).alias("__gr_in"),
         )
-        # ONE array literal for the probs (F.lit on the list), not
-        # F.array over grid_n-1 F.lit columns: each F.lit is a py4j
-        # round-trip, and at the 8192 grid that form paid ~8k driver
-        # IPC calls per global_rank invocation before any job ran
+        # ONE py4j call for the probs literal: F.lit on a 1-D numpy
+        # array routes through the NumpyArrayConverter (whole array
+        # in one IPC).  Both F.array(*[F.lit(p) ...]) AND F.lit(list)
+        # pay one round-trip PER ELEMENT (PySpark recurses list lits
+        # element-wise) — measured 2.9 s / 5.2 s vs 0.6 s at 8191
+        # elements, a pure driver-side stall before any job runs.
+        import numpy as _np
         import time as _time
 
         _t0 = _time.perf_counter()
         row = samp.select(
             F.percentile_approx(
                 F.when(F.col("__gr_in"), F.col("__gr_lead")),
-                F.lit(probs),
+                F.lit(_np.asarray(probs)),
                 F.lit(10_000)).alias("b"),
             F.count(F.lit(1)).alias("n"),
         ).first()

@@ -387,7 +387,16 @@ def incremental_exact_dedup_batch(spark: SparkSession, out_path: str,
 
         n_batch = gate.get("n_batch_hashes")
         if n_batch is None:
+            # the auto path's only added cost when the join gate did
+            # not run: one map-only count of the batch digests.  Timed
+            # into the gate record (r11 verdict task #7) so the probe
+            # can quote the REAL decision overhead instead of a
+            # lookalike job — bm25's gate precedent.
+            import time as _time
+
+            _t0 = _time.perf_counter()
             n_batch = hashed.select("content_md5").count()
+            gate["auto_count_s"] = round(_time.perf_counter() - _t0, 3)
         try:
             _, manifest = _resolve_manifest(hashes_path, None)
             n_files = len(manifest["files"])

@@ -300,7 +300,11 @@ def assert_smoke_instrumentation(results: dict) -> None:
                 "global_rank_xl_2x", "global_rank_xl_2x_rows",
                 "global_rank_xl_2x_buckets",
                 "global_rank_xl_2x_boundary_s",
-                "global_rank_xl_2x_spill_mb"):
+                "global_rank_xl_2x_spill_mb",
+                # r12: the auto-gate decision-cost record (map-only
+                # count when the join gate didn't run) + decision
+                "incdedup_auto_1x", "incdedup_auto_1x_count_s",
+                "incdedup_auto_1x_read"):
         assert key in results, f"smoke: missing instrumentation {key}"
 
 
@@ -1126,6 +1130,33 @@ def main(smoke: bool = False, out_path: str | None = None,
             d = stage_delta(before, completed_stages(spark))
             if d is not None:
                 results[f"incdedup_pruned_{tag}_cpu_s"] = d["cpu_s"]
+
+            # r12 (r11 verdict task #7): the history_read="auto"
+            # gate's decision overhead when the JOIN gate didn't run
+            # — the auto path then pays ONE map-only count of the
+            # batch digests.  Explicit history_join="broadcast"
+            # forces exactly that branch; the operator times the
+            # count into its gate record (auto_count_s), so the
+            # artifact quotes the real cost, and the decision the
+            # gate reached is recorded beside it.  Runs against the
+            # same populated history (the prior trickle batch grew
+            # it by ~100 fresh digests — irrelevant to a 200-row
+            # count and to the n_files > n_batch comparison).
+            trickle2 = spark.range(200, 400).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("fresh2_"),
+                         F.col("id").cast("string")).alias("text"))
+            t0 = time.perf_counter()
+            incremental_exact_dedup_batch(
+                spark, out, hashes, trickle2, 1, "text", "doc_id",
+                history_join="broadcast", history_read="auto")
+            results[f"incdedup_auto_{tag}"] = round(
+                time.perf_counter() - t0, 2)
+            gate = LAST_HISTORY_GATE[out]
+            results[f"incdedup_auto_{tag}_count_s"] = \
+                gate.get("auto_count_s")
+            results[f"incdedup_auto_{tag}_read"] = \
+                gate.get("history_read")
         finally:
             shutil.rmtree(sdir, ignore_errors=True)
         lifecycle.release_all()
@@ -1726,8 +1757,18 @@ def main(smoke: bool = False, out_path: str | None = None,
              (("pq_adc", pq_adc),), False, ()),
             # r12: global_rank at 2× the old grain ceiling (200x =
             # 120 M rows) — LAST so the added frame never shifts the
-            # JVM state the existing shapes were measured under
-            (lambda: replicate_cross(li, 2 * xs, ["l_orderkey"]),
+            # JVM state the existing shapes were measured under.
+            # SLIM frame (key + order column only): the full-width
+            # 16-column ×200 replicate OOM'd the 8 GiB heap in the
+            # bucket-shuffle stage (probe_error_grank_xl_x_100x,
+            # r12 run A) — the 30k SORT-grain law under test is
+            # row-count-driven, not row-width-driven, so the slim
+            # projection probes the same grain inside the box's
+            # memory (the cc half-grain lesson: per-slot memory is
+            # set by concurrency, and this box is one 8 GiB JVM).
+            (lambda: replicate_cross(
+                li.select("l_orderkey", "l_extendedprice"),
+                2 * xs, ["l_orderkey"]),
              (), False, (grank_xl_x,)),
         ):
             frame = make().cache()
