@@ -2040,6 +2040,7 @@ def run_per_family(smoke: bool = False, out_path: str | None = None,
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "SCALEPROBE.json")
     merged: dict = {}
+    jvm_pinned = None
     fam_keys: dict[str, list[str]] = {}
     tdir = tempfile.mkdtemp(prefix="probe_families_")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -2060,6 +2061,12 @@ def run_per_family(smoke: bool = False, out_path: str | None = None,
             continue
         with open(child_out) as fh:
             child = json.loads(fh.read())
+        # r12: jvm_pinned is per-process provenance — every child
+        # records the same pinned-flag string, which tripped the
+        # cross-family disjointness assert on the second family;
+        # captured here and re-attached to the merged artifact below
+        # like sf_dir/smoke
+        jvm_pinned = child.pop("jvm_pinned", jvm_pinned)
         for meta in ("sf_dir", "smoke", "partial", "family"):
             child.pop(meta, None)
         dup = sorted(set(child) & set(merged))
@@ -2078,6 +2085,10 @@ def run_per_family(smoke: bool = False, out_path: str | None = None,
     merged["smoke"] = smoke
     merged["family_processes"] = fam_keys
     merged["provenance_mode"] = "fresh-process-per-family"
+    # one representative copy of the per-process pinned-flag string
+    # (identical across children by construction: session.py applies
+    # the same PINNED_JVM_OPTS to every measurement process)
+    merged["jvm_pinned"] = jvm_pinned
     if merge_min:
         merged = merge_min_walls(merged, merge_min)
     line = json.dumps(merged)
