@@ -62,7 +62,17 @@ HEADLINE = [
 # diffed against the previous committed BENCH_r*.json, so a stale
 # hand-maintained list can no longer hide a plan change (r7 judge
 # "What's wrong" #1).  Reset to {} at the start of a round.
-WORK_CHANGED_NOTES: dict[str, str] = {}
+WORK_CHANGED_NOTES: dict[str, str] = {
+    "q_text_quality": (
+        "r12 optimization: the fixed-query BM25 score is now a "
+        "PROJECTED column over the suite's shared token projection "
+        "(retrieval.bm25_score_expr) instead of joining the "
+        "scorer's corpus-grain (doc_id, score) output back on "
+        "doc_id — 7 parquet scans -> 6, 6 broadcast joins -> 5, "
+        "one corpus re-tokenize removed; identical published "
+        "values (same stats collects, same literal association "
+        "order, oracle hash re-verified at sf0.001/sf0.01)."),
+}
 
 
 def find_fingerprint_baseline(repo_dir: str) -> tuple[str, dict] | None:

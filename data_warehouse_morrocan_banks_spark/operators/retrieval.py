@@ -96,6 +96,61 @@ def _tf_term_score(tf: Column, dl: Column, avgdl: float,
                       F.lit(0.0))
 
 
+def bm25_score_expr(
+    df: DataFrame,
+    query_tokens: list[str],
+    tokens_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """Per-row BM25 scoring COLUMN against one query (rounded
+    HALF_UP at 6dp) for a frame that already materializes its token
+    array — the join-free form of :func:`bm25_score_query`.
+
+    Collects the same two tiny corpus aggregates (N, Σdl, per-term
+    document frequencies) from ``df[tokens_col]`` at plan-build and
+    returns the map-side scoring expression with idf/avgdl as
+    literals.  Why this exists (r12 optimization): a metric suite
+    that joins the scorer's ``(id, score)`` output back on the id
+    joins a CORPUS-grain frame against the corpus — broadcastable
+    at bench scale, a full corpus shuffle at 100 TB.  Projecting
+    the column instead removes that join plus the scorer branch's
+    extra scan and re-tokenize (q_text_quality: 7 parquet scans →
+    6, 6 broadcast joins → 5; measured 4.84 → 3.21 CPU-s at sf0.1,
+    min-of-5 interleaved in one process).
+    The arithmetic and association order are identical to
+    :func:`bm25_score_query` (which delegates here), so published
+    6dp values are bit-equal.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_tokens if t))
+    dl = F.size(tokens_col)
+    if not terms:
+        return round_det(F.lit(0.0), 6)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dl).alias("sdl"),
+        *[F.sum((F.array_contains(tokens_col, t)).cast("long"))
+          .alias(f"df{i}") for i, t in enumerate(terms)],
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0 or not stats["sdl"]:
+        return round_det(F.lit(0.0), 6)
+    avgdl = float(stats["sdl"]) / float(n_docs)
+
+    def _eq(term):
+        # NOT a default-arg lambda: a 2-param callable makes the HOF
+        # pass (element, index) and the captured term becomes the
+        # index column
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(tokens_col, _eq(t))).cast("double")
+        score = score + F.lit(_idf(n_docs, int(stats[f"df{i}"] or 0))) \
+            * _tf_term_score(tf, dl.cast("double"), avgdl, k1, b)
+    return round_det(score, 6)
+
+
 def bm25_score_query(
     df: DataFrame,
     id_col: str,
@@ -111,41 +166,20 @@ def bm25_score_query(
 
     Zero-shuffle plan: two tiny aggregates (corpus stats, per-term
     document frequencies — one row each, collected), then one
-    map-side projection with idf/avgdl as literals.  ``tokens_col``
-    lets a caller that already materialized the token array (metric
-    suites) skip the re-split; tokens are matched lowercased.
+    map-side projection with idf/avgdl as literals (built by
+    :func:`bm25_score_expr`, which callers that keep their own
+    token projection use directly to avoid the join-back).
+    ``tokens_col`` lets a caller that already materialized the
+    token array (metric suites) skip the re-split; tokens are
+    matched lowercased.
     """
-    terms = list(dict.fromkeys(t.lower() for t in query_tokens if t))
     toks = (F.col(tokens_col) if tokens_col
             else whitespace_tokens(F.lower(F.col(text_col))))
     base = df.select(F.col(id_col), toks.alias("__bm_t"))
-    dl = F.size("__bm_t")
-
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dl).alias("sdl"),
-        *[F.sum((F.array_contains("__bm_t", t)).cast("long"))
-          .alias(f"df{i}") for i, t in enumerate(terms)],
-    ).first()
-    n_docs = int(stats["n"] or 0)
-    if n_docs == 0 or not terms or not stats["sdl"]:
-        return df.select(F.col(id_col),
-                         round_det(F.lit(0.0), 6).alias(out_col))
-    avgdl = float(stats["sdl"]) / float(n_docs)
-
-    def _eq(term):
-        # NOT a default-arg lambda: a 2-param callable makes the HOF
-        # pass (element, index) and the captured term becomes the
-        # index column
-        return lambda x: x == F.lit(term)
-
-    score = F.lit(0.0)
-    for i, t in enumerate(terms):
-        tf = F.size(F.filter("__bm_t", _eq(t))).cast("double")
-        score = score + F.lit(_idf(n_docs, int(stats[f"df{i}"] or 0))) \
-            * _tf_term_score(tf, dl.cast("double"), avgdl, k1, b)
-    return base.select(F.col(id_col),
-                       round_det(score, 6).alias(out_col))
+    return base.select(
+        F.col(id_col),
+        bm25_score_expr(base, query_tokens, "__bm_t", k1, b)
+        .alias(out_col))
 
 
 def bm25_topk(

@@ -510,8 +510,10 @@ SELECT s.doc_id""",
 )
 
 # fixed-query BM25 rides the same suite at doc grain: the engine's
-# zero-shuffle corpus scorer (operators.retrieval.bm25_score_query)
-# against a constant 3-term probe query.  idf/avgdl enter the Spark
+# zero-shuffle scoring column (operators.retrieval.bm25_score_expr,
+# projected over the suite's shared token arrays — r12 removed the
+# scorer-output join-back) against a constant 3-term probe query.
+# idf/avgdl enter the Spark
 # plan as driver-computed double literals; the oracle recomputes them
 # in SQL with the IDENTICAL association order (retrieval.py module
 # docstring) so IEEE doubles agree before the 6dp decimal round.
@@ -609,6 +611,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = top_bigram_share(
         base, "__unused_text", "doc_id", tokens_col="__lt"
+    )
+    # fixed-query BM25 rides the same grain as a PROJECTED column
+    # (r12): the scorer's (id, score) output is corpus-grain, so
+    # joining it back on doc_id was a corpus×corpus join — fine
+    # under broadcast at bench scale, a full corpus shuffle at
+    # 100 TB.  bm25_score_expr collects the same two tiny stats
+    # aggregates at plan-build (idf/avgdl enter as literals, same
+    # association order — published 6dp values bit-equal) and the
+    # score reads the shared lowered-token projection in place:
+    # one fewer corpus scan, re-tokenize, and join.
+    from ..operators.retrieval import bm25_score_expr
+
+    quality = quality.withColumn(
+        "bm25_probe",
+        bm25_score_expr(toks, list(_BM_TERMS), "__lt"),
     ).drop("__lt")
     # token-window chunker rides the same suite at doc grain: explode
     # into 32-token windows (step 24 — sliding overlap), re-aggregate
@@ -619,15 +636,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, "doc_id", "text", max_tokens=32, step=24, tokens_col="__rt"
     )
     quality = quality.join(chunks, "doc_id", "inner")
-    # fixed-query BM25 rides the same grain: zero-shuffle scoring
-    # over the shared lowered-token projection (two scalar stats
-    # aggregates collect at plan-build; idf enters as literals)
-    from ..operators.retrieval import bm25_score_query
-
-    bm = bm25_score_query(
-        toks, "doc_id", "text", list(_BM_TERMS),
-        tokens_col="__lt", out_col="bm25_probe")
-    quality = quality.join(bm, "doc_id", "inner")
     # benchmark decontamination rides the same suite: doc_id<20 as the
     # benchmark slice, 8-gram overlap (operators.contamination) — the
     # oracle rebuilds the shingle sets in DuckDB list comprehensions

@@ -53,6 +53,24 @@ def test_column_pruning(spark):
     assert "p_retailprice" not in plan.split("ReadSchema")[1][:400]
 
 
+def test_text_quality_bm25_is_projected_not_joined(spark):
+    """r12: the fixed-query BM25 score is a PROJECTED column over
+    the shared token projection — the scorer's corpus-grain
+    (id, score) join-back (broadcastable at bench scale, a full
+    corpus shuffle at 100 TB) is gone: 6 parquet scans (was 7), 5
+    broadcast joins (was 6) in the FINAL executed plan (the
+    post-collect formatted output appends an "== Initial Plan =="
+    section that double-lists nodes — count before it)."""
+    plan = _plan(spark, "q_text_quality")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 6, final.count("Scan parquet")
+    assert final.count("BroadcastHashJoin") == 5, final.count(
+        "BroadcastHashJoin")
+    # the score column must survive as a projection output (column
+    # names live in the details section, outside the final tree)
+    assert "bm25_probe" in plan
+
+
 def test_topk_is_take_ordered(spark):
     # O2 coverage moved to the drill query when q_o2 was folded into it
     plan = _plan(spark, "q_mart_drill_topk")

@@ -101,6 +101,36 @@ def test_bm25_fixed_query_absent_terms_and_empty_query(spark):
     assert set(got2.values()) == {0.0}
 
 
+def test_bm25_score_expr_matches_score_query_projected(spark):
+    """The join-free column form (r12) publishes bit-equal 6dp
+    scores to the join form, projected onto a frame that keeps its
+    own token projection (the q_text_quality composition: split
+    raw, then per-token lower)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_morrocan_banks_spark.functions.text import (
+        whitespace_tokens,
+    )
+    from data_warehouse_morrocan_banks_spark.operators.retrieval import (
+        bm25_score_expr,
+    )
+
+    df = spark.createDataFrame(_CORPUS, "doc_id string, text string")
+    toks = df.select(
+        "doc_id",
+        F.transform(whitespace_tokens("text"), F.lower).alias("__lt"))
+    got = {r["doc_id"]: r["s"] for r in toks.withColumn(
+        "s", bm25_score_expr(toks, ["spark", "table", "QUERY"], "__lt")
+    ).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in bm25_score_query(
+        df, "doc_id", "text", ["spark", "table", "QUERY"]).collect()}
+    assert got == want
+    # guard branches: empty query / absent term still a 0.0 column
+    z = {r["doc_id"]: r["z"] for r in toks.withColumn(
+        "z", bm25_score_expr(toks, [], "__lt")).collect()}
+    assert set(z.values()) == {0.0}
+
+
 def _brute_topk(corpus, queries, k, k1=1.2, b=0.75):
     toks = {i: _toks(t) for i, t in corpus}
     n = len(corpus)
