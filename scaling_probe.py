@@ -2241,7 +2241,8 @@ def emit_tables(art: dict, artifact_name: str) -> str:
     lines += [
         "",
         "## 100× (60 M lineitem rows / 500 k docs / 600 k zipf docs; "
-        "reps=1, bytes are the anchor; cpu = executor CPU s — the "
+        "walls/cpu are min of in-process reps (`*_100x_cpu_reps`), "
+        "bytes are the anchor; cpu = executor CPU s — the "
         "cross-round column)",
         "",
         "| shape | 100× wall | vs 1× | cpu 100× | sw 100× | sw ratio "
