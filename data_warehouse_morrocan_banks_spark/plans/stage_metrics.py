@@ -15,7 +15,31 @@ as a zero measurement).
 from __future__ import annotations
 
 import json
+import time
 import urllib.request
+
+
+def _get_json(url: str, attempts: int = 3, backoff_s: float = 0.5):
+    """GET + JSON-decode with a bounded transient-failure retry.
+
+    The UI REST endpoint is served by the same JVM the measurement is
+    observing: right after a large job its status-store lock can stall
+    a response past the socket timeout, and ONE failed snapshot used
+    to silently drop a whole stage delta — the probe's smoke contract
+    then reads it as dead instrumentation (``star_build_1x_cpu_s``
+    missing, r12 flake, adjudicated by isolated re-run).  Retry the
+    transient case; a genuinely dead UI still degrades to ``None``
+    (connection-refused fails fast, so the dead-endpoint cost is just
+    the sleeps)."""
+    for i in range(attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                return json.load(r)
+        except Exception:
+            if i + 1 == attempts:
+                return None
+            time.sleep(backoff_s)
+    return None
 
 
 def completed_stages(spark):
@@ -25,9 +49,10 @@ def completed_stages(spark):
         sc = spark.sparkContext
         url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
                f"/stages?status=complete")
-        with urllib.request.urlopen(url, timeout=10) as r:
-            return {(s["stageId"], s["attemptId"]): s
-                    for s in json.load(r)}
+        stages = _get_json(url)
+        if stages is None:
+            return None
+        return {(s["stageId"], s["attemptId"]): s for s in stages}
     except Exception:
         return None
 
@@ -69,9 +94,11 @@ def executors_storage_mb(spark):
         sc = spark.sparkContext
         url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
                f"/executors")
-        with urllib.request.urlopen(url, timeout=10) as r:
-            return sum(e.get("memoryUsed", 0) for e in json.load(r)) \
-                / (1024.0 * 1024.0)
+        execs = _get_json(url)
+        if execs is None:
+            return None
+        return sum(e.get("memoryUsed", 0) for e in execs) \
+            / (1024.0 * 1024.0)
     except Exception:
         return None
 
@@ -88,9 +115,11 @@ def executors_disk_mb(spark):
         sc = spark.sparkContext
         url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
                f"/executors")
-        with urllib.request.urlopen(url, timeout=10) as r:
-            return sum(e.get("diskUsed", 0) for e in json.load(r)) \
-                / (1024.0 * 1024.0)
+        execs = _get_json(url)
+        if execs is None:
+            return None
+        return sum(e.get("diskUsed", 0) for e in execs) \
+            / (1024.0 * 1024.0)
     except Exception:
         return None
 
@@ -109,8 +138,9 @@ def max_task_runtime_s(spark, before, after):
             url = (f"{sc.uiWebUrl}/api/v1/applications/"
                    f"{sc.applicationId}/stages/{sid}/{att}/taskSummary"
                    f"?quantiles=1.0")
-            with urllib.request.urlopen(url, timeout=10) as r:
-                s = json.load(r)
+            s = _get_json(url)
+            if s is None:
+                continue
             mx = max(mx, float(s["executorRunTime"][0]) / 1000.0)
             sampled = True
         except Exception:

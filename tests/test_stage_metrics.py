@@ -1,0 +1,100 @@
+"""Unit pins for the UI-REST measurement helpers (no Spark session).
+
+The r12 flake class under test: the UI REST endpoint is served by the
+same JVM the measurement observes, so right after a large job a single
+snapshot GET can stall past the socket timeout or drop the connection.
+Before the retry, ONE transient failure nulled the whole stage delta
+and the probe's smoke contract read it as dead instrumentation
+(``star_build_1x_cpu_s`` missing).  These tests pin the bounded-retry
+semantics: transient failures are retried, a genuinely dead endpoint
+still degrades to ``None`` (never a fabricated zero).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from types import SimpleNamespace
+
+import pytest
+
+from data_warehouse_morrocan_banks_spark.plans import stage_metrics
+
+
+class _FlakyUrlopen:
+    """urlopen stand-in: raises for the first ``fail_n`` calls, then
+    serves ``payload`` as JSON."""
+
+    def __init__(self, fail_n: int, payload):
+        self.fail_n = fail_n
+        self.payload = payload
+        self.calls = 0
+
+    def __call__(self, url, timeout=None):
+        self.calls += 1
+        if self.calls <= self.fail_n:
+            raise OSError("transient: connection stalled")
+        return io.BytesIO(json.dumps(self.payload).encode())
+
+
+@pytest.fixture
+def fast_backoff(monkeypatch):
+    """Zero out the retry sleep so the tests run instantly."""
+    monkeypatch.setattr(stage_metrics.time, "sleep", lambda s: None)
+
+
+def _fake_spark():
+    sc = SimpleNamespace(uiWebUrl="http://localhost:4040",
+                         applicationId="app-test")
+    return SimpleNamespace(sparkContext=sc)
+
+
+STAGE = {
+    "stageId": 1, "attemptId": 0,
+    "shuffleReadBytes": 0, "shuffleWriteBytes": 0,
+    "shuffleWriteRecords": 0, "memoryBytesSpilled": 0,
+    "diskBytesSpilled": 0, "executorCpuTime": 2_000_000_000,
+}
+
+
+def test_get_json_retries_one_transient_failure(monkeypatch, fast_backoff):
+    flaky = _FlakyUrlopen(fail_n=1, payload={"ok": True})
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", flaky)
+    assert stage_metrics._get_json("http://x") == {"ok": True}
+    assert flaky.calls == 2
+
+
+def test_get_json_none_when_endpoint_dead(monkeypatch, fast_backoff):
+    flaky = _FlakyUrlopen(fail_n=99, payload=None)
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", flaky)
+    assert stage_metrics._get_json("http://x", attempts=3) is None
+    # bounded: exactly `attempts` tries, not unbounded polling
+    assert flaky.calls == 3
+
+
+def test_completed_stages_survives_transient_failure(
+        monkeypatch, fast_backoff):
+    flaky = _FlakyUrlopen(fail_n=2, payload=[STAGE])
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", flaky)
+    snap = stage_metrics.completed_stages(_fake_spark())
+    assert snap == {(1, 0): STAGE}
+
+
+def test_completed_stages_degrades_to_none_not_empty(
+        monkeypatch, fast_backoff):
+    # a dead UI must read as "no measurement" (None), never as an
+    # empty snapshot — an empty dict would fabricate a zero delta
+    flaky = _FlakyUrlopen(fail_n=99, payload=None)
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", flaky)
+    assert stage_metrics.completed_stages(_fake_spark()) is None
+
+
+def test_executors_gauges_survive_transient_failure(
+        monkeypatch, fast_backoff):
+    payload = [{"memoryUsed": 2 * 1024 * 1024, "diskUsed": 1024 * 1024}]
+    for fn, expect in ((stage_metrics.executors_storage_mb, 2.0),
+                       (stage_metrics.executors_disk_mb, 1.0)):
+        flaky = _FlakyUrlopen(fail_n=1, payload=payload)
+        monkeypatch.setattr(
+            stage_metrics.urllib.request, "urlopen", flaky)
+        assert fn(_fake_spark()) == pytest.approx(expect)
