@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE COMPACT JSON line: {"metric", "value", "unit", "sf",
-"cpu_total_s", "work_changed", "full_artifact"}.
+ONE COMPACT JSON line: {"metric", "value", "unit", "sf", "queries",
+"queries_cpu_s", "cpu_total_s", "work_changed", "full_artifact"}.
+
+r13: the per-query wall and CPU maps are BACK on the printed line
+(r12 verdict task #2 — PERF_r12.per_query came out empty because the
+r10 totals-only line gave the driver nothing to compare per query).
+Measured line length with the 22-query registry: ~1.7 kB, inside the
+driver's 2000-char tail; a degradation ladder (drop CPU map → counts
+for work_changed → drop wall map) guards the window if the registry
+grows.
 
 value = total wall seconds across the headline set (lower is better).
 A warmup action spins the JVM/codegen first so we measure the engine,
@@ -62,17 +70,7 @@ HEADLINE = [
 # diffed against the previous committed BENCH_r*.json, so a stale
 # hand-maintained list can no longer hide a plan change (r7 judge
 # "What's wrong" #1).  Reset to {} at the start of a round.
-WORK_CHANGED_NOTES: dict[str, str] = {
-    "q_text_quality": (
-        "r12 optimization: the fixed-query BM25 score is now a "
-        "PROJECTED column over the suite's shared token projection "
-        "(retrieval.bm25_score_expr) instead of joining the "
-        "scorer's corpus-grain (doc_id, score) output back on "
-        "doc_id — 7 parquet scans -> 6, 6 broadcast joins -> 5, "
-        "one corpus re-tokenize removed; identical published "
-        "values (same stats collects, same literal association "
-        "order, oracle hash re-verified at sf0.001/sf0.01)."),
-}
+WORK_CHANGED_NOTES: dict[str, str] = {}
 
 
 def find_fingerprint_baseline(repo_dir: str) -> tuple[str, dict] | None:
@@ -319,14 +317,24 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    # The PRINTED line stays well under the driver's 2000-char stdout
-    # capture (r10 landed parsed:null at ~3.4 kB); per-query detail
-    # lives in the sidecar named here.
+    # The PRINTED line carries the per-query wall AND CPU maps again
+    # (r12 verdict task #2: PERF_r12.per_query was EMPTY because the
+    # r10 compact line over-corrected to totals-only — the driver had
+    # nothing to compare per query).  22 queries x ~30 chars/entry
+    # keeps both maps ~1.3 kB; with the base fields the line measures
+    # ~1.7 kB, under the driver's 2000-char stdout-tail capture (r10
+    # landed parsed:null at ~3.4 kB).  Degradation ladder if a future
+    # registry ever outgrows the window: drop the CPU map first, then
+    # degrade work_changed lists to counts, then drop the wall map —
+    # the FULL sidecar always has everything.
     compact = {
         "metric": full["metric"],
         "value": total,
         "unit": "sec",
         "sf": full["sf"],
+        "queries": timings,
+        "queries_cpu_s": {n: (round(v, 2) if v is not None else None)
+                          for n, v in cpu_s.items()},
         "cpu_total_s": cpu_total,
         "cpu_covered_queries": covered,
         "n_queries": len(names),
@@ -335,12 +343,16 @@ def main() -> None:
         "full_artifact": sidecar,
     }
     line = json.dumps(compact)
-    if len(line) > 1800:  # headroom: a mass fingerprint flip could
-        # bloat the diff lists — degrade them to counts, never let
-        # the line outgrow the capture window again
+    if len(line) > 1800:
+        compact.pop("queries_cpu_s", None)
+        line = json.dumps(compact)
+    if len(line) > 1800:
         compact["work_changed"] = {
             k: (len(v) if isinstance(v, list) else v)
             for k, v in work_changed.items()}
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("queries", None)
         line = json.dumps(compact)
     print(line)
     spark.stop()

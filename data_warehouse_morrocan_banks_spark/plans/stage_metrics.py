@@ -42,14 +42,14 @@ def _get_json(url: str, attempts: int = 3, backoff_s: float = 0.5):
     return None
 
 
-def completed_stages(spark):
+def completed_stages(spark, attempts: int = 3):
     """Completed-stage metrics from the UI REST API, keyed by
     (stageId, attemptId); ``None`` if the UI is unavailable."""
     try:
         sc = spark.sparkContext
         url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
                f"/stages?status=complete")
-        stages = _get_json(url)
+        stages = _get_json(url, attempts=attempts)
         if stages is None:
             return None
         return {(s["stageId"], s["attemptId"]): s for s in stages}
@@ -58,7 +58,8 @@ def completed_stages(spark):
 
 
 def settled_completed_stages(spark, attempts: int = 20,
-                             pause_s: float = 0.05):
+                             pause_s: float = 0.05,
+                             deadline_s: float = 60.0):
     """:func:`completed_stages`, but SETTLED: the UI status store is
     fed by Spark's async listener bus, so a snapshot taken immediately
     after an action can miss just-completed stages — the missed CPU
@@ -67,15 +68,27 @@ def settled_completed_stages(spark, attempts: int = 20,
     until two consecutive snapshots agree on the key set (or attempts
     run out — listener buses quiesce in well under a second when
     idle); returns the settled snapshot, or ``None`` when the UI is
-    unavailable."""
+    unavailable.
+
+    Retry budget is CAPPED per snapshot (ADVICE r12): only the FIRST
+    call retries transient failures (3 × ~10 s socket timeout worst
+    case) — once a successful snapshot exists, each settle poll gets
+    ONE attempt (a failed poll just returns the last good snapshot),
+    and ``deadline_s`` bounds the whole settle loop so a persistently
+    slow-but-not-dead UI (each GET stalling toward its 10 s timeout)
+    cannot stretch one snapshot toward ~10 min and past the probe
+    smoke's subprocess timeout."""
     import time as _time
 
+    t0 = _time.monotonic()
     prev = completed_stages(spark)
     if prev is None:
         return None
     for _ in range(attempts):
+        if _time.monotonic() - t0 > deadline_s:
+            return prev
         _time.sleep(pause_s)
-        cur = completed_stages(spark)
+        cur = completed_stages(spark, attempts=1)
         if cur is None:
             return prev
         if set(cur) == set(prev):
@@ -124,21 +137,32 @@ def executors_disk_mb(spark):
         return None
 
 
-def max_task_runtime_s(spark, before, after):
+def max_task_runtime_s(spark, before, after, deadline_s: float = 60.0):
     """Max single-task executorRunTime (seconds) across the stages
     completed between two snapshots — the straggler column for the
     skew-join probe (stage sums hide the one hot task; the per-task
-    max IS the skew evidence)."""
+    max IS the skew evidence).
+
+    Per-call retry budget is capped (ADVICE r12): each per-stage GET
+    gets one attempt (a miss skips that stage, same degrade as
+    before) and ``deadline_s`` bounds the whole sampling loop — a
+    delta covering many stages against a stalling UI must not
+    multiply a ~10 s socket timeout per stage."""
+    import time as _time
+
     if before is None or after is None:
         return None
     sc = spark.sparkContext
     mx, sampled = 0.0, False
+    t0 = _time.monotonic()
     for sid, att in set(after) - set(before):
+        if _time.monotonic() - t0 > deadline_s:
+            break
         try:
             url = (f"{sc.uiWebUrl}/api/v1/applications/"
                    f"{sc.applicationId}/stages/{sid}/{att}/taskSummary"
                    f"?quantiles=1.0")
-            s = _get_json(url)
+            s = _get_json(url, attempts=1)
             if s is None:
                 continue
             mx = max(mx, float(s["executorRunTime"][0]) / 1000.0)

@@ -98,3 +98,75 @@ def test_executors_gauges_survive_transient_failure(
         monkeypatch.setattr(
             stage_metrics.urllib.request, "urlopen", flaky)
         assert fn(_fake_spark()) == pytest.approx(expect)
+
+
+# --- ADVICE r12: the per-snapshot retry budget is CAPPED --------------------
+# Without the cap, the 3-attempt retry (each up to ~10 s socket
+# timeout) nested inside the 20-iteration settle loop and the
+# per-stage taskSummary loop multiplied the worst case toward ~10 min
+# per snapshot — enough to blow the probe smoke's 900 s subprocess
+# timeout against a persistently slow (not dead) UI.
+
+
+def test_settle_polls_get_single_attempt_after_first_snapshot(
+        monkeypatch, fast_backoff):
+    # first GET succeeds (snapshot exists); every settle poll then
+    # fails — each poll must burn exactly ONE attempt and the settle
+    # must return the last good snapshot, not retry 3x per poll
+    flaky = _FlakyUrlopen(fail_n=0, payload=[STAGE])
+    calls_after_first = []
+
+    def counting(url, timeout=None):
+        r = flaky(url, timeout)
+        if flaky.calls == 1:
+            return r
+        calls_after_first.append(url)
+        raise OSError("stalling UI")
+
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", counting)
+    snap = stage_metrics.settled_completed_stages(_fake_spark())
+    assert snap == {(1, 0): STAGE}
+    # one failed single-attempt poll ends the loop (cur is None →
+    # return prev): exactly 1 post-snapshot call, not 3 (retries)
+    # and not 20 (iterations)
+    assert len(calls_after_first) == 1
+
+
+def test_settle_loop_respects_deadline(monkeypatch):
+    # a persistently SLOW (never-agreeing) UI must be bounded by the
+    # deadline, not run all `attempts` iterations
+    clock = {"t": 0.0}
+
+    def fake_monotonic():
+        clock["t"] += 70.0  # each check advances past a 60s deadline
+        return clock["t"]
+
+    payloads = iter([[STAGE],
+                     [STAGE, dict(STAGE, stageId=2)],
+                     [STAGE, dict(STAGE, stageId=2),
+                      dict(STAGE, stageId=3)]] + [[STAGE]] * 40)
+
+    def urlopen(url, timeout=None):
+        return io.BytesIO(json.dumps(next(payloads)).encode())
+
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", urlopen)
+    import time as _time
+    monkeypatch.setattr(_time, "monotonic", fake_monotonic)
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    snap = stage_metrics.settled_completed_stages(_fake_spark())
+    # deadline hit on the first loop check → the initial snapshot is
+    # returned as-is (still a real snapshot, never None)
+    assert snap == {(1, 0): STAGE}
+
+
+def test_max_task_runtime_single_attempt_per_stage(
+        monkeypatch, fast_backoff):
+    # every per-stage taskSummary GET fails: the loop must burn ONE
+    # attempt per stage (degrade to None), never 3x per stage
+    before = {}
+    after = {(i, 0): STAGE for i in range(4)}
+    flaky = _FlakyUrlopen(fail_n=99, payload=None)
+    monkeypatch.setattr(stage_metrics.urllib.request, "urlopen", flaky)
+    assert stage_metrics.max_task_runtime_s(
+        _fake_spark(), before, after) is None
+    assert flaky.calls == 4
