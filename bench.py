@@ -70,7 +70,21 @@ HEADLINE = [
 # diffed against the previous committed BENCH_r*.json, so a stale
 # hand-maintained list can no longer hide a plan change (r7 judge
 # "What's wrong" #1).  Reset to {} at the start of a round.
-WORK_CHANGED_NOTES: dict[str, str] = {}
+WORK_CHANGED_NOTES: dict[str, str] = {
+    "q_dedup_jaccard_pairs": (
+        "r13 optimization (verdict task #4): small-vocabulary fast "
+        "path in prefix_filter_jaccard_pairs — when the measured max "
+        "per-group vocabulary fits _FIXED_MASK_MAX_CHUNKS 64-bit "
+        "words, set bitmaps ride the prefix rows as plain BIGINT "
+        "columns and every raw candidate verifies INLINE in the "
+        "self-join stage (pure-codegen popcount); the candidate-grain "
+        ".distinct() and both mask joins disappear and only "
+        "threshold-passing rows deduplicate (output-grain).  "
+        "Interleaved in-process A/B at sf0.1: 4.33 -> 2.31 CPU-s "
+        "(-47%), outputs bit-identical (245973 rows, equal hashes); "
+        "oracle re-verified MATCH at sf0.001 and sf0.01.  Large-vocab "
+        "corpora keep the r12 sparse-map plan unchanged."),
+}
 
 
 def find_fingerprint_baseline(repo_dir: str) -> tuple[str, dict] | None:

@@ -410,6 +410,36 @@ def _dense_vocab_ranks(freq: DataFrame, vocab_shards: int = 1) -> DataFrame:
 # exactness never depends on it.
 _DEDUP_SETS_AUTO_RATIO = 0.9
 
+# Small-vocabulary fast path (r13): when the largest per-group
+# vocabulary fits `_FIXED_MASK_MAX_CHUNKS` 64-bit words, each
+# document's set bitmap is carried as that many plain BIGINT columns
+# ON THE PREFIX ROWS and every raw candidate row verifies INLINE in
+# the self-join stage — pure-codegen popcount, no candidate-grain
+# `.distinct()` shuffle and no mask joins; only rows that already
+# PASS the threshold are deduplicated (output-grain, orders of
+# magnitude smaller than the candidate grain).  Above the cap the
+# proven sparse-map form runs unchanged: a map per prefix row would
+# ship O(doc set size) bytes per candidate and the interpreted
+# map_zip_with/aggregate fold per RAW row measured strictly worse.
+# Measured (r13, sf0.1 driver corpus — 155-token vocab → 3 chunks —
+# interleaved min-of-5, one process, settled CPU, outputs asserted
+# bit-identical, 245 973 rows all variants):
+#   v0 map+distinct+joins (the r12 form)   4.33 CPU-s
+#   v1 fixed masks, distinct+joins kept    4.24 CPU-s (no win alone)
+#   v2 fixed masks, inline verify          2.31 CPU-s (−47 %)
+#   v3 sparse map, inline verify           7.05 CPU-s (dead end: the
+#      HOF fold runs per RAW candidate row and the map payload rides
+#      every probe output — both effects compound)
+# The win needs BOTH pieces; neither alone pays.  8 chunks = 512
+# tokens of vocabulary = 64 B of mask per prefix row through the
+# self-join — the scale cost the cap bounds.  Verification
+# duplication (a pair verifies once per SHARED prefix token instead
+# of once) measured 1.16× at sf0.1 and is bounded by the prefix
+# length; with a ≤512-token vocabulary prefixes are short by
+# construction, and what the duplication costs is codegen popcount
+# while what it saves is a candidate-sized exchange.
+_FIXED_MASK_MAX_CHUNKS = 8
+
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 group_col: str, threshold: float = 0.9,
@@ -448,10 +478,27 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
       positions per group (the df-ordered rank), each document's set
       becomes ⌈V/64⌉ longs, and the exact intersection is
       popcount(AND) per chunk — O(vocab/64) per candidate instead of
-      an O(n) string-array intersect.  Mask rows are one row per
-      document (id, n, chunk→mask map); the candidate→mask joins are
-      plain equi-joins AQE auto-broadcasts while the table is small
-      and shuffles once it isn't.
+      an O(n) string-array intersect.  TWO representations, gated on
+      the measured max per-group vocabulary (strategy-only; outputs
+      bit-identical, pytest-pinned):
+
+      * **small vocab** (≤ ``_FIXED_MASK_MAX_CHUNKS``·64 bits): the
+        bitmap rides the prefix rows as plain BIGINT columns and
+        every raw candidate row verifies INLINE in the self-join
+        stage (pure-codegen popcount); only rows already passing the
+        threshold are ``.distinct()``-ed — the dedup exchange is
+        output-grain, not candidate-grain, and there are no mask
+        joins at all.  Measured −47 % CPU at sf0.1 (see the
+        ``_FIXED_MASK_MAX_CHUNKS`` comment for the full A/B,
+        including the two rejected halves of the idea).
+      * **large vocab**: mask rows are one row per document (id, n,
+        chunk→mask map); candidates are distinct-ed FIRST (each pair
+        verifies exactly once) and the candidate→mask joins are
+        plain equi-joins AQE auto-broadcasts while the table is
+        small and shuffles once it isn't.  A sparse map per PREFIX
+        row would ship O(doc set) bytes per raw candidate and the
+        interpreted map fold per raw row measured 1.6× the
+        distinct-first form — the inline trick is wrong here.
 
     One documented recall boundary: candidate pruning guarantees
     recall 1.0 for TRUE ``J ≥ t``, while the final filter (and the
@@ -585,30 +632,68 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         "jaccard_prefix", exploded.join(vocab, ["__grp", "__tok"])
     )
 
+    # representation gate (strategy-only — outputs are bit-identical
+    # either way, pytest-pinned): max dense rank over the PINNED enc
+    # frame (one map-only job on checkpointed partitions, the same
+    # one-row-collect class as the dedup_sets gate above) = the
+    # largest per-group vocabulary in bits.  Small vocab → fixed
+    # BIGINT mask columns + inline verification (see
+    # _FIXED_MASK_MAX_CHUNKS for the measured A/B); big vocab → the
+    # sparse-map form below, unchanged.
+    vmax = enc.agg(F.max("__r")).first()[0]
+    n_chunks = ((vmax or 0) // 64) + 1
+    fixed_masks = n_chunks <= _FIXED_MASK_MAX_CHUNKS
+
     # all per-document state keys on (__grp, __id): id_col only needs
     # to be unique WITHIN a group — a duplicate id across groups would
     # otherwise interleave two documents' prefix windows and OR their
     # bitmaps together
-    chunked = (
-        enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
-        .withColumn("__bit", F.expr("shiftleft(CAST(1 AS BIGINT), __r % 64)"))
-        .groupBy("__grp", "__id", "__n", "__chunk")
-        .agg(F.expr("bit_or(__bit)").alias("__mask"))
-    )
-    masks = pin_local_checkpoint("jaccard_prefix", chunked.groupBy(
-        "__grp", "__id", "__n"
-    ).agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
-        ).alias("__mm")
-    ))
+    if fixed_masks:
+        # one aggregation straight to k BIGINT columns (no per-chunk
+        # groupBy, no collect_list/map build); bit_or over an
+        # all-NULL chunk is NULL → coalesce to 0 so the verify AND
+        # needs no per-side null guard.  NOT pinned: consumed exactly
+        # once, by the prefix join below, inside the prefix pin.
+        mask_cols = [f"__m{i}" for i in range(n_chunks)]
+        masks = (
+            enc.withColumn("__c", (F.col("__r") / 64).cast("int"))
+            .withColumn(
+                "__b", F.expr("shiftleft(CAST(1 AS BIGINT), __r % 64)"))
+            .groupBy("__grp", "__id", "__n")
+            .agg(*[
+                F.coalesce(
+                    F.expr(f"bit_or(IF(__c = {i}, __b, NULL))"), F.lit(0)
+                ).alias(c)
+                for i, c in enumerate(mask_cols)
+            ])
+        )
+    else:
+        chunked = (
+            enc.withColumn("__chunk", (F.col("__r") / 64).cast("int"))
+            .withColumn("__bit", F.expr("shiftleft(CAST(1 AS BIGINT), __r % 64)"))
+            .groupBy("__grp", "__id", "__n", "__chunk")
+            .agg(F.expr("bit_or(__bit)").alias("__mask"))
+        )
+        masks = pin_local_checkpoint("jaccard_prefix", chunked.groupBy(
+            "__grp", "__id", "__n"
+        ).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__chunk", "__mask")))
+            ).alias("__mm")
+        ))
 
     w = Window.partitionBy("__grp", "__id").orderBy("__df", "__tok")
-    prefix = pin_local_checkpoint("jaccard_prefix", (
+    pfx = (
         enc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__n") - alpha(F.col("__n")) + 1)
         .select("__grp", "__tok", "__id", "__n", "__rn")
-    ))
+    )
+    if fixed_masks:
+        # the bitmap rides each prefix row (n_chunks longs) so the
+        # self-join stage can verify inline — no mask joins later
+        pfx = pfx.join(masks.select("__grp", "__id", *mask_cols),
+                       ["__grp", "__id"])
+    prefix = pin_local_checkpoint("jaccard_prefix", pfx)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # t/(1+t) is increasing in t, so P/(P+Q) ≤ t/(1+t): a weaker
     # (recall-safe) bound, still exact integer math.
@@ -624,7 +709,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             F.col("pb.__n") - F.col("pb.__rn"),
         )
     ).cast("bigint") >= required_overlap
-    cands = (
+    matched = (
         pa.join(
             pb,
             (F.col("pa.__grp") == F.col("pb.__grp"))
@@ -637,33 +722,66 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             & (F.col("pa.__n") >= alpha(F.col("pb.__n")))
         )
         .filter(positional_ok)
-        .select(F.col("pa.__grp").alias("__grp"),
-                F.col("pa.__id").alias("__ida"), F.col("pb.__id").alias("__idb"))
-        .distinct()
     )
-    ma = masks.select(F.col("__grp"), F.col("__id").alias("__ida"),
-                      F.col("__n").alias("__na"), F.col("__mm").alias("__ma"))
-    mb = masks.select(F.col("__grp"), F.col("__id").alias("__idb"),
-                      F.col("__n").alias("__nb"), F.col("__mm").alias("__mb"))
-    inter = F.aggregate(
-        F.map_values(F.map_zip_with(
-            F.col("__ma"), F.col("__mb"),
-            lambda _k, a, b: F.bit_count(
-                F.coalesce(a, F.lit(0)).bitwiseAND(F.coalesce(b, F.lit(0)))
-            ),
-        )),
-        F.lit(0), lambda acc, x: acc + x,
-    )
-    union = F.col("__na") + F.col("__nb") - inter
-    sim = F.round(
-        (inter.cast("double") / union.cast("double")).cast("decimal(24,12)"), nd
-    ).cast("double")
-    verified = (
-        cands.join(ma, ["__grp", "__ida"], "inner")
-        .join(mb, ["__grp", "__idb"], "inner")
-        .select("__grp", "__ida", "__idb", sim.alias("jaccard_sim"))
-        .filter(F.col("jaccard_sim") >= threshold)
-    )
+
+    def _sim(inter: Column, na: Column, nb: Column) -> Column:
+        union = na + nb - inter
+        return F.round(
+            (inter.cast("double") / union.cast("double"))
+            .cast("decimal(24,12)"), nd
+        ).cast("double")
+
+    if fixed_masks:
+        # inline verification: popcount the k AND-ed mask words per
+        # RAW candidate row (pure codegen), keep rows at/over the
+        # threshold, and deduplicate ONLY those — duplicates (one per
+        # extra shared prefix token) are exact duplicates because the
+        # sim is a function of the pair's masks, so the distinct is
+        # output-grain instead of candidate-grain
+        inter = F.lit(0)
+        for c in mask_cols:
+            inter = inter + F.bit_count(
+                F.col(f"pa.{c}").bitwiseAND(F.col(f"pb.{c}")))
+        verified = (
+            matched.select(
+                F.col("pa.__grp").alias("__grp"),
+                F.col("pa.__id").alias("__ida"),
+                F.col("pb.__id").alias("__idb"),
+                _sim(inter, F.col("pa.__n"), F.col("pb.__n"))
+                .alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .distinct()
+        )
+    else:
+        cands = (
+            matched.select(
+                F.col("pa.__grp").alias("__grp"),
+                F.col("pa.__id").alias("__ida"),
+                F.col("pb.__id").alias("__idb"))
+            .distinct()
+        )
+        ma = masks.select(F.col("__grp"), F.col("__id").alias("__ida"),
+                          F.col("__n").alias("__na"), F.col("__mm").alias("__ma"))
+        mb = masks.select(F.col("__grp"), F.col("__id").alias("__idb"),
+                          F.col("__n").alias("__nb"), F.col("__mm").alias("__mb"))
+        inter = F.aggregate(
+            F.map_values(F.map_zip_with(
+                F.col("__ma"), F.col("__mb"),
+                lambda _k, a, b: F.bit_count(
+                    F.coalesce(a, F.lit(0)).bitwiseAND(F.coalesce(b, F.lit(0)))
+                ),
+            )),
+            F.lit(0), lambda acc, x: acc + x,
+        )
+        verified = (
+            cands.join(ma, ["__grp", "__ida"], "inner")
+            .join(mb, ["__grp", "__idb"], "inner")
+            .select("__grp", "__ida", "__idb",
+                    _sim(inter, F.col("__na"), F.col("__nb"))
+                    .alias("jaccard_sim"))
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
     # ids are only unique WITHIN a group — without the group column a
     # consumer joining back on (id_a, id_b) conflates cross-group
     # pairs; include_group=True emits it (named after group_col).

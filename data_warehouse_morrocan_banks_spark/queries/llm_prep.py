@@ -109,10 +109,13 @@ FROM packed
 """
 
 
-@register("q_llm_prep_pipeline", oracle=_ORACLE)
-def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    d = table(spark, sf_dir, "documents")
+def prep_pipeline(d: DataFrame) -> DataFrame:
+    """The full prep composition over a (doc_id, lang, text) frame —
+    factored from the registered query so the scaling probe can run
+    the IDENTICAL five-stage plan on its generated corpora
+    (``llm_prep_*`` shapes, r12 verdict task #5); the query body
+    below is this function over the documents table, so the two can
+    never drift."""
     # stage 0: exact-span dedup — downstream token counts are the
     # DEDUPED counts, so near-duplicate boilerplate doesn't spend
     # packing budget twice (n_tokens_kept == word_count of the
@@ -136,3 +139,9 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_raw", "n_spans_removed",
         "pack_id", "pack_offset", "pack_end",
     )
+
+
+@register("q_llm_prep_pipeline", oracle=_ORACLE)
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return prep_pipeline(table(spark, sf_dir, "documents"))

@@ -194,7 +194,7 @@ def pinned_confs(spark, confs: dict):
 
 SHAPE_NAMES = (
     "q1_agg", "argmax_join", "jaccard_pairs", "jaccard_zipf",
-    "pack_streaming", "pack_skewed", "span_dedup",
+    "pack_streaming", "pack_skewed", "span_dedup", "llm_prep",
     "stratified_sample", "scd2_merge", "rollup_maint",
     "interval_join", "srp_lsh", "minhash_banded", "simhash_band",
     "global_rank", "chunk_tokens", "pq_adc",
@@ -304,7 +304,17 @@ def assert_smoke_instrumentation(results: dict) -> None:
                 # r12: the auto-gate decision-cost record (map-only
                 # count when the join gate didn't run) + decision
                 "incdedup_auto_1x", "incdedup_auto_1x_count_s",
-                "incdedup_auto_1x_read"):
+                "incdedup_auto_1x_read",
+                # r13: the full llm-prep composition on the decade
+                # curve (llm_prep_1x wall+bytes come from SHAPE_NAMES
+                # above) and the compaction-amortization record
+                "llm_prep_2x", "llm_prep_1x_cpu_s",
+                "incdedup_compact_1x", "incdedup_compact_1x_cpu_s",
+                "incdedup_compact_1x_files",
+                "incdedup_compact_1x_rows",
+                "incdedup_compact_1x_files_read",
+                "incdedup_compact_1x_files_total",
+                "incdedup_recompact_1x", "incdedup_recompact_1x_cpu_s"):
         assert key in results, f"smoke: missing instrumentation {key}"
 
 
@@ -498,6 +508,19 @@ def main(smoke: bool = False, out_path: str | None = None,
             dedup_spans_exact,
         )
         return dedup_spans_exact(d, "text", "doc_id")
+
+    def llm_prep(d):
+        """The FULL prep composition q_llm_prep_pipeline registers
+        (span dedup → token counts → stratified mix → hash split →
+        streaming pack), via the query module's own factored body so
+        probe and query can never drift (r12 verdict task #5: the
+        scan-3×/pin-0× trade was proven for span_dedup in isolation;
+        this shape puts the 5-scan composition's CPU/bytes on the
+        decade curve)."""
+        from data_warehouse_morrocan_banks_spark.queries.llm_prep import (
+            prep_pipeline,
+        )
+        return prep_pipeline(d)
 
     def strat(lineitem):
         from data_warehouse_morrocan_banks_spark.operators.sampling import (
@@ -1161,6 +1184,93 @@ def main(smoke: bool = False, out_path: str | None = None,
             shutil.rmtree(sdir, ignore_errors=True)
         lifecycle.release_all()
 
+    def probe_incdedup_compaction(history_rows, tag, batch_rows=20_000):
+        """Compaction I/O amortization at deep histories (r12 verdict
+        task #7 — the named remaining unknown).  compact_history_sorted
+        is O(history) per invocation BY DESIGN (an LSM-style full
+        rewrite); the policy question is whether running it every Nth
+        batch amortizes.  This shape records the terms of that law:
+        the first compaction of an uncompacted history, a REPEATED
+        compaction after one batch-sized append (the steady-state
+        maintenance cost — still a full rewrite), and the pruned-scan
+        benefit it buys (files_read on a trickle batch).  Amortized
+        per-batch overhead = compact_wall / compact_every; the decades
+        let SCALE.md state the grain rule (compact_every must grow
+        with history/batch so the amortized cost stays batch-bounded).
+        """
+        import shutil
+        import tempfile
+
+        from data_warehouse_morrocan_banks_spark.sources import (
+            snapshot_table as st,
+        )
+        from data_warehouse_morrocan_banks_spark.streaming.incremental_dedup import (  # noqa: E501
+            LAST_HISTORY_GATE,
+            compact_history_sorted,
+            incremental_exact_dedup_batch,
+            init_incremental_dedup,
+        )
+        sdir = tempfile.mkdtemp(prefix=f"probe_incd_compact_{tag}_")
+        out = os.path.join(sdir, "corpus")
+        hashes = os.path.join(sdir, "hashes")
+        try:
+            doc_schema = spark.range(1).select(
+                F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+            init_incremental_dedup(spark, out, hashes, doc_schema)
+            st.append(spark, hashes, spark.range(history_rows).select(
+                F.md5(F.col("id").cast("string")).alias("content_md5")))
+            results[f"incdedup_compact_{tag}_rows"] = history_rows
+            before = completed_stages(spark)
+            t0 = time.perf_counter()
+            n_files = compact_history_sorted(spark, hashes,
+                                             file_rows=500_000)
+            results[f"incdedup_compact_{tag}"] = round(
+                time.perf_counter() - t0, 2)
+            results[f"incdedup_compact_{tag}_files"] = n_files
+            d = stage_delta(before, completed_stages(spark))
+            if d is not None:
+                results[f"incdedup_compact_{tag}_cpu_s"] = d["cpu_s"]
+                results[f"incdedup_compact_{tag}_shuffle_write_mb"] = \
+                    d["sw"]
+                results[f"incdedup_compact_{tag}_spill_mb"] = d["spill"]
+            # one batch-sized append, then the REPEATED compaction —
+            # the steady-state maintenance cost on an already-sorted
+            # table (still a full O(history) rewrite: the new digests
+            # interleave across the whole range)
+            st.append(spark, hashes, spark.range(
+                history_rows, history_rows + batch_rows).select(
+                F.md5(F.col("id").cast("string")).alias("content_md5")))
+            before = completed_stages(spark)
+            t0 = time.perf_counter()
+            compact_history_sorted(spark, hashes, file_rows=500_000)
+            results[f"incdedup_recompact_{tag}"] = round(
+                time.perf_counter() - t0, 2)
+            d = stage_delta(before, completed_stages(spark))
+            if d is not None:
+                results[f"incdedup_recompact_{tag}_cpu_s"] = d["cpu_s"]
+                results[f"incdedup_recompact_{tag}_shuffle_write_mb"] = \
+                    d["sw"]
+            # the benefit the rewrite buys: a trickle batch against the
+            # recompacted table reads a batch-bounded file subset
+            trickle = spark.range(200).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("fresh_c_"),
+                         F.col("id").cast("string")).alias("text"))
+            incremental_exact_dedup_batch(
+                spark, out, hashes, trickle, 0, "text", "doc_id",
+                history_join="broadcast", history_read="pruned")
+            gate = LAST_HISTORY_GATE[out]
+            results[f"incdedup_compact_{tag}_files_read"] = \
+                gate["history_files_read"]
+            results[f"incdedup_compact_{tag}_files_total"] = \
+                gate["history_files_total"]
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+        from data_warehouse_morrocan_banks_spark.operators import (
+            lifecycle,
+        )
+        lifecycle.release_all()
+
     for scale in ((1,) if smoke else (1, 10)):
         if fam("shapes"):
             li_s = li if scale == 1 else replicate(li, scale, ["l_orderkey"])
@@ -1184,6 +1294,7 @@ def main(smoke: bool = False, out_path: str | None = None,
                 ("pack_streaming", pack, d_s, None),
                 ("pack_skewed", pack_skewed, d_s, None),
                 ("span_dedup", span_dedup, d_s, None),
+                ("llm_prep", llm_prep, d_s, None),
                 ("stratified_sample", strat, li_s, None),
                 ("scd2_merge", scd2, c_s, None),
                 ("rollup_maint", rollup_maint, li_s, None),
@@ -1743,7 +1854,8 @@ def main(smoke: bool = False, out_path: str | None = None,
             # cross-copy grams must not collide or the output law
             # measures the replication, not the operator
             (lambda: replicate_docs_cross(xs),
-             (("span_dedup", span_dedup),), False, (span_counts_x,)),
+             (("span_dedup", span_dedup), ("llm_prep", llm_prep)),
+             False, (span_counts_x,)),
             (lambda: zipf_docs(6_000 * xs),
              (("minhash_banded", minhash),
               ("jaccard_zipf", jaccard)), False,
@@ -1873,6 +1985,18 @@ def main(smoke: bool = False, out_path: str | None = None,
                 probe_incdedup(hist, tag)
             except Exception as e:  # noqa: BLE001 — record, keep probing
                 results[f"probe_error_incdedup_{tag}"] = (
+                    f"{type(e).__name__}: {e}"[:300])
+        # compaction amortization decades (r12 verdict task #7): the
+        # 100x point plus a PAST-the-decades 4x-deeper one (24 M
+        # fingerprints) — "deep history × repeated compaction" is
+        # exactly the regime the r12 notes named as unmeasured
+        for hist, tag in (((6_000, "1x"), (12_000, f"{xs}x")) if smoke
+                          else ((6_000_000, f"{xs}x"),
+                                (24_000_000, f"{4 * xs}x"))):
+            try:
+                probe_incdedup_compaction(hist, tag)
+            except Exception as e:  # noqa: BLE001 — record, keep probing
+                results[f"probe_error_incdedup_compact_{tag}"] = (
                     f"{type(e).__name__}: {e}"[:300])
     flush_partial(results)
 

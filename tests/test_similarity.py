@@ -223,6 +223,51 @@ def test_prefix_filter_plan_has_no_all_pairs_join(spark):
     assert "__tok" in plan  # token is a join key in the candidate stage
 
 
+def test_prefix_filter_mask_representations_equal(spark, monkeypatch):
+    """The vocabulary-size gate is strategy-only: forcing the sparse-map
+    form (cap = 0 chunks) must reproduce the fixed-mask form's output
+    bit-for-bit on the smoke corpus (which takes the fixed path by
+    default — its vocab fits one or two 64-bit words)."""
+    from data_warehouse_morrocan_banks_spark.operators import similarity
+
+    d = table(spark, SF_SMOKE, "documents")
+    kw = dict(text_col="text", id_col="doc_id", group_col="lang",
+              threshold=0.9)
+    fixed = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+             for r in prefix_filter_jaccard_pairs(d, **kw).collect()}
+    monkeypatch.setattr(similarity, "_FIXED_MASK_MAX_CHUNKS", 0)
+    mapped = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+              for r in prefix_filter_jaccard_pairs(d, **kw).collect()}
+    assert fixed == mapped and len(fixed) > 0
+
+
+def test_prefix_filter_small_vocab_plan_is_inline_codegen(spark,
+                                                          monkeypatch):
+    """Plan pins for the r13 fixed-mask fast path: on a small-vocab
+    corpus the verify is inline codegen popcount (no interpreted
+    map_zip_with fold, no collect_list map build) and the sparse-map
+    nodes come back when the gate is forced off — the discriminator is
+    the representation, not incidental plan noise."""
+    from data_warehouse_morrocan_banks_spark.operators import similarity
+
+    d = table(spark, SF_SMOKE, "documents")
+    kw = dict(text_col="text", id_col="doc_id", group_col="lang",
+              threshold=0.9)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+
+    plan_fixed = prefix_filter_jaccard_pairs(
+        d, **kw)._jdf.queryExecution().explainString(mode)
+    assert "map_zip_with" not in plan_fixed
+    assert "map_from_entries" not in plan_fixed
+    assert "bit_count" in plan_fixed
+
+    monkeypatch.setattr(similarity, "_FIXED_MASK_MAX_CHUNKS", 0)
+    plan_map = prefix_filter_jaccard_pairs(
+        d, **kw)._jdf.queryExecution().explainString(mode)
+    assert "map_zip_with" in plan_map
+
+
 def test_minhash_candidates_cover_exact_pairs(spark):
     """MinHash-LSH is the probabilistic candidate generator: at 16 hash
     tables it must recover a majority of the true ≥0.9-Jaccard pairs

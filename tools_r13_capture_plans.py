@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""r13 optimization round: capture .explain('formatted') for every
+declared query into plans/r13/<query>_<tag>.txt.
+
+Usage: python tools_r13_capture_plans.py <tag> [query ...]
+  tag      e.g. 'before' / 'after'
+  query    optional subset; default = all registered queries.
+
+The capture builds each DataFrame at $SPARK_GRAFT_SF_DIR (default
+sf0.1) and prints the FORMATTED plan (initial plan under AQE —
+deterministic, pre-execution).  Construction side effects (boundary
+collects, gate counts, LDA fits) do run; the main query does not.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from data_warehouse_morrocan_banks_spark import registry
+    from data_warehouse_morrocan_banks_spark.session import get_spark
+
+    spark = get_spark("dwmb-plan-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    qs = registry.all_queries()
+    names = [n for n in sorted(qs) if not only or n in only]
+    for name in names:
+        spark.sparkContext.setJobDescription(f"plan-capture {name}")
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as e:  # capture failures loudly, keep going
+            plan = f"CAPTURE ERROR: {type(e).__name__}: {e}\n"
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
+            fh.write(plan)
+        print(f"captured {name} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
