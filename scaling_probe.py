@@ -1229,10 +1229,18 @@ def main(smoke: bool = False, out_path: str | None = None,
             results[f"incdedup_compact_{tag}_files"] = n_files
             d = stage_delta(before, completed_stages(spark))
             if d is not None:
+                # full byte set (read+write+spill split), matching the
+                # other incdedup records — also what the smoke test's
+                # shape heuristic requires of any *_shuffle_write_mb
+                # key family
                 results[f"incdedup_compact_{tag}_cpu_s"] = d["cpu_s"]
+                results[f"incdedup_compact_{tag}_shuffle_read_mb"] = \
+                    d["sr"]
                 results[f"incdedup_compact_{tag}_shuffle_write_mb"] = \
                     d["sw"]
                 results[f"incdedup_compact_{tag}_spill_mb"] = d["spill"]
+                results[f"incdedup_compact_{tag}_spill_disk_mb"] = \
+                    d["spill_disk"]
             # one batch-sized append, then the REPEATED compaction —
             # the steady-state maintenance cost on an already-sorted
             # table (still a full O(history) rewrite: the new digests
@@ -1248,8 +1256,13 @@ def main(smoke: bool = False, out_path: str | None = None,
             d = stage_delta(before, completed_stages(spark))
             if d is not None:
                 results[f"incdedup_recompact_{tag}_cpu_s"] = d["cpu_s"]
+                results[f"incdedup_recompact_{tag}_shuffle_read_mb"] = \
+                    d["sr"]
                 results[f"incdedup_recompact_{tag}_shuffle_write_mb"] = \
                     d["sw"]
+                results[f"incdedup_recompact_{tag}_spill_mb"] = d["spill"]
+                results[f"incdedup_recompact_{tag}_spill_disk_mb"] = \
+                    d["spill_disk"]
             # the benefit the rewrite buys: a trickle batch against the
             # recompacted table reads a batch-bounded file subset
             trickle = spark.range(200).select(

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import re
 
+import pytest
+
 import duckdb
 from pyspark.sql import functions as F
 
@@ -255,6 +257,7 @@ def test_span_dedup_layout_invariant_on_corpus(spark):
     assert any(r["n_spans_removed"] > 0 for r in a) or len(a) < 100
 
 
+@pytest.mark.slow
 def test_span_dedup_matches_bruteforce_property(spark):
     """Hypothesis sweep: dedup_spans_exact ≡ a Python brute force of
     the same contract (keep-first by (id, start), coverage union,
@@ -334,6 +337,7 @@ def test_span_dedup_plan_shape(spark):
     assert "partial_min" in plan
 
 
+@pytest.mark.slow
 def test_span_dedup_pathological_repetition_is_linear(spark):
     """A 3000-token single-word document: every 3-gram after the first
     is a within-doc duplicate (2997 removed starts), whose coverage

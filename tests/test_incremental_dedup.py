@@ -382,6 +382,7 @@ def test_pruned_history_files_skips_disjoint_ranges(spark, tmp_path):
     assert "zzzzzzzz" in got1
 
 
+@pytest.mark.slow
 def test_batch_body_pruned_mode_equality_and_scan_keys(spark, tmp_path):
     """history_read='pruned' lands the identical corpus/fingerprints
     as 'full' (pruning is a superset read; the anti-join ignores

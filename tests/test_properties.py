@@ -14,6 +14,8 @@ from __future__ import annotations
 import re
 import string
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -282,6 +284,7 @@ _ROLLUP_ROW = st.tuples(
                 min_size=2, max_size=4))
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_rollup_maintenance_equals_rebuild_property(spark, snapshots):
     """For ANY chain of snapshots (random inserts/deletes/updates/
     group moves/NULL transitions), folding each diff into the state

@@ -14,9 +14,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_scaling_probe_smoke(tmp_path):
     out = tmp_path / "scaleprobe_smoke.json"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
@@ -110,6 +113,7 @@ def test_merge_min_walls_is_wall_only(tmp_path):
     assert m["merged_min_keys"] == ["global_rank_100x", "q1_agg_1x"]
 
 
+@pytest.mark.slow
 def test_scaling_probe_per_family_smoke(tmp_path):
     """--per-family (r9 verdict task #4): one fresh process+JVM per
     probe family removes the tail-slot JVM-state bias class (run B

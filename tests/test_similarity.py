@@ -3,6 +3,8 @@ candidate sanity, LDA structural invariants (SURVEY §7 hard-part 3)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_morrocan_banks_spark.operators.similarity import (
@@ -268,6 +270,7 @@ def test_prefix_filter_small_vocab_plan_is_inline_codegen(spark,
     assert "map_zip_with" in plan_map
 
 
+@pytest.mark.slow
 def test_minhash_candidates_cover_exact_pairs(spark):
     """MinHash-LSH is the probabilistic candidate generator: at 16 hash
     tables it must recover a majority of the true ≥0.9-Jaccard pairs

@@ -245,6 +245,7 @@ def test_stream_sink_end_to_end(spark, tmp_path):
     assert _rows(st.read(spark, table_path)) == [(1, "s1"), (2, "s2")]
 
 
+@pytest.mark.slow
 def test_manifest_stats_file_pruning(spark, tmp_path):
     """Footer min/max stats land in the manifest at every write; a
     range read prunes non-overlapping files BEFORE Spark lists them,
@@ -290,6 +291,7 @@ def test_manifest_stats_file_pruning(spark, tmp_path):
         (10, "s10"), (11, "s11")]
 
 
+@pytest.mark.slow
 def test_overwrite_range_replace_where(spark, tmp_path):
     """replaceWhere semantics: exactly the in-range rows are replaced;
     untouched files carry BY REFERENCE (no rewrite); NULL-column rows
@@ -384,6 +386,7 @@ def test_sorted_compaction_tightens_stats(spark, tmp_path):
     assert got == [(10, "s10"), (11, "s11"), (12, "s12")]
 
 
+@pytest.mark.slow
 def test_publication_cross_table_consistency(spark, tmp_path, monkeypatch):
     """publish() commits a table->version vector atomically: readers
     resolve only through publications, so a crash after the table
@@ -434,6 +437,7 @@ def test_publication_cross_table_consistency(spark, tmp_path, monkeypatch):
     assert _rows(cur["fact"]) == [(40, "s40")]
 
 
+@pytest.mark.slow
 def test_random_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random sequences of append / overwrite /
     merge / overwrite_range / compact / vacuum must keep the table
@@ -583,6 +587,7 @@ def test_vacuum_publications_tolerates_vacuumed_pinned_version(
         _rows(st.load_publication(spark, root, version=2)["dim"])
 
 
+@pytest.mark.slow
 def test_review_fixes_round5(spark, tmp_path, monkeypatch):
     """Code-review fixes, one scenario each:
     (a) publish retry must not re-link a stale vector over a newer
@@ -882,6 +887,7 @@ def test_commit_backend_seam_lost_race_retry(spark, tmp_path):
         st.set_commit_backend(prev)
 
 
+@pytest.mark.slow
 def test_delta_log_bounds_manifest_io(spark, tmp_path, monkeypatch):
     """Round-6 ask #3: appends commit DELTA entries (only the added
     files); a consolidated full entry lands every
@@ -940,6 +946,7 @@ def test_delta_log_bounds_manifest_io(spark, tmp_path, monkeypatch):
     assert st.current_version(path) == n_appends + 1
 
 
+@pytest.mark.slow
 def test_delta_log_stream_appends_and_txn_marks(spark, tmp_path):
     """Stream appends use the same delta policy; the (app_id, batch)
     high-water marks ride every entry and survive checkpoints."""

@@ -136,6 +136,7 @@ def test_stream_rollup_maintenance_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pre_count", [False, True])
 def test_streaming_heavy_hitters_invariants(spark, pre_count):
     """Sharded-MG state over multiple micro-batches: the final

@@ -6,6 +6,8 @@ star build → marts — with the reference's own validation battery
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_morrocan_banks_spark.plans.pipeline import (
@@ -190,6 +192,7 @@ def test_build_warehouse_single_entry_point(spark):
     assert joined.count() >= 6
 
 
+@pytest.mark.slow
 def test_warehouse_publish_atomic_star_schema(spark, tmp_path):
     """Warehouse.publish: the whole star schema lands as ONE snapshot
     publication — a loaded publication's fact joins ITS OWN dims
@@ -257,6 +260,7 @@ def test_enriched_quality_flag_ladder_order(spark):
     assert got == [r[4] for r in rows]
 
 
+@pytest.mark.slow
 def test_build_warehouse_table_policy_matches_cache(spark, tmp_path):
     """G7 intermediate policies agree: ``intermediate="table"``
     (silver written to parquet and re-scanned — the bounded-memory
